@@ -1,0 +1,399 @@
+"""Entropy-code sets: LZ77 params, uint configs, context maps, token IO.
+
+Reference: lib/jxl/dec_ans.cc (DecodeHistograms, DecodeUintConfig,
+LZ77Params, ANSSymbolReader LZ77 window), enc_ans.cc
+(BuildAndEncodeHistograms, WriteTokens, EncodeUintConfigs).
+
+A `SymbolReader`/`write_tokens` pair transports hybrid-uint tokens for
+every consumer (VarDCT coefficients, modular streams, context maps,
+coefficient orders, ICC...). The ANS token loop is the sequential host
+bottleneck by design; everything downstream is dense tensors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from libjxl_tpu.base.errors import BitstreamError
+from libjxl_tpu.bitstream.bit_io import BitReader, BitWriter
+from libjxl_tpu.bitstream.fields import (
+    Val, Bits, BitsOffset, U32Enc, read_u32, write_u32,
+)
+from libjxl_tpu.entropy import ans
+from libjxl_tpu.entropy.ans import (
+    ANS_LOG_TAB_SIZE, ANS_TAB_SIZE, ANS_MAX_ALPHABET_SIZE, PREFIX_MAX_BITS,
+    AliasTable, AnsEncoder, AnsState, HybridUintConfig,
+    build_reverse_maps, ceil_log2, init_alias_table, normalize_counts,
+    read_histogram, write_histogram,
+)
+from libjxl_tpu.entropy.prefix import (
+    PrefixCode, decode_prefix_code, build_and_store_prefix_code,
+)
+
+# LZ77 constants (dec_ans.h:122-145)
+LZ77_WINDOW_SIZE = 1 << 20
+_SPECIAL_DISTANCES = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+NUM_SPECIAL_DISTANCES = len(_SPECIAL_DISTANCES)
+
+
+def special_distance(index: int, multiplier: int) -> int:
+    a, b = _SPECIAL_DISTANCES[index]
+    d = a + multiplier * b
+    return d if d > 1 else 1
+
+
+@dataclasses.dataclass
+class LZ77Params:
+    """dec_ans.h:105-120; serialized via LZ77Params::VisitFields."""
+    enabled: bool = False
+    min_symbol: int = 224
+    min_length: int = 3
+    length_uint_config: HybridUintConfig = dataclasses.field(
+        default_factory=lambda: HybridUintConfig(0, 0, 0))
+
+    _MIN_SYMBOL_ENC = U32Enc(Val(224), Val(512), Val(4096), BitsOffset(15, 8))
+    _MIN_LENGTH_ENC = U32Enc(Val(3), Val(4), BitsOffset(2, 5), BitsOffset(8, 9))
+
+    def read(self, r: BitReader) -> None:
+        self.enabled = r.read_bool()
+        if self.enabled:
+            self.min_symbol = read_u32(self._MIN_SYMBOL_ENC, r)
+            self.min_length = read_u32(self._MIN_LENGTH_ENC, r)
+
+    def write(self, w: BitWriter) -> None:
+        w.write_bool(self.enabled)
+        if self.enabled:
+            write_u32(self._MIN_SYMBOL_ENC, self.min_symbol, w)
+            write_u32(self._MIN_LENGTH_ENC, self.min_length, w)
+
+
+def read_uint_config(log_alpha_size: int, r: BitReader) -> HybridUintConfig:
+    """dec_ans.cc:272-295."""
+    split_exponent = r.read(ceil_log2(log_alpha_size + 1))
+    msb_in_token = 0
+    lsb_in_token = 0
+    if split_exponent != log_alpha_size:
+        nbits = ceil_log2(split_exponent + 1)
+        msb_in_token = r.read(nbits)
+        if msb_in_token > split_exponent:
+            raise BitstreamError("invalid HybridUintConfig msb")
+        nbits = ceil_log2(split_exponent - msb_in_token + 1)
+        lsb_in_token = r.read(nbits)
+    if lsb_in_token + msb_in_token > split_exponent:
+        raise BitstreamError("invalid HybridUintConfig")
+    return HybridUintConfig(split_exponent, msb_in_token, lsb_in_token)
+
+
+def write_uint_config(cfg: HybridUintConfig, w: BitWriter,
+                      log_alpha_size: int) -> None:
+    """enc_ans.cc:1023-1035."""
+    w.write(ceil_log2(log_alpha_size + 1), cfg.split_exponent)
+    if cfg.split_exponent == log_alpha_size:
+        return
+    nbits = ceil_log2(cfg.split_exponent + 1)
+    w.write(nbits, cfg.msb_in_token)
+    nbits = ceil_log2(cfg.split_exponent - cfg.msb_in_token + 1)
+    w.write(nbits, cfg.lsb_in_token)
+
+
+@dataclasses.dataclass
+class EntropyCodes:
+    """Decoded/built entropy codes (reference ANSCode + EntropyEncodingData)."""
+    lz77: LZ77Params
+    context_map: list[int]          # context -> clustered histogram idx
+    use_prefix_code: bool
+    log_alpha_size: int
+    uint_configs: list[HybridUintConfig]         # per clustered histogram
+    alias_tables: list[AliasTable] | None = None  # ANS mode
+    prefix_codes: list[PrefixCode] | None = None  # prefix mode
+    # encoder-side:
+    counts: list[list[int]] | None = None         # normalized histograms
+    reverse_maps: list[list[np.ndarray]] | None = None
+
+    @property
+    def num_histograms(self) -> int:
+        return len(self.uint_configs)
+
+    @property
+    def lz77_distance_ctx(self) -> int:
+        return self.context_map[-1]
+
+
+def decode_histograms(r: BitReader, num_contexts: int,
+                      disallow_lz77: bool = False) -> EntropyCodes:
+    """dec_ans.cc:341-376 DecodeHistograms."""
+    from libjxl_tpu.entropy.context_map import decode_context_map
+
+    lz77 = LZ77Params()
+    lz77.read(r)
+    if lz77.enabled:
+        if disallow_lz77:
+            raise BitstreamError("LZ77 disallowed here")
+        num_contexts += 1
+        lz77.length_uint_config = read_uint_config(8, r)
+    if num_contexts > 1:
+        context_map, num_histograms = decode_context_map(num_contexts, r)
+    else:
+        context_map = [0]
+        num_histograms = 1
+    use_prefix_code = r.read_bool()
+    if use_prefix_code:
+        log_alpha_size = PREFIX_MAX_BITS
+    else:
+        log_alpha_size = r.read(2) + 5
+    uint_configs = [read_uint_config(log_alpha_size, r)
+                    for _ in range(num_histograms)]
+    codes = EntropyCodes(lz77=lz77, context_map=context_map,
+                         use_prefix_code=use_prefix_code,
+                         log_alpha_size=log_alpha_size,
+                         uint_configs=uint_configs)
+    max_alphabet_size = 1 << log_alpha_size
+    if use_prefix_code:
+        # dec_ans.cc:201-231: alphabet sizes first, then code tables.
+        alphabet_sizes = [ans.read_varlen_u16(r) + 1
+                          for _ in range(num_histograms)]
+        for sz in alphabet_sizes:
+            if sz > max_alphabet_size:
+                raise BitstreamError("prefix alphabet too large")
+        codes.prefix_codes = [decode_prefix_code(sz, r)
+                              for sz in alphabet_sizes]
+    else:
+        codes.alias_tables = []
+        for _ in range(num_histograms):
+            counts = read_histogram(ANS_LOG_TAB_SIZE, r)
+            if len(counts) > max_alphabet_size:
+                raise BitstreamError("ANS alphabet too large")
+            codes.alias_tables.append(
+                init_alias_table(counts, log_alpha_size))
+    return codes
+
+
+class SymbolReader:
+    """ANSSymbolReader: token reads with LZ77 window + hybrid uint.
+
+    Construct AFTER histograms are decoded, right before the token
+    stream; reads the 32-bit initial ANS state (dec_ans.cc:392-419).
+    """
+
+    def __init__(self, codes: EntropyCodes, r: BitReader,
+                 distance_multiplier: int = 0):
+        self.codes = codes
+        self.r = r
+        if not codes.use_prefix_code:
+            self.state = AnsState(r)
+        else:
+            self.state = None
+        self.lz77 = codes.lz77
+        if self.lz77.enabled:
+            self.window = np.zeros(LZ77_WINDOW_SIZE, np.uint32)
+            self.num_decoded = 0
+            self.num_to_copy = 0
+            self.copy_pos = 0
+            self.lz77_ctx = codes.lz77_distance_ctx
+            self.num_special = (NUM_SPECIAL_DISTANCES
+                                if distance_multiplier else 0)
+            self.special = [special_distance(i, distance_multiplier)
+                            for i in range(self.num_special)]
+        else:
+            self.window = None
+
+    def _read_symbol(self, histo_idx: int) -> int:
+        if self.codes.use_prefix_code:
+            return self.codes.prefix_codes[histo_idx].read_symbol(self.r)
+        return self.state.read_symbol(self.codes.alias_tables[histo_idx],
+                                      self.r)
+
+    def read(self, ctx: int) -> int:
+        """ReadHybridUint with non-clustered context."""
+        return self.read_clustered(self.codes.context_map[ctx])
+
+    def read_clustered(self, histo_idx: int) -> int:
+        """dec_ans.h:288-353 ReadHybridUintClustered."""
+        lz = self.window is not None
+        if lz and self.num_to_copy > 0:
+            ret = int(self.window[self.copy_pos % LZ77_WINDOW_SIZE])
+            self.copy_pos += 1
+            self.num_to_copy -= 1
+            self.window[self.num_decoded % LZ77_WINDOW_SIZE] = ret
+            self.num_decoded += 1
+            return ret
+        token = self._read_symbol(histo_idx)
+        if lz and token >= self.lz77.min_symbol:
+            self.num_to_copy = self.lz77.length_uint_config.read(
+                token - self.lz77.min_symbol, self.r) + self.lz77.min_length
+            d_token = self._read_symbol(self.lz77_ctx)
+            distance = self.codes.uint_configs[self.lz77_ctx].read(
+                d_token, self.r)
+            if distance < self.num_special:
+                distance = self.special[distance]
+            else:
+                distance = distance + 1 - self.num_special
+            distance = min(distance, self.num_decoded, LZ77_WINDOW_SIZE)
+            self.copy_pos = self.num_decoded - distance
+            if distance == 0:
+                to_fill = min(self.num_to_copy, LZ77_WINDOW_SIZE)
+                self.window[:to_fill] = 0
+            ret = int(self.window[self.copy_pos % LZ77_WINDOW_SIZE])
+            self.copy_pos += 1
+            self.num_to_copy -= 1
+            self.window[self.num_decoded % LZ77_WINDOW_SIZE] = ret
+            self.num_decoded += 1
+            return ret
+        ret = self.codes.uint_configs[histo_idx].read(token, self.r)
+        if lz:
+            self.window[self.num_decoded % LZ77_WINDOW_SIZE] = ret
+            self.num_decoded += 1
+        return ret
+
+    def check_final_state(self) -> bool:
+        if self.codes.use_prefix_code:
+            return True
+        return self.state.check_final_state()
+
+
+# ---------------------------------------------------------------------------
+# Encoder side
+
+
+@dataclasses.dataclass(frozen=True)
+class Token:
+    """enc_ans.h:82-89."""
+    context: int
+    value: int
+    is_lz77_length: bool = False
+
+
+def build_and_encode_histograms(
+        num_contexts: int,
+        token_streams: list[list[Token]],
+        w: BitWriter,
+        *,
+        use_prefix_code: bool = False,
+        uint_config: HybridUintConfig | None = None,
+        max_clusters: int = 64,
+) -> EntropyCodes:
+    """BuildAndEncodeHistograms (enc_ans.cc:1082) minus LZ77 search.
+
+    Clusters per-context token histograms, writes LZ77 params (disabled),
+    context map, uint configs and histograms; returns codes usable with
+    write_tokens. LZ77 token generation is handled by the caller
+    producing is_lz77_length tokens (not emitted by this builder yet).
+    """
+    from libjxl_tpu.entropy.cluster import cluster_histograms
+    from libjxl_tpu.entropy.context_map import encode_context_map
+
+    uint_config = uint_config or HybridUintConfig(4, 2, 0)
+    lz77 = LZ77Params(enabled=False)
+    lz77.write(w)
+
+    # Tokenize values to symbol histograms.
+    histograms = [np.zeros(ANS_MAX_ALPHABET_SIZE, np.int64)
+                  for _ in range(num_contexts)]
+    max_token = 0
+    for stream in token_streams:
+        for t in stream:
+            tok, _, _ = uint_config.encode(t.value)
+            if tok >= ANS_MAX_ALPHABET_SIZE:
+                raise BitstreamError(
+                    f"token {tok} exceeds ANS alphabet; value {t.value}")
+            histograms[t.context][tok] += 1
+            max_token = max(max_token, tok)
+
+    if num_contexts > 1:
+        context_map, clustered = cluster_histograms(histograms, max_clusters)
+        encode_context_map(context_map, len(clustered), w)
+    else:
+        context_map = [0]
+        clustered = [histograms[0]]
+
+    w.write_bool(use_prefix_code)
+    if use_prefix_code:
+        log_alpha_size = PREFIX_MAX_BITS
+    else:
+        log_alpha_size = max(5, ceil_log2(max_token + 1))
+        w.write(2, log_alpha_size - 5)
+    uint_configs = [uint_config] * len(clustered)
+    for cfg in uint_configs:
+        write_uint_config(cfg, w, log_alpha_size)
+
+    codes = EntropyCodes(lz77=lz77, context_map=context_map,
+                         use_prefix_code=use_prefix_code,
+                         log_alpha_size=log_alpha_size,
+                         uint_configs=uint_configs)
+    if use_prefix_code:
+        codes.prefix_codes = []
+        alphabet_sizes = []
+        for h in clustered:
+            nz = np.nonzero(h)[0]
+            alphabet_sizes.append(int(nz[-1]) + 1 if len(nz) else 1)
+        for sz in alphabet_sizes:
+            ans.write_varlen_u16(sz - 1, w)
+        for h, sz in zip(clustered, alphabet_sizes):
+            codes.prefix_codes.append(
+                build_and_store_prefix_code(h[:sz].astype(np.int64), w))
+    else:
+        codes.counts = []
+        codes.reverse_maps = []
+        codes.alias_tables = []
+        for h in clustered:
+            nz = np.nonzero(h)[0]
+            if len(nz) == 0:
+                counts, omit = [ANS_TAB_SIZE], 0
+            elif len(nz) == 1:
+                counts = [0] * (int(nz[0]) + 1)
+                counts[int(nz[0])] = ANS_TAB_SIZE
+                omit = int(nz[0])
+            else:
+                raw = [int(c) for c in h[:int(nz[-1]) + 1]]
+                counts, omit = normalize_counts(raw, shift=ANS_LOG_TAB_SIZE)
+            write_histogram(counts, w, shift=ANS_LOG_TAB_SIZE, omit_pos=omit)
+            table = init_alias_table(counts, log_alpha_size)
+            codes.counts.append(counts)
+            codes.alias_tables.append(table)
+            codes.reverse_maps.append(build_reverse_maps(table, len(counts)))
+    return codes
+
+
+def write_tokens(tokens: list[Token], codes: EntropyCodes, w: BitWriter,
+                 context_offset: int = 0) -> None:
+    """WriteTokens (enc_ans.cc:1240-1330): ANS emits in reverse order."""
+    if codes.use_prefix_code:
+        for t in tokens:
+            histo = codes.context_map[context_offset + t.context]
+            tok, nbits, bits = codes.uint_configs[histo].encode(t.value)
+            pc = codes.prefix_codes[histo]
+            w.write(pc.depths[tok], pc.bits[tok])
+            w.write(nbits, bits)
+        return
+
+    chunks: list[tuple[int, int]] = []  # (bits, nbits) reversed order
+    enc = AnsEncoder()
+    for t in reversed(tokens):
+        histo = codes.context_map[context_offset + t.context]
+        tok, nbits, bits = codes.uint_configs[histo].encode(t.value)
+        chunks.append((bits, nbits))
+        freq = codes.counts[histo][tok]
+        ans_bits, ans_nbits = enc.put_symbol(freq,
+                                             codes.reverse_maps[histo][tok])
+        chunks.append((ans_bits, ans_nbits))
+    w.write(32, enc.state)
+    for bits, nbits in reversed(chunks):
+        w.write(nbits, bits)
