@@ -1,0 +1,216 @@
+"""MA decision trees: nodes, (de)serialization, lookup.
+
+Reference: lib/jxl/modular/encoding/dec_ma.{h,cc} (DecodeTree,
+ValidateTree), ma_common.h (the 6 tree token contexts). Trees split on
+properties (`properties[p] > splitval` -> left child) and leaves carry
+(context id, predictor, offset, multiplier).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from libjxl_tpu.base.errors import BitstreamError
+from libjxl_tpu.base.signed import pack_signed, unpack_signed
+from libjxl_tpu.bitstream.bit_io import BitReader, BitWriter
+
+# ma_common.h:13-21
+SPLIT_VAL_CONTEXT = 0
+PROPERTY_CONTEXT = 1
+PREDICTOR_CONTEXT = 2
+OFFSET_CONTEXT = 3
+MULTIPLIER_LOG_CONTEXT = 4
+MULTIPLIER_BITS_CONTEXT = 5
+NUM_TREE_CONTEXTS = 6
+
+MAX_TREE_SIZE = 1 << 22  # ma_common.h kMaxTreeSize
+NUM_MODULAR_PREDICTORS = 14
+
+# Property indices (context_predict.h:376-382)
+NUM_STATIC_PROPERTIES = 2
+NUM_NONREF_PROPERTIES = NUM_STATIC_PROPERTIES + 13 + 1
+WP_PROP = NUM_NONREF_PROPERTIES - 1  # 15
+GRADIENT_PROP = 9
+EXTRA_PROPS_PER_CHANNEL = 4
+
+
+@dataclasses.dataclass
+class TreeNode:
+    property: int = -1        # -1 = leaf
+    splitval: int = 0
+    lchild: int = 0           # for leaves: leaf/context id
+    rchild: int = 0
+    predictor: int = 0
+    predictor_offset: int = 0
+    multiplier: int = 1
+
+
+Tree = list  # list[TreeNode]
+
+
+def leaf(context_id: int, predictor: int = 0, offset: int = 0,
+         multiplier: int = 1) -> TreeNode:
+    return TreeNode(-1, 0, context_id, 0, predictor, offset, multiplier)
+
+
+def num_tree_contexts(tree: Tree) -> int:
+    """(tree_size + 1) / 2 leaves."""
+    return (len(tree) + 1) // 2
+
+
+def tree_uses_wp(tree: Tree) -> bool:
+    for n in tree:
+        if n.property == WP_PROP:
+            return True
+        if n.property == -1 and n.predictor == 6:  # Predictor::Weighted
+            return True
+    return False
+
+
+def tree_num_props(tree: Tree) -> int:
+    mx = -1
+    for n in tree:
+        mx = max(mx, n.property)
+    return max(mx + 1, NUM_NONREF_PROPERTIES)
+
+
+def decode_tree(r: BitReader, tree_size_limit: int = MAX_TREE_SIZE) -> Tree:
+    """dec_ma.cc:163-181 + 107-158."""
+    from libjxl_tpu.entropy.codes import decode_histograms, SymbolReader
+
+    codes = decode_histograms(r, NUM_TREE_CONTEXTS)
+    reader = SymbolReader(codes, r)
+    tree: Tree = []
+    to_decode = 1
+    leaf_id = 0
+    limit = min(tree_size_limit, MAX_TREE_SIZE)
+    while to_decode > 0:
+        if len(tree) > limit:
+            raise BitstreamError("tree too large")
+        to_decode -= 1
+        prop1 = reader.read(PROPERTY_CONTEXT)
+        if prop1 > 256:
+            raise BitstreamError("invalid tree property")
+        prop = prop1 - 1
+        if prop == -1:
+            predictor = reader.read(PREDICTOR_CONTEXT)
+            if predictor >= NUM_MODULAR_PREDICTORS:
+                raise BitstreamError("invalid predictor")
+            offset = unpack_signed(reader.read(OFFSET_CONTEXT))
+            mul_log = reader.read(MULTIPLIER_LOG_CONTEXT)
+            if mul_log >= 31:
+                raise BitstreamError("invalid multiplier log")
+            mul_bits = reader.read(MULTIPLIER_BITS_CONTEXT)
+            if mul_bits >= (1 << (31 - mul_log)) - 1:
+                raise BitstreamError("invalid multiplier")
+            multiplier = (mul_bits + 1) << mul_log
+            tree.append(leaf(leaf_id, predictor, offset, multiplier))
+            leaf_id += 1
+            continue
+        splitval = unpack_signed(reader.read(SPLIT_VAL_CONTEXT))
+        tree.append(TreeNode(prop, splitval,
+                             len(tree) + to_decode + 1,
+                             len(tree) + to_decode + 2))
+        to_decode += 2
+    if not reader.check_final_state():
+        raise BitstreamError("bad ANS state after tree")
+    validate_tree(tree)
+    return tree
+
+
+def tree_tokens(tree: Tree) -> list:
+    """Token stream for a tree (enc_ma.cc TokenizeTree equivalent).
+
+    The tree must be in the breadth-ordered layout produced by
+    decode_tree: children of the i-th decision node appear at the
+    positions implied by the to_decode counter. We re-serialize by
+    walking in the same order the decoder expects.
+    """
+    from libjxl_tpu.entropy.codes import Token
+
+    tokens = []
+    # Emit nodes in stored order; the layout invariant guarantees this
+    # matches the decoder's traversal.
+    for n in tree:
+        if n.property == -1:
+            tokens.append(Token(PROPERTY_CONTEXT, 0))
+            tokens.append(Token(PREDICTOR_CONTEXT, int(n.predictor)))
+            tokens.append(Token(OFFSET_CONTEXT,
+                                pack_signed(n.predictor_offset)))
+            mul = n.multiplier
+            mul_log = 0
+            while (mul & 1) == 0:
+                mul >>= 1
+                mul_log += 1
+            tokens.append(Token(MULTIPLIER_LOG_CONTEXT, mul_log))
+            tokens.append(Token(MULTIPLIER_BITS_CONTEXT, mul - 1))
+        else:
+            tokens.append(Token(PROPERTY_CONTEXT, n.property + 1))
+            tokens.append(Token(SPLIT_VAL_CONTEXT, pack_signed(n.splitval)))
+    return tokens
+
+
+def encode_tree(tree: Tree, w: BitWriter) -> None:
+    from libjxl_tpu.entropy.codes import (
+        build_and_encode_histograms, write_tokens)
+
+    tokens = tree_tokens(tree)
+    codes = build_and_encode_histograms(NUM_TREE_CONTEXTS, [tokens], w)
+    write_tokens(tokens, codes, w)
+
+
+def validate_tree(tree: Tree) -> None:
+    """dec_ma.cc:39-105: splitvals must stay within parent ranges."""
+    if not tree:
+        return
+    INT32_MIN, INT32_MAX = -(1 << 31), (1 << 31) - 1
+
+    num_props = max((n.property for n in tree), default=-1) + 1
+    ranges = [[INT32_MIN, INT32_MAX] for _ in range(num_props)]
+
+    def rec(idx: int, depth: int) -> None:
+        if depth > 2048:
+            raise BitstreamError("tree too tall")
+        node = tree[idx]
+        if node.property == -1:
+            return
+        lo, hi = ranges[node.property]
+        v = node.splitval
+        if lo > v or hi <= v:
+            raise BitstreamError("invalid tree split")
+        ranges[node.property] = [v + 1, hi]
+        rec(node.lchild, depth + 1)
+        ranges[node.property] = [lo, v]
+        rec(node.rchild, depth + 1)
+        ranges[node.property] = [lo, hi]
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(5000)
+    try:
+        rec(0, 0)
+    finally:
+        sys.setrecursionlimit(old)
+
+
+def build_fixed_tree_list(nodes: list[tuple]) -> Tree:
+    """Build a tree from (property, splitval) decisions + leaves in the
+    breadth-first layout the decoder produces. Input: list where each
+    element is either ('leaf', predictor, offset, multiplier) or
+    ('split', property, splitval). Must already be in decode order."""
+    tree: Tree = []
+    leaf_id = 0
+    to_decode = 1
+    for item in nodes:
+        to_decode -= 1
+        if item[0] == "leaf":
+            _, pred, off, mul = item
+            tree.append(leaf(leaf_id, pred, off, mul))
+            leaf_id += 1
+        else:
+            _, prop, sval = item
+            tree.append(TreeNode(prop, sval, len(tree) + to_decode + 1,
+                                 len(tree) + to_decode + 2))
+            to_decode += 2
+    assert to_decode == 0
+    return tree
