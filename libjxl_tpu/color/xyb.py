@@ -1,0 +1,63 @@
+"""XYB <-> linear RGB (numpy reference; jax version in ops/xyb.py).
+
+Reference: lib/jxl/enc_xyb.cc (LinearRGBToXYB: absorbance matmul + bias,
+clamp, cbrt, opponent split) and dec_xyb-inl.h (XybToRgb). The B channel
+carries cbrt(S)-cbrt(bias) directly; the B-Y opponent subtraction
+happens in coefficient space via CfL base_correlation_b == 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libjxl_tpu.color.constants import (
+    DEFAULT_INVERSE_OPSIN_MATRIX, OPSIN_ABSORBANCE_BIAS,
+    OPSIN_ABSORBANCE_MATRIX,
+)
+
+
+def linear_rgb_to_xyb(rgb: np.ndarray) -> np.ndarray:
+    """rgb: (3, H, W) linear sRGB in [0,1] -> xyb (3, H, W)."""
+    m = OPSIN_ABSORBANCE_MATRIX.astype(np.float64)
+    bias = OPSIN_ABSORBANCE_BIAS.astype(np.float64)
+    mixed = np.tensordot(m, rgb.astype(np.float64), axes=1) \
+        + bias[:, None, None]
+    mixed = np.maximum(mixed, 0.0)
+    cbrt = np.cbrt(mixed) - np.cbrt(bias)[:, None, None]
+    x = 0.5 * (cbrt[0] - cbrt[1])
+    y = 0.5 * (cbrt[0] + cbrt[1])
+    b = cbrt[2]
+    return np.stack([x, y, b]).astype(np.float32)
+
+
+def xyb_to_linear_rgb(xyb: np.ndarray,
+                      inverse_matrix: np.ndarray | None = None,
+                      ) -> np.ndarray:
+    """xyb: (3, H, W) -> linear RGB (3, H, W)."""
+    if inverse_matrix is None:
+        inverse_matrix = DEFAULT_INVERSE_OPSIN_MATRIX
+    bias = OPSIN_ABSORBANCE_BIAS.astype(np.float64)
+    bias_cbrt = np.cbrt(bias)
+    x, y, b = xyb.astype(np.float64)
+    gamma_l = y + x + bias_cbrt[0]
+    gamma_m = y - x + bias_cbrt[1]
+    gamma_s = b + bias_cbrt[2]
+    mixed = np.stack([gamma_l ** 3 - bias[0],
+                      gamma_m ** 3 - bias[1],
+                      gamma_s ** 3 - bias[2]])
+    rgb = np.tensordot(inverse_matrix.astype(np.float64), mixed, axes=1)
+    return rgb.astype(np.float32)
+
+
+def srgb_to_linear(srgb: np.ndarray) -> np.ndarray:
+    """sRGB EOTF (cms/transfer_functions-inl.h TF_SRGB)."""
+    srgb = np.asarray(srgb, np.float64)
+    return np.where(srgb <= 0.04045, srgb / 12.92,
+                    ((srgb + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
+    linear = np.asarray(linear, np.float64)
+    lin = np.maximum(linear, 0.0)
+    return np.where(lin <= 0.0031308, lin * 12.92,
+                    1.055 * lin ** (1 / 2.4) - 0.055).astype(np.float32)

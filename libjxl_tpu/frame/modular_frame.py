@@ -1,0 +1,406 @@
+"""Modular <-> frame glue: global info, group streams, VarDCT fields.
+
+Reference: lib/jxl/dec_modular.{h,cc} (ModularFrameDecoder,
+ModularStreamId), enc_modular.{h,cc} (ModularFrameEncoder). The frame's
+modular "full image" spans all channels; small channels ride the global
+stream, big ones are split per group with shift brackets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from libjxl_tpu.base.errors import BitstreamError, UnsupportedError
+from libjxl_tpu.base.frame_dimensions import FrameDimensions
+from libjxl_tpu.base.rect import Rect
+from libjxl_tpu.bitstream.bit_io import BitReader, BitWriter
+from libjxl_tpu.bitstream.fields import bundle_read, bundle_write
+from libjxl_tpu.modular.codec import (
+    GroupHeader, Transform, modular_decode, modular_encode,
+    _decode_channel, _encode_channel, _apply_forward_transform,
+)
+from libjxl_tpu.modular.image import Channel, ModularImage
+from libjxl_tpu.modular.predict import P_GRADIENT, P_ZERO, WPHeader
+from libjxl_tpu.modular.tree import (
+    Tree, decode_tree, encode_tree, leaf, num_tree_contexts,
+    build_fixed_tree_list,
+)
+from libjxl_tpu.vardct.ac_strategy import NUM_QUANT_TABLES
+
+# ModularStreamId (dec_modular.h:31-68)
+
+
+def stream_global() -> int:
+    return 0
+
+
+def stream_vardct_dc(group_id: int, fd: FrameDimensions) -> int:
+    return 1 + group_id
+
+
+def stream_modular_dc(group_id: int, fd: FrameDimensions) -> int:
+    return 1 + fd.num_dc_groups + group_id
+
+
+def stream_ac_metadata(group_id: int, fd: FrameDimensions) -> int:
+    return 1 + 2 * fd.num_dc_groups + group_id
+
+
+def stream_quant_table(idx: int, fd: FrameDimensions) -> int:
+    return 1 + 3 * fd.num_dc_groups + idx
+
+
+def stream_modular_ac(group_id: int, pass_id: int,
+                      fd: FrameDimensions) -> int:
+    return 1 + 3 * fd.num_dc_groups + NUM_QUANT_TABLES \
+        + fd.num_groups * pass_id + group_id
+
+
+class ModularFrameDecoder:
+    """dec_modular.cc ModularFrameDecoder."""
+
+    def __init__(self, frame_dim: FrameDimensions):
+        self.frame_dim = frame_dim
+        self.global_tree: Tree | None = None
+        self.global_codes = None
+        self.global_header = GroupHeader()
+        self.full_image: ModularImage | None = None
+        self.do_color = False
+
+    def decode_global_info(self, r: BitReader, frame_header,
+                           metadata) -> None:
+        """dec_modular.cc:209-330 DecodeGlobalInfo."""
+        from libjxl_tpu.entropy.codes import decode_histograms
+        from libjxl_tpu.frame.frame_header import (
+            ColorTransform, FrameEncoding)
+
+        fd = self.frame_dim
+        decode_color = frame_header.encoding == FrameEncoding.MODULAR
+        self.do_color = decode_color
+        is_gray = metadata.m.color_encoding.is_gray
+        nb_chans = 1 if (is_gray and frame_header.color_transform
+                         == ColorTransform.NONE) else 3
+        nb_extra = metadata.m.num_extra_channels
+        has_tree = r.read_bool()
+        if has_tree:
+            tree_size_limit = min(1 << 22, 1024 + fd.xsize * fd.ysize
+                                  * (nb_chans + nb_extra) // 16)
+            self.global_tree = decode_tree(r, tree_size_limit)
+            self.global_codes = decode_histograms(
+                r, num_tree_contexts(self.global_tree))
+        if not decode_color:
+            nb_chans = 0
+
+        gi = ModularImage(fd.xsize, fd.ysize,
+                          metadata.m.bit_depth.bits_per_sample,
+                          nb_chans + nb_extra)
+        if frame_header.color_transform == ColorTransform.YCBCR:
+            for c in range(nb_chans):
+                hs = frame_header.chroma_subsampling.hshift(c)
+                vs = frame_header.chroma_subsampling.vshift(c)
+                w = -(-fd.xsize // (1 << hs))
+                h = -(-fd.ysize // (1 << vs))
+                gi.channel[c] = Channel.create(w, h, hs, vs)
+        # extra channels with dim_shift / ec_upsampling
+        for i, eci in enumerate(metadata.m.extra_channel_info):
+            c = nb_chans + i
+            ecups = frame_header.extra_channel_upsampling[i] \
+                if frame_header.extra_channel_upsampling else 1
+            w = -(-fd.xsize_upsampled // ecups)
+            h = -(-fd.ysize_upsampled // ecups)
+            shift = (ecups // max(frame_header.upsampling, 1)).bit_length() - 1
+            gi.channel[c] = Channel.create(w, h, 0, 0)
+
+        self.full_image = gi
+        # Decode global stream: transforms + channels <= group_dim.
+        header = GroupHeader()
+        modular_decode(r, gi, stream_global(), global_tree=self.global_tree,
+                       global_codes=self.global_codes, header=header,
+                       undo_transforms=False, max_chan_size=fd.group_dim)
+        self.global_header = header
+
+    def decode_group(self, rect: Rect, r: BitReader, min_shift: int,
+                     max_shift: int, stream_id: int) -> None:
+        """dec_modular.cc:331-425 DecodeGroup."""
+        gi = self.full_image
+        fd = self.frame_dim
+        sub = ModularImage(rect.xsize, rect.ysize, gi.bitdepth, 0)
+        targets = []
+        c = gi.nb_meta_channels
+        while c < len(gi.channel):
+            fc = gi.channel[c]
+            if fc.w > fd.group_dim or fc.h > fd.group_dim:
+                break
+            c += 1
+        for c in range(c, len(gi.channel)):
+            fc = gi.channel[c]
+            shift = min(fc.hshift, fc.vshift)
+            if shift > max_shift or shift < min_shift:
+                continue
+            rr = Rect.clamped(rect.x0 >> fc.hshift, rect.y0 >> fc.vshift,
+                              rect.xsize >> fc.hshift,
+                              rect.ysize >> fc.vshift, fc.w, fc.h)
+            if rr.is_empty():
+                continue
+            ch = Channel.create(rr.xsize, rr.ysize, fc.hshift, fc.vshift)
+            sub.channel.append(ch)
+            targets.append((c, rr))
+        if not sub.channel:
+            return
+        modular_decode(r, sub, stream_id, global_tree=self.global_tree,
+                       global_codes=self.global_codes,
+                       undo_transforms=False)
+        for (c, rr), ch in zip(targets, sub.channel):
+            gi.channel[c].data[rr.slices()] = ch.data
+
+    def finalize(self) -> ModularImage:
+        """Undo global transforms on the assembled full image."""
+        gi = self.full_image
+        for t in reversed(self.global_header.transforms):
+            t.inverse(gi, self.global_header.wp_header)
+        return gi
+
+    # -- VarDCT auxiliary streams ----------------------------------------
+
+    def decode_vardct_dc(self, group_id: int, r: BitReader,
+                         bitdepth: int = 8) -> tuple[np.ndarray, int]:
+        """dec_modular.cc:427-465: returns (quantized dc (3,h,w), extra
+        precision). 444 only."""
+        fd = self.frame_dim
+        rect = fd.dc_group_rect(group_id)
+        extra_precision = r.read(2)
+        img = ModularImage(rect.xsize, rect.ysize, bitdepth, 3)
+        modular_decode(r, img, stream_vardct_dc(group_id, fd),
+                       global_tree=self.global_tree,
+                       global_codes=self.global_codes,
+                       undo_transforms=True)
+        # channel order in stream: Y, X, B (c<2 ? c^1 : c)
+        dc = np.stack([img.channel[1].data, img.channel[0].data,
+                       img.channel[2].data])
+        return dc, extra_precision
+
+    def decode_ac_metadata(self, group_id: int, r: BitReader,
+                           bitdepth: int = 8) -> dict:
+        """dec_modular.cc:467-563: returns dict with ytox/ytob maps,
+        raw quant field, strategy map, epf sharpness for this DC group
+        rect."""
+        from libjxl_tpu.vardct import ac_strategy as acs_mod
+
+        fd = self.frame_dim
+        rect = fd.dc_group_rect(group_id)
+        upper_bound = rect.xsize * rect.ysize
+        nbits = max((upper_bound - 1).bit_length(), 0) if upper_bound > 1 \
+            else 0
+        count = r.read(nbits) + 1 if upper_bound > 1 else r.read(0) + 1
+        img = ModularImage(rect.xsize, rect.ysize, bitdepth, 4)
+        cr_w = (rect.xsize + 7) >> 3
+        cr_h = (rect.ysize + 7) >> 3
+        img.channel[0] = Channel.create(cr_w, cr_h, 3, 3)
+        img.channel[1] = Channel.create(cr_w, cr_h, 3, 3)
+        img.channel[2] = Channel.create(count, 2, 0, 0)
+        img.channel[3] = Channel.create(rect.xsize, rect.ysize, 0, 0)
+        modular_decode(r, img, stream_ac_metadata(group_id, fd),
+                       global_tree=self.global_tree,
+                       global_codes=self.global_codes,
+                       undo_transforms=True)
+        ytox = img.channel[0].data
+        ytob = img.channel[1].data
+        acs_vals = img.channel[2].data[0]
+        qf_vals = img.channel[2].data[1]
+        epf = img.channel[3].data
+        # Expand acs/qf streams into per-block maps.
+        strategies = np.full((rect.ysize, rect.xsize), -1, np.int32)
+        raw_quant = np.ones((rect.ysize, rect.xsize), np.int32)
+        covered = np.zeros((rect.ysize, rect.xsize), bool)
+        num = 0
+        for iy in range(rect.ysize):
+            for ix in range(rect.xsize):
+                if covered[iy, ix]:
+                    continue
+                if num >= count:
+                    raise BitstreamError("AC metadata stream too short")
+                raw_s = int(acs_vals[num])
+                if not acs_mod.is_valid_strategy(raw_s):
+                    raise BitstreamError("invalid AC strategy")
+                cx, cy = acs_mod.covered_blocks(raw_s)
+                # Blocks must not cross AC group boundaries.
+                gdb = fd.group_dim // 8
+                if ((rect.x0 + ix) % gdb) + cx > gdb or \
+                        ((rect.y0 + iy) % gdb) + cy > gdb:
+                    raise BitstreamError("AC strategy crosses group")
+                if iy + cy > rect.ysize or ix + cx > rect.xsize:
+                    raise BitstreamError("AC strategy out of bounds")
+                if covered[iy:iy + cy, ix:ix + cx].any():
+                    raise BitstreamError("AC strategy overlap")
+                strategies[iy, ix] = raw_s
+                covered[iy:iy + cy, ix:ix + cx] = True
+                raw_quant[iy:iy + cy, ix:ix + cx] = \
+                    1 + max(0, min(255, int(qf_vals[num])))
+                num += 1
+        if num != count:
+            raise BitstreamError("AC metadata count mismatch")
+        return {"ytox": ytox, "ytob": ytob, "strategies": strategies,
+                "raw_quant": raw_quant, "epf": epf}
+
+
+# ---------------------------------------------------------------------------
+# Encoder side
+
+
+# Fixed tree used by our encoder for VarDCT control-field streams:
+# single Gradient leaf (valid; the reference uses richer fixed trees
+# for density, enc_modular.cc kACMeta — parity work for later rounds).
+def _simple_tree(predictor: int = P_GRADIENT) -> Tree:
+    return [leaf(0, predictor, 0, 1)]
+
+
+class ModularFrameEncoder:
+    """Produces the modular sub-streams for a frame (enc_modular.cc)."""
+
+    def __init__(self, frame_dim: FrameDimensions):
+        self.frame_dim = frame_dim
+
+    def encode_global_info(self, w: BitWriter, *,
+                           full_image: ModularImage | None = None,
+                           transforms: list | None = None,
+                           predictor: int = P_GRADIENT) -> dict | None:
+        """Writes has_tree=0 + global GroupHeader (+ small channels).
+
+        For modular-mode frames pass full_image (frame-sized channels);
+        returns state for encode_group calls (the transformed image)."""
+        w.write_bool(False)  # no global tree; streams carry local trees
+        header = GroupHeader()
+        header.transforms = transforms or []
+        fd = self.frame_dim
+        if full_image is None:
+            # VarDCT frame: global modular image has no channels.
+            bundle_write(header, w)
+            return None
+        work = full_image.clone()
+        for t in header.transforms:
+            _apply_forward_transform(work, t)
+        bundle_write(header, w)
+        # channels <= group_dim go into the global stream
+        small = [i for i, ch in enumerate(work.channel)
+                 if ch.w <= fd.group_dim and ch.h <= fd.group_dim]
+        # The global stream encodes small channels with a local tree.
+        self._encode_channel_set(w, work, small, predictor)
+        return {"image": work, "predictor": predictor}
+
+    def _encode_channel_set(self, w: BitWriter, image: ModularImage,
+                            chan_indices: list, predictor: int,
+                            tree: Tree | None = None,
+                            stream_id: int = 0) -> None:
+        """Local-tree stream: GroupHeader + tree + histograms + tokens.
+
+        Matches ModularGenericDecompress's wire format for one stream."""
+        from libjxl_tpu.entropy.codes import (
+            build_and_encode_histograms, write_tokens)
+
+        header = GroupHeader()  # no transforms at stream level
+        sub = ModularImage(image.w, image.h, image.bitdepth, 0)
+        sub.channel = [image.channel[i] for i in chan_indices]
+        bundle_write(header, w)
+        if not sub.channel or all(c.w == 0 or c.h == 0 for c in sub.channel):
+            return
+        if tree is None:
+            tree = _simple_tree(predictor)
+        encode_tree(tree, w)
+        tokens: list = []
+        for i in range(len(sub.channel)):
+            _encode_channel(tree, header.wp_header, sub, i, stream_id,
+                            tokens)
+        codes = build_and_encode_histograms(num_tree_contexts(tree),
+                                            [tokens], w)
+        write_tokens(tokens, codes, w)
+
+    def encode_group(self, w: BitWriter, state: dict, rect: Rect,
+                     min_shift: int, max_shift: int) -> None:
+        """Per-group stream of rect slices of big channels."""
+        image = state["image"]
+        fd = self.frame_dim
+        sub = ModularImage(rect.xsize, rect.ysize, image.bitdepth, 0)
+        c = image.nb_meta_channels
+        while c < len(image.channel):
+            fc = image.channel[c]
+            if fc.w > fd.group_dim or fc.h > fd.group_dim:
+                break
+            c += 1
+        for c in range(c, len(image.channel)):
+            fc = image.channel[c]
+            shift = min(fc.hshift, fc.vshift)
+            if shift > max_shift or shift < min_shift:
+                continue
+            rr = Rect.clamped(rect.x0 >> fc.hshift, rect.y0 >> fc.vshift,
+                              rect.xsize >> fc.hshift,
+                              rect.ysize >> fc.vshift, fc.w, fc.h)
+            if rr.is_empty():
+                continue
+            ch = Channel(fc.data[rr.slices()].copy(), fc.hshift, fc.vshift)
+            sub.channel.append(ch)
+        self._encode_stream_image(w, sub, state["predictor"])
+
+    def _encode_stream_image(self, w: BitWriter, sub: ModularImage,
+                             predictor: int, tree: Tree | None = None,
+                             stream_id: int = 0) -> None:
+        from libjxl_tpu.entropy.codes import (
+            build_and_encode_histograms, write_tokens)
+
+        header = GroupHeader()
+        bundle_write(header, w)
+        live = [i for i, c in enumerate(sub.channel)
+                if c.w > 0 and c.h > 0]
+        if not live:
+            return
+        if tree is None:
+            tree = _simple_tree(predictor)
+        encode_tree(tree, w)
+        tokens: list = []
+        for i in live:
+            _encode_channel(tree, header.wp_header, sub, i, stream_id,
+                            tokens)
+        codes = build_and_encode_histograms(num_tree_contexts(tree),
+                                            [tokens], w)
+        write_tokens(tokens, codes, w)
+
+    # -- VarDCT auxiliary streams ----------------------------------------
+
+    def encode_vardct_dc(self, w: BitWriter, qdc: np.ndarray,
+                         bitdepth: int = 8) -> None:
+        """qdc: (3, h, w) quantized DC in X,Y,B order."""
+        w.write(2, 0)  # extra_precision = 0
+        img = ModularImage(qdc.shape[2], qdc.shape[1], bitdepth, 3)
+        # stream channel order: Y, X, B
+        img.channel[0] = Channel(qdc[1].astype(np.int32))
+        img.channel[1] = Channel(qdc[0].astype(np.int32))
+        img.channel[2] = Channel(qdc[2].astype(np.int32))
+        self._encode_stream_image(w, img, P_GRADIENT)
+
+    def encode_ac_metadata(self, w: BitWriter, rect: Rect,
+                           ytox: np.ndarray, ytob: np.ndarray,
+                           strategies: np.ndarray, raw_quant: np.ndarray,
+                           epf: np.ndarray, bitdepth: int = 8) -> None:
+        acs_list = []
+        qf_list = []
+        for iy in range(rect.ysize):
+            for ix in range(rect.xsize):
+                s = int(strategies[iy, ix])
+                if s < 0:
+                    continue
+                acs_list.append(s)
+                qf_list.append(int(raw_quant[iy, ix]) - 1)
+        count = len(acs_list)
+        upper_bound = rect.xsize * rect.ysize
+        nbits = max((upper_bound - 1).bit_length(), 0) if upper_bound > 1 \
+            else 0
+        if nbits:
+            w.write(nbits, count - 1)
+        img = ModularImage(rect.xsize, rect.ysize, bitdepth, 4)
+        img.channel[0] = Channel(ytox.astype(np.int32), 3, 3)
+        img.channel[1] = Channel(ytob.astype(np.int32), 3, 3)
+        img.channel[2] = Channel(
+            np.stack([acs_list, qf_list]).astype(np.int32), 0, 0)
+        img.channel[3] = Channel(epf.astype(np.int32), 0, 0)
+        self._encode_stream_image(w, img, P_ZERO)

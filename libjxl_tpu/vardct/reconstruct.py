@@ -1,0 +1,310 @@
+"""VarDCT reconstruction: dequant + CfL + LLF-from-DC + IDCT.
+
+Reference: lib/jxl/dec_group.cc (DequantBlock/DequantLane),
+dec_transforms-inl.h (TransformToPixels, LowestFrequenciesFromDC).
+Numpy reference path; the batched TPU path lives in ops/decode_tpu.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libjxl_tpu.base.errors import UnsupportedError
+from libjxl_tpu.color.constants import DEFAULT_QUANT_BIAS
+from libjxl_tpu.vardct import ac_strategy as acs
+from libjxl_tpu.vardct.dct import (
+    dc_from_llf, dct2d, idct2d, llf_from_dc, dct_matrix, idct_matrix,
+)
+from libjxl_tpu.vardct.group import CoeffBlock
+from libjxl_tpu.vardct.quantizer import Quantizer, adjust_quant_bias
+
+
+def x_qm_multiplier(x_qm_scale: int) -> float:
+    """passes_state.cc: pow(1.25, x_qm_scale - 2)."""
+    return 1.25 ** (x_qm_scale - 2)
+
+
+def b_qm_multiplier(b_qm_scale: int) -> float:
+    return 1.25 ** (b_qm_scale - 2)
+
+
+def transform_to_pixels(strategy: int, coeffs: np.ndarray) -> np.ndarray:
+    """coeffs: (size,) float in coefficient layout -> (8cy, 8cx) pixels.
+
+    Reference dec_transforms-inl.h TransformToPixels. Currently the
+    DCT family + IDENTITY + DCT2X2 + DCT4X4 + DCT4X8/8X4; AFV pending.
+    """
+    cx, cy = acs.covered_blocks(strategy)
+    ly, lx = acs.coefficient_layout(cy, cx)
+    h, w = cy * 8, cx * 8
+    grid = coeffs.reshape(ly * 8, lx * 8)
+    if strategy == acs.IDENTITY:
+        # dec_transforms-inl.h IDENTITY: 2x2 "DC" + residuals per 4x4.
+        return _identity_to_pixels(grid)
+    if strategy == acs.DCT2X2:
+        return _dct2_to_pixels(grid)
+    if strategy == acs.DCT4X4:
+        return _dct4x4_to_pixels(grid)
+    if strategy in (acs.DCT4X8, acs.DCT8X4):
+        return _dct4x8_to_pixels(grid, horizontal=strategy == acs.DCT4X8)
+    if strategy in (acs.AFV0, acs.AFV1, acs.AFV2, acs.AFV3):
+        raise UnsupportedError("AFV transforms not implemented yet")
+    # Plain (rectangular) DCT: coefficient grid is stored transposed if
+    # the block is taller than wide.
+    if cy > cx:
+        grid = grid.T
+    return idct2d(grid)
+
+
+def transform_from_pixels(strategy: int, pixels: np.ndarray) -> np.ndarray:
+    """(8cy, 8cx) pixels -> (size,) coefficients in layout order."""
+    cx, cy = acs.covered_blocks(strategy)
+    if strategy == acs.IDENTITY:
+        return _identity_from_pixels(pixels).ravel()
+    if strategy == acs.DCT2X2:
+        return _dct2_from_pixels(pixels).ravel()
+    if strategy == acs.DCT4X4:
+        return _dct4x4_from_pixels(pixels).ravel()
+    if strategy in (acs.DCT4X8, acs.DCT8X4):
+        return _dct4x8_from_pixels(
+            pixels, horizontal=strategy == acs.DCT4X8).ravel()
+    if strategy in (acs.AFV0, acs.AFV1, acs.AFV2, acs.AFV3):
+        raise UnsupportedError("AFV transforms not implemented yet")
+    coef = dct2d(pixels)
+    if cy > cx:
+        coef = coef.T
+    return coef.ravel()
+
+
+# -- special 8x8-class transforms (dec_transforms-inl.h:463-581) -----------
+#
+# The four sub-block DCs are Hadamard-combined into coefficient slots
+# [0],[1],[8],[9] (or [0],[8] for the 2-sub-block 4x8/8x4); sub-block AC
+# coefficients are interleaved by 2 with offset (y, x).
+
+
+def _dct2_to_pixels(grid: np.ndarray) -> np.ndarray:
+    """DCT2X2: three levels of 2x2 butterflies (IDCT2TopBlock<2,4,8>)."""
+    out = grid.astype(np.float64).copy()
+    for s in (2, 4, 8):
+        num = s // 2
+        c00 = out[:num, :num].copy()
+        c01 = out[:num, num:s].copy()
+        c10 = out[num:s, :num].copy()
+        c11 = out[num:s, num:s].copy()
+        tmp = np.zeros((s, s))
+        tmp[0::2, 0::2] = c00 + c01 + c10 + c11
+        tmp[0::2, 1::2] = c00 + c01 - c10 - c11
+        tmp[1::2, 0::2] = c00 - c01 + c10 - c11
+        tmp[1::2, 1::2] = c00 - c01 - c10 + c11
+        out[:s, :s] = tmp
+    return out
+
+
+def _dct2_from_pixels(pixels: np.ndarray) -> np.ndarray:
+    out = pixels.astype(np.float64).copy()
+    for s in (8, 4, 2):
+        num = s // 2
+        p = out[:s, :s]
+        p00 = p[0::2, 0::2].copy()
+        p01 = p[0::2, 1::2].copy()
+        p10 = p[1::2, 0::2].copy()
+        p11 = p[1::2, 1::2].copy()
+        out[:num, :num] = 0.25 * (p00 + p01 + p10 + p11)
+        out[:num, num:s] = 0.25 * (p00 + p01 - p10 - p11)
+        out[num:s, :num] = 0.25 * (p00 - p01 + p10 - p11)
+        out[num:s, num:s] = 0.25 * (p00 - p01 - p10 + p11)
+    return out
+
+
+def _hadamard4(b00, b01, b10, b11):
+    return (b00 + b01 + b10 + b11, b00 + b01 - b10 - b11,
+            b00 - b01 + b10 - b11, b00 - b01 - b10 + b11)
+
+
+def _identity_to_pixels(grid: np.ndarray) -> np.ndarray:
+    """IDENTITY (dec_transforms-inl.h:463-499)."""
+    dcs = _hadamard4(grid[0, 0], grid[0, 1], grid[1, 0], grid[1, 1])
+    out = np.zeros((8, 8))
+    for y in range(2):
+        for x in range(2):
+            dc = dcs[y * 2 + x]
+            residual_sum = 0.0
+            for iy in range(4):
+                for ix in range(4):
+                    if ix == 0 and iy == 0:
+                        continue
+                    residual_sum += grid[y + iy * 2, x + ix * 2]
+            p11 = dc - residual_sum / 16.0
+            out[4 * y + 1, 4 * x + 1] = p11
+            for iy in range(4):
+                for ix in range(4):
+                    if ix == 1 and iy == 1:
+                        continue
+                    out[y * 4 + iy, x * 4 + ix] = \
+                        grid[y + iy * 2, x + ix * 2] + p11
+            out[y * 4, x * 4] = grid[y + 2, x + 2] + p11
+    return out
+
+
+def _identity_from_pixels(pixels: np.ndarray) -> np.ndarray:
+    grid = np.zeros((8, 8))
+    dcs = []
+    for y in range(2):
+        for x in range(2):
+            quad = pixels[y * 4:y * 4 + 4, x * 4:x * 4 + 4]
+            dc = quad.mean()
+            dcs.append(dc)
+            p11 = quad[1, 1]
+            for iy in range(4):
+                for ix in range(4):
+                    if iy == 0 and ix == 0:
+                        continue
+                    if iy == 1 and ix == 1:
+                        grid[y + iy * 2, x + ix * 2] = quad[0, 0] - p11
+                    else:
+                        grid[y + iy * 2, x + ix * 2] = quad[iy, ix] - p11
+    # Inverse of the decode Hadamard (which is its own inverse / 4).
+    grid[0, 0] = (dcs[0] + dcs[1] + dcs[2] + dcs[3]) / 4.0
+    grid[0, 1] = (dcs[0] + dcs[1] - dcs[2] - dcs[3]) / 4.0
+    grid[1, 0] = (dcs[0] - dcs[1] + dcs[2] - dcs[3]) / 4.0
+    grid[1, 1] = (dcs[0] - dcs[1] - dcs[2] + dcs[3]) / 4.0
+    return grid
+
+
+def _dct4x4_to_pixels(grid: np.ndarray) -> np.ndarray:
+    """DCT4X4 (dec_transforms-inl.h:541-568)."""
+    dcs = _hadamard4(grid[0, 0], grid[0, 1], grid[1, 0], grid[1, 1])
+    out = np.zeros((8, 8))
+    for y in range(2):
+        for x in range(2):
+            block = np.zeros((4, 4))
+            block.flat[0] = dcs[y * 2 + x]
+            for iy in range(4):
+                for ix in range(4):
+                    if ix == 0 and iy == 0:
+                        continue
+                    block[iy, ix] = grid[y + iy * 2, x + ix * 2]
+            out[y * 4:y * 4 + 4, x * 4:x * 4 + 4] = idct2d(block)
+    return out
+
+
+def _dct4x4_from_pixels(pixels: np.ndarray) -> np.ndarray:
+    grid = np.zeros((8, 8))
+    dcs = []
+    for y in range(2):
+        for x in range(2):
+            block = dct2d(pixels[y * 4:y * 4 + 4, x * 4:x * 4 + 4])
+            dcs.append(block[0, 0])
+            for iy in range(4):
+                for ix in range(4):
+                    if ix == 0 and iy == 0:
+                        continue
+                    grid[y + iy * 2, x + ix * 2] = block[iy, ix]
+    grid[0, 0] = (dcs[0] + dcs[1] + dcs[2] + dcs[3]) / 4.0
+    grid[0, 1] = (dcs[0] + dcs[1] - dcs[2] - dcs[3]) / 4.0
+    grid[1, 0] = (dcs[0] - dcs[1] + dcs[2] - dcs[3]) / 4.0
+    grid[1, 1] = (dcs[0] - dcs[1] - dcs[2] + dcs[3]) / 4.0
+    return grid
+
+
+def _dct4x8_to_pixels(grid: np.ndarray, horizontal: bool) -> np.ndarray:
+    """DCT4X8 (horizontal=True, two 4-tall x 8-wide halves) / DCT8X4
+    (two 8-tall x 4-wide halves). dec_transforms-inl.h:500-540."""
+    dc0 = grid[0, 0] + grid[1, 0]
+    dc1 = grid[0, 0] - grid[1, 0]
+    out = np.zeros((8, 8))
+    for half, dc in ((0, dc0), (1, dc1)):
+        block = np.zeros((4, 8))
+        block[0, 0] = dc
+        for iy in range(4):
+            for ix in range(8):
+                if ix == 0 and iy == 0:
+                    continue
+                block[iy, ix] = grid[half + iy * 2, ix]
+        if horizontal:
+            out[half * 4:half * 4 + 4, :] = idct2d(block)
+        else:
+            # 8-tall x 4-wide half: block holds transposed coefficients
+            # (coefficient layout keeps the wider side on x).
+            out[:, half * 4:half * 4 + 4] = idct2d(block.T)
+    return out
+
+
+def _dct4x8_from_pixels(pixels: np.ndarray, horizontal: bool) -> np.ndarray:
+    grid = np.zeros((8, 8))
+    dcs = []
+    for half in range(2):
+        if horizontal:
+            block = dct2d(pixels[half * 4:half * 4 + 4, :])
+        else:
+            block = dct2d(pixels[:, half * 4:half * 4 + 4]).T
+        dcs.append(block[0, 0])
+        for iy in range(4):
+            for ix in range(8):
+                if ix == 0 and iy == 0:
+                    continue
+                grid[half + iy * 2, ix] = block[iy, ix]
+    grid[0, 0] = (dcs[0] + dcs[1]) / 2.0
+    grid[1, 0] = (dcs[0] - dcs[1]) / 2.0
+    return grid
+
+
+# -- group reconstruction --------------------------------------------------
+
+
+def dequant_block(coeffs_q: np.ndarray, strategy: int, quantizer: Quantizer,
+                  raw_quant: int, ytox: float, ytob: float,
+                  x_qm_mul: float, b_qm_mul: float,
+                  biases: np.ndarray = DEFAULT_QUANT_BIAS) -> np.ndarray:
+    """DequantBlock (dec_group.cc:155-183): (3, size) int -> float."""
+    table = quantizer.dequant.table(strategy)  # (3, ly8, lx8)
+    size = coeffs_q.shape[1]
+    scaled = quantizer.inv_quant_ac(raw_quant)
+    mults = np.array([scaled * x_qm_mul, scaled, scaled * b_qm_mul],
+                     np.float32)
+    biased = adjust_quant_bias(coeffs_q, biases)
+    dq = biased * table.reshape(3, size) * mults[:, None]
+    # CfL: X/B get ytox/ytob * dequantized Y added.
+    dq[0] += ytox * dq[1]
+    dq[2] += ytob * dq[1]
+    return dq
+
+
+def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
+                      quantizer: Quantizer, raw_quant: np.ndarray,
+                      dc: np.ndarray, cmap_base, ytox_map: np.ndarray,
+                      ytob_map: np.ndarray, group_bx0: int, group_by0: int,
+                      x_qm_mul: float, b_qm_mul: float,
+                      biases: np.ndarray = DEFAULT_QUANT_BIAS) -> np.ndarray:
+    """Reconstruct one group's pixels (3, block_h*8, block_w*8).
+
+    dc: (3, block_h, block_w) dequantized DC for this group's blocks.
+    ytox/ytob_map: per-64px-tile factors (group-relative indices
+    computed from absolute block coords)."""
+    out = np.zeros((3, block_h * 8, block_w * 8), np.float32)
+    for blk in blocks:
+        cx, cy = acs.covered_blocks(blk.strategy)
+        abx, aby = group_bx0 + blk.bx, group_by0 + blk.by
+        tx, ty = abx // 8, aby // 8
+        ytox = cmap_base.ytox(int(ytox_map[ty, tx]))
+        ytob = cmap_base.ytob(int(ytob_map[ty, tx]))
+        dq = dequant_block(blk.coeffs, blk.strategy, quantizer,
+                           int(raw_quant[blk.by, blk.bx]), ytox, ytob,
+                           x_qm_mul, b_qm_mul, biases)
+        ly, lx = acs.coefficient_layout(cy, cx)
+        for c in range(3):
+            grid = dq[c].reshape(ly * 8, lx * 8)
+            dcs = dc[c, blk.by:blk.by + cy, blk.bx:blk.bx + cx]
+            if cx * cy > 1:
+                # LLF from DC (transposed layout when cy > cx).
+                llf = llf_from_dc(dcs, cy * 8, cx * 8)
+                if cy > cx:
+                    llf = llf.T
+                grid[:ly, :lx] = llf
+            else:
+                grid[0, 0] = dcs[0, 0]
+            pix = transform_to_pixels(blk.strategy, grid.ravel())
+            out[c, blk.by * 8:(blk.by + cy) * 8,
+                blk.bx * 8:(blk.bx + cx) * 8] = pix
+    return out
