@@ -1,0 +1,10 @@
+"""Public codec API.
+
+Reference: lib/jxl/decode.cc / encode.cc event-driven C API; here the
+one-shot convenience layer (extras/enc/jxl.cc-style usage). The
+streaming/event API lives in api/decoder.py / api/encoder.py.
+"""
+
+from libjxl_tpu.api.simple import decode, encode, DecodeResult
+
+__all__ = ["decode", "encode", "DecodeResult"]

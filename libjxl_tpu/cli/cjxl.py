@@ -1,0 +1,66 @@
+"""cjxl: encode PNG/PPM/JPEG images to JPEG XL.
+
+Reference: tools/cjxl_main.cc. Usage:
+    python -m libjxl_tpu.cli.cjxl input.png output.jxl [-d DIST] [-q Q]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def quality_to_distance(quality: float) -> float:
+    """encode.h:1522 JxlEncoderDistanceFromQuality."""
+    if quality >= 100:
+        return 0.0
+    if quality >= 30:
+        return 0.1 + (100 - quality) * 0.09
+    return 53.0 / 3000.0 * quality * quality - 23.0 / 20.0 * quality + 25.0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cjxl", description=__doc__)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-d", "--distance", type=float, default=1.0,
+                   help="butteraugli distance target (0 = lossless)")
+    p.add_argument("-q", "--quality", type=float, default=None,
+                   help="quality 0-100 (100 = lossless)")
+    p.add_argument("-e", "--effort", type=int, default=3,
+                   help="encoder effort 1-9 (currently informational)")
+    p.add_argument("--lossless", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from PIL import Image
+
+    from libjxl_tpu.api import encode
+
+    distance = args.distance
+    if args.quality is not None:
+        distance = quality_to_distance(args.quality)
+    lossless = args.lossless or distance == 0
+
+    img = Image.open(args.input)
+    if img.mode not in ("RGB", "L", "I;16"):
+        img = img.convert("RGB")
+    arr = np.asarray(img)
+
+    t0 = time.time()
+    data = encode(arr, distance=distance, lossless=lossless)
+    dt = time.time() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    mp = arr.shape[0] * arr.shape[1] / 1e6
+    bpp = len(data) * 8 / (arr.shape[0] * arr.shape[1])
+    print(f"Compressed {arr.shape[1]}x{arr.shape[0]} image to "
+          f"{len(data)} bytes ({bpp:.3f} bpp) in {dt:.2f}s "
+          f"({mp / dt:.3f} MP/s)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

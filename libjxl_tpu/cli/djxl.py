@@ -1,0 +1,49 @@
+"""djxl: decode JPEG XL to PNG/PPM/NPY.
+
+Reference: tools/djxl_main.cc. Usage:
+    python -m libjxl_tpu.cli.djxl input.jxl output.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="djxl", description=__doc__)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from PIL import Image
+
+    from libjxl_tpu.api import decode
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    t0 = time.time()
+    res = decode(data)
+    dt = time.time() - t0
+    arr = res.pixels
+    mp = arr.shape[0] * arr.shape[1] / 1e6
+    print(f"Decoded {arr.shape[1]}x{arr.shape[0]} image in {dt:.2f}s "
+          f"({mp / dt:.3f} MP/s)", file=sys.stderr)
+    if args.output.endswith(".npy"):
+        np.save(args.output, arr)
+    else:
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        if arr.dtype == np.uint16:
+            mode = "I;16" if arr.ndim == 2 else None
+            if mode is None:
+                arr = (arr >> 8).astype(np.uint8)
+        Image.fromarray(arr).save(args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,217 @@
+"""Frame decoder: sections, LfGlobal/DC/ACGlobal/AC wiring.
+
+Reference: lib/jxl/dec_frame.cc (FrameDecoder: InitFrame,
+ProcessSections, ProcessDCGlobal/DCGroup/ACGlobal/ACGroup), dec_group.cc
+(section split per group), toc.h section numbering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from libjxl_tpu.base.errors import BitstreamError, UnsupportedError
+from libjxl_tpu.base.frame_dimensions import FrameDimensions
+from libjxl_tpu.base.rect import Rect
+from libjxl_tpu.bitstream.bit_io import BitReader
+from libjxl_tpu.bitstream.fields import bundle_read
+from libjxl_tpu.bitstream.toc import num_toc_entries, read_toc
+from libjxl_tpu.frame.frame_header import (
+    ColorTransform, FrameEncoding, FrameFlags, FrameHeader, FrameType,
+)
+from libjxl_tpu.frame.headers import CodecMetadata
+from libjxl_tpu.frame.modular_frame import (
+    ModularFrameDecoder, stream_modular_ac, stream_modular_dc,
+)
+from libjxl_tpu.vardct.ac_context import BlockCtxMap
+from libjxl_tpu.vardct.cfl import ColorCorrelation
+from libjxl_tpu.vardct.coeff_order import decode_coeff_orders, read_used_orders
+from libjxl_tpu.vardct.group import decode_group_coeffs
+from libjxl_tpu.vardct.quant_weights import DequantMatrices
+from libjxl_tpu.vardct.quantizer import Quantizer
+from libjxl_tpu.vardct.reconstruct import (
+    b_qm_multiplier, reconstruct_group, x_qm_multiplier,
+)
+
+
+@dataclasses.dataclass
+class DecodedFrame:
+    header: FrameHeader
+    # For VarDCT/XYB frames: (3, H, W) float32 XYB (before color txfm).
+    # For modular frames: the modular image channels as int32 planes.
+    xyb: np.ndarray | None = None
+    modular_channels: list | None = None
+    bits_consumed: int = 0
+
+
+def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
+    """Decode one frame from `r` (positioned after image headers)."""
+    fh = FrameHeader(nonserialized_metadata=metadata)
+    bundle_read(r, fh)
+    if fh.frame_type not in (FrameType.REGULAR,):
+        raise UnsupportedError("only regular frames supported yet")
+    if fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES
+                   | FrameFlags.NOISE | FrameFlags.USE_DC_FRAME):
+        raise UnsupportedError("image features not supported yet")
+    if fh.upsampling != 1:
+        raise UnsupportedError("frame upsampling not supported yet")
+    fd = fh.to_frame_dimensions()
+
+    num_passes = fh.passes.num_passes
+    if num_passes != 1:
+        raise UnsupportedError("multiple passes not supported yet")
+    toc_entries = num_toc_entries(fd.num_groups, fd.num_dc_groups, num_passes)
+    sizes, offsets = read_toc(toc_entries, r)
+    r.align_to_byte()
+    base = r.bits_consumed // 8
+    data = r._data  # section slicing over the same buffer
+
+    def section_reader(idx: int) -> BitReader:
+        start = base + offsets[idx]
+        end = start + sizes[idx]
+        return BitReader(data[start:end])
+
+    single = (toc_entries == 1)
+    if single:
+        seq = BitReader(data[base + offsets[0]:base + offsets[0] + sizes[0]])
+
+        def get(idx):
+            return seq
+    else:
+        def get(idx):
+            return section_reader(idx)
+
+    mfd = ModularFrameDecoder(fd)
+    is_vardct = fh.encoding == FrameEncoding.VARDCT
+
+    # ---- LfGlobal (section 0) ----
+    lf = get(0)
+    matrices = DequantMatrices()
+    matrices.decode_dc(lf)
+    quantizer = Quantizer(matrices)
+    ctx_map = BlockCtxMap()
+    cmap = ColorCorrelation()
+    if is_vardct:
+        quantizer.decode(lf)
+        ctx_map.decode(lf)
+        cmap.decode_dc(lf)
+    mfd.decode_global_info(lf, fh, metadata)
+
+    # ---- DC groups ----
+    dc_data = {}
+    ac_meta = {}
+    for g in range(fd.num_dc_groups):
+        br = get(1 + g) if not single else seq
+        if is_vardct:
+            qdc, extra_precision = mfd.decode_vardct_dc(
+                g, br, metadata.m.bit_depth.bits_per_sample)
+            dc_data[g] = (qdc, extra_precision)
+        rect = fd.dc_group_rect(g)
+        mrect = Rect(rect.x0 * 8, rect.y0 * 8, fd.dc_group_dim,
+                     fd.dc_group_dim)
+        mfd.decode_group(mrect, br, 3, 1000, stream_modular_dc(g, fd))
+        if is_vardct:
+            ac_meta[g] = mfd.decode_ac_metadata(
+                g, br, metadata.m.bit_depth.bits_per_sample)
+
+    if not is_vardct:
+        # ---- Modular AC groups ----
+        for g in range(fd.num_groups):
+            br = get(2 + fd.num_dc_groups + g) if not single else seq
+            rect = fd.group_rect(g)
+            mfd.decode_group(rect, br, 0, 3, stream_modular_ac(g, 0, fd))
+        gi = mfd.finalize()
+        return DecodedFrame(header=fh,
+                            modular_channels=[c.data for c in gi.channel])
+
+    # ---- Dequantize DC, assemble full maps ----
+    dc_full = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks), np.float32)
+    quant_dc_full = np.zeros((fd.ysize_blocks, fd.xsize_blocks), np.int32)
+    mul_dc = quantizer.mul_dc()
+    cfl_fac = cmap.dc_factors()
+    for g, (qdc, extra_precision) in dc_data.items():
+        rect = fd.dc_group_rect(g)
+        mul = 1.0 / (1 << extra_precision)
+        y = qdc[1] * (mul_dc[1] * mul)
+        x = qdc[0] * (mul_dc[0] * mul) + cfl_fac[0] * y
+        b = qdc[2] * (mul_dc[2] * mul) + cfl_fac[2] * y
+        sl = rect.slices()
+        dc_full[0][sl] = x
+        dc_full[1][sl] = y
+        dc_full[2][sl] = b
+        quant_dc_full[sl] = qdc[1]
+
+    if not (fh.flags & FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING):
+        from libjxl_tpu.vardct.dc_smoothing import adaptive_dc_smoothing
+        dc_full = adaptive_dc_smoothing(dc_full, mul_dc)
+
+    # Assemble strategy/qf/cmap maps.
+    strategies = np.full((fd.ysize_blocks, fd.xsize_blocks), -1, np.int32)
+    raw_quant = np.ones((fd.ysize_blocks, fd.xsize_blocks), np.int32)
+    tiles_x = (fd.xsize_blocks + 7) // 8
+    tiles_y = (fd.ysize_blocks + 7) // 8
+    ytox_map = np.zeros((tiles_y, tiles_x), np.int32)
+    ytob_map = np.zeros((tiles_y, tiles_x), np.int32)
+    used_acs = 0
+    for g, meta in ac_meta.items():
+        rect = fd.dc_group_rect(g)
+        sl = rect.slices()
+        strategies[sl] = meta["strategies"]
+        raw_quant[sl] = meta["raw_quant"]
+        cr = Rect(rect.x0 >> 3, rect.y0 >> 3, (rect.xsize + 7) >> 3,
+                  (rect.ysize + 7) >> 3)
+        ytox_map[cr.slices()] = meta["ytox"]
+        ytob_map[cr.slices()] = meta["ytob"]
+        for s in np.unique(meta["strategies"]):
+            if s >= 0:
+                used_acs |= 1 << int(s)
+
+    # ---- ACGlobal ----
+    acg = get(1 + fd.num_dc_groups) if not single else seq
+    matrices.decode(acg)
+    num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
+        if fd.num_groups > 1 else 0
+    num_histograms = 1 + (acg.read(num_histo_bits) if num_histo_bits else 0)
+    used_orders = read_used_orders(acg)
+    orders = decode_coeff_orders(used_orders, used_acs, acg)
+    from libjxl_tpu.entropy.codes import decode_histograms, SymbolReader
+    num_contexts = num_histograms * ctx_map.num_ac_contexts()
+    ac_codes = decode_histograms(acg, num_contexts)
+
+    # ---- AC groups ----
+    x_mul = x_qm_multiplier(fh.x_qm_scale)
+    b_mul = b_qm_multiplier(fh.b_qm_scale)
+    out = np.zeros((3, fd.ysize_padded, fd.xsize_padded), np.float32)
+    histo_bits = (num_histograms - 1).bit_length() if num_histograms > 1 \
+        else 0
+    for g in range(fd.num_groups):
+        br = get(2 + fd.num_dc_groups + g) if not single else seq
+        brect = fd.block_group_rect(g)
+        cur_histogram = br.read(histo_bits) if histo_bits else 0
+        if cur_histogram >= num_histograms:
+            raise BitstreamError("invalid histogram selector")
+        ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
+        reader = SymbolReader(ac_codes, br)
+        sl = brect.slices()
+        blocks = decode_group_coeffs(
+            reader, brect.xsize, brect.ysize, strategies[sl],
+            raw_quant[sl], orders, ctx_map, ctx_offset)
+        if not reader.check_final_state():
+            raise BitstreamError("bad ANS state in AC group")
+        pix = reconstruct_group(
+            blocks, brect.xsize, brect.ysize, quantizer, raw_quant[sl],
+            dc_full[:, brect.y0:brect.y1, brect.x0:brect.x1], cmap,
+            ytox_map, ytob_map, brect.x0, brect.y0, x_mul, b_mul)
+        out[:, brect.y0 * 8:brect.y0 * 8 + brect.ysize * 8,
+            brect.x0 * 8:brect.x0 * 8 + brect.xsize * 8] = pix
+
+    # Loop filters (gaborish/EPF) — applied when enabled.
+    lfp = fh.loop_filter
+    if lfp.gab or lfp.epf_iters > 0:
+        from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
+        out = apply_loop_filters(out, lfp, raw_quant, strategies,
+                                 quantizer, fd)
+
+    out = out[:, :fd.ysize, :fd.xsize]
+    return DecodedFrame(header=fh, xyb=out)

@@ -1,0 +1,309 @@
+"""Frame encoder: VarDCT (fast path) and modular frames.
+
+Reference: lib/jxl/enc_frame.cc (EncodeFrame / ComputeEncodingData),
+enc_group.cc (ComputeCoefficients). This is the effort-1-class path:
+8x8-only strategies, uniform quant field, CfL from a global fit,
+default tables; the heuristics ladder (adaptive quant, ACS search,
+butteraugli iteration) comes on top of this skeleton.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from libjxl_tpu.base.frame_dimensions import FrameDimensions
+from libjxl_tpu.base.rect import Rect
+from libjxl_tpu.bitstream.bit_io import BitWriter
+from libjxl_tpu.bitstream.fields import bundle_write
+from libjxl_tpu.bitstream.toc import write_toc
+from libjxl_tpu.frame.frame_header import (
+    ColorTransform, FrameEncoding, FrameFlags, FrameHeader,
+)
+from libjxl_tpu.frame.headers import CodecMetadata
+from libjxl_tpu.frame.modular_frame import ModularFrameEncoder
+from libjxl_tpu.modular.image import ModularImage
+from libjxl_tpu.modular.predict import P_GRADIENT
+from libjxl_tpu.vardct import ac_strategy as acs
+from libjxl_tpu.vardct.ac_context import BlockCtxMap
+from libjxl_tpu.vardct.cfl import ColorCorrelation
+from libjxl_tpu.vardct.coeff_order import write_used_orders
+from libjxl_tpu.vardct.group import CoeffBlock, tokenize_group_coeffs
+from libjxl_tpu.vardct.quant_weights import DequantMatrices
+from libjxl_tpu.vardct.quantizer import Quantizer
+from libjxl_tpu.vardct.reconstruct import (
+    b_qm_multiplier, transform_from_pixels, x_qm_multiplier,
+)
+
+
+def initial_quant_dc(distance: float) -> float:
+    """enc_adaptive_quantization.cc InitialQuantDC:
+    kDcQuant / max(distance, kMinButteraugli...)-ish."""
+    k_dc_quant = 1.095924047623553
+    k_ac_quant = 0.7381485255235064
+    butteraugli_target_dc = max(0.5 * distance,
+                                min(1.0, distance))
+    return k_dc_quant / butteraugli_target_dc
+
+
+def initial_quant_ac(distance: float) -> float:
+    k_ac_quant = 0.7381485255235064
+    return k_ac_quant / distance
+
+
+@dataclasses.dataclass
+class VarDCTEncodeState:
+    frame_dim: FrameDimensions
+    quantizer: Quantizer
+    raw_quant: np.ndarray
+    strategies: np.ndarray
+    qdc: np.ndarray
+    blocks_per_group: dict
+    ytox_map: np.ndarray
+    ytob_map: np.ndarray
+
+
+def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
+                        w: BitWriter, distance: float = 1.0,
+                        is_last: bool = True) -> None:
+    """Encode (3, H, W) float XYB as a VarDCT frame.
+
+    Writes frame header + TOC + sections into `w` (byte-aligned)."""
+    _, ysize, xsize = xyb.shape
+    fh = FrameHeader(nonserialized_metadata=metadata)
+    fh.encoding = FrameEncoding.VARDCT
+    fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
+    fh.is_last = is_last
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    fd = fh.to_frame_dimensions()
+
+    # Pad to whole blocks by edge replication.
+    pad_y = fd.ysize_padded - ysize
+    pad_x = fd.xsize_padded - xsize
+    planes = np.pad(xyb, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+
+    matrices = DequantMatrices()
+    quantizer = Quantizer(matrices)
+    qf = np.full((fd.ysize_blocks, fd.xsize_blocks),
+                 initial_quant_ac(distance), np.float32)
+    raw_quant = quantizer.set_quant_field(initial_quant_dc(distance), qf)
+
+    ctx_map = BlockCtxMap()
+    cmap = ColorCorrelation()
+    x_mul = x_qm_multiplier(fh.x_qm_scale)
+    b_mul = b_qm_multiplier(fh.b_qm_scale)
+
+    # ---- Forward DCT + quantize (8x8 strategy everywhere) ----
+    table = matrices.table(acs.DCT8X8)  # (3, 8, 8)
+    inv_table = 1.0 / table
+    strategies = np.zeros((fd.ysize_blocks, fd.xsize_blocks), np.int32)
+
+    # DC path
+    mul_dc = quantizer.mul_dc()  # per-channel dequant step
+    cfl_fac = cmap.dc_factors()
+
+    dc_float = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks), np.float32)
+    coeffs = np.zeros(
+        (3, fd.ysize_blocks, fd.xsize_blocks, 64), np.float32)
+    # Batched 8x8 DCT via matrix multiplication.
+    from libjxl_tpu.vardct.dct import dct_matrix
+    m8 = dct_matrix(8)
+    for c in range(3):
+        blocks = planes[c].reshape(fd.ysize_blocks, 8, fd.xsize_blocks, 8)
+        blocks = blocks.transpose(0, 2, 1, 3)  # (by, bx, 8, 8)
+        coef = np.einsum("ui,abij,wj->abuw", m8, blocks, m8,
+                         optimize=True)
+        coeffs[c] = coef.reshape(fd.ysize_blocks, fd.xsize_blocks, 64)
+        dc_float[c] = coef[:, :, 0, 0]
+
+    # Quantize DC with CfL (Y first, then X/B against dequantized Y).
+    qdc = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks), np.int32)
+    qdc[1] = np.round(dc_float[1] / mul_dc[1]).astype(np.int32)
+    y_dec = qdc[1] * mul_dc[1]
+    qdc[0] = np.round((dc_float[0] - cfl_fac[0] * y_dec)
+                      / mul_dc[0]).astype(np.int32)
+    qdc[2] = np.round((dc_float[2] - cfl_fac[2] * y_dec)
+                      / mul_dc[2]).astype(np.int32)
+
+    # Quantize AC per block. Y first; X/B have the (quantize-dequantized)
+    # Y scaled by the CfL factors subtracted (enc_group.cc
+    # ComputeCoefficients), mirroring the decoder's CfL restore.
+    from libjxl_tpu.vardct.quantizer import adjust_quant_bias
+    ytox0 = cmap.ytox(0)
+    ytob0 = cmap.ytob(0)
+    flat_table = table.reshape(3, 64)
+    flat_inv = inv_table.reshape(3, 64)
+    blocks_per_group: dict = {}
+    for g in range(fd.num_groups):
+        brect = fd.block_group_rect(g)
+        blist = []
+        for by in range(brect.ysize):
+            for bx in range(brect.xsize):
+                aby, abx = brect.y0 + by, brect.x0 + bx
+                rq = int(raw_quant[aby, abx])
+                scale = rq / quantizer.inv_global_scale
+                q = np.zeros((3, 64), np.int32)
+                cvals = coeffs[:, aby, abx]
+                q[1] = np.round(cvals[1] * flat_inv[1] * scale)
+                dq_y = adjust_quant_bias(q[None, 1].repeat(3, 0))[1] \
+                    * flat_table[1] * (1.0 / scale)
+                q[0] = np.round((cvals[0] - ytox0 * dq_y)
+                                * flat_inv[0] * (scale / x_mul))
+                q[2] = np.round((cvals[2] - ytob0 * dq_y)
+                                * flat_inv[2] * (scale / b_mul))
+                q[:, 0] = 0  # LLF slot not coded
+                blist.append(CoeffBlock(bx, by, acs.DCT8X8, q))
+        blocks_per_group[g] = blist
+
+    _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
+                           qdc, raw_quant, strategies, blocks_per_group)
+
+
+def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
+                           qdc, raw_quant, strategies, blocks_per_group):
+    from libjxl_tpu.entropy.codes import (
+        build_and_encode_histograms, write_tokens)
+    from libjxl_tpu.bitstream.toc import num_toc_entries
+
+    mfe = ModularFrameEncoder(fd)
+    bitdepth = metadata.m.bit_depth.bits_per_sample
+
+    def write_lf_global(sw):
+        quantizer.dequant.encode_dc(sw)
+        quantizer.encode(sw)
+        ctx_map.encode(sw)
+        cmap.encode_dc(sw)
+        mfe.encode_global_info(sw)
+
+    def write_dc_group(sw, g):
+        rect = fd.dc_group_rect(g)
+        sl = rect.slices()
+        mfe.encode_vardct_dc(sw, qdc[:, rect.y0:rect.y1, rect.x0:rect.x1],
+                             bitdepth)
+        # ModularDC stream is geometrically empty for VarDCT frames:
+        # nothing is written (decoder skips it, dec_modular.cc:377).
+        cr_w = (rect.xsize + 7) >> 3
+        cr_h = (rect.ysize + 7) >> 3
+        ytox = np.zeros((cr_h, cr_w), np.int32)
+        ytob = np.zeros((cr_h, cr_w), np.int32)
+        epf = np.zeros((rect.ysize, rect.xsize), np.int32)
+        mfe.encode_ac_metadata(sw, rect, ytox, ytob,
+                               strategies[sl], raw_quant[sl], epf, bitdepth)
+
+    # Tokenize all groups up-front (shared histograms live in ACGlobal).
+    orders = {}
+    for s in range(acs.NUM_STRATEGIES):
+        ord_b = acs.STRATEGY_ORDER[s]
+        for c in range(3):
+            orders[(ord_b, c)] = acs.natural_coeff_order(s)
+    group_tokens = []
+    for g in range(fd.num_groups):
+        brect = fd.block_group_rect(g)
+        sl = brect.slices()
+        tokens = []
+        tokenize_group_coeffs(blocks_per_group[g], brect.xsize, brect.ysize,
+                              raw_quant[sl], orders, ctx_map, tokens)
+        group_tokens.append(tokens)
+
+    ac_codes_holder = {}
+
+    def write_ac_global(sw):
+        quantizer.dequant.encode(sw)
+        num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
+            if fd.num_groups > 1 else 0
+        if num_histo_bits:
+            sw.write(num_histo_bits, 0)  # num_histograms = 1
+        write_used_orders(0, sw)  # natural orders everywhere
+        num_contexts = ctx_map.num_ac_contexts()
+        ac_codes_holder["codes"] = build_and_encode_histograms(
+            num_contexts, group_tokens, sw)
+
+    def write_ac_group(sw, g):
+        # single histogram set: no selector bits
+        write_tokens(group_tokens[g], ac_codes_holder["codes"], sw)
+
+    parts = [write_lf_global]
+    parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)
+              for g in range(fd.num_dc_groups)]
+    parts += [write_ac_global]
+    parts += [(lambda g: (lambda sw: write_ac_group(sw, g)))(g)
+              for g in range(fd.num_groups)]
+    _emit_sections(w, fh, fd, parts)
+
+
+def _emit_sections(w, fh, fd, parts, num_passes: int = 1):
+    """Write frame header + TOC + sections. Single-TOC-entry frames
+    concatenate all parts bit-unaligned in one section
+    (enc_frame.cc one-shot small-frame path); otherwise each section is
+    byte-aligned with its own TOC size entry."""
+    from libjxl_tpu.bitstream.toc import num_toc_entries
+
+    toc_entries = num_toc_entries(fd.num_groups, fd.num_dc_groups, num_passes)
+    bundle_write(fh, w)
+    if toc_entries == 1:
+        pw = BitWriter()
+        for f in parts:
+            f(pw)
+        pw.align_to_byte()
+        payload = pw.get_bytes()
+        write_toc([len(payload)], w)
+        w.append_bytes(payload)
+    else:
+        sections = []
+        for f in parts:
+            sw = BitWriter()
+            f(sw)
+            sw.align_to_byte()
+            sections.append(sw.get_bytes())
+        write_toc([len(s) for s in sections], w)
+        for s in sections:
+            w.append_bytes(s)
+
+
+def encode_modular_frame(channels: list, metadata: CodecMetadata,
+                         w: BitWriter, *, transforms: list | None = None,
+                         predictor: int = P_GRADIENT,
+                         is_last: bool = True) -> None:
+    """Lossless modular frame from int channel planes."""
+    fh = FrameHeader(nonserialized_metadata=metadata)
+    fh.encoding = FrameEncoding.MODULAR
+    fh.is_last = is_last
+    fh.color_transform = ColorTransform.NONE
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    fd = fh.to_frame_dimensions()
+
+    img = ModularImage.from_planes(
+        channels, metadata.m.bit_depth.bits_per_sample)
+    mfe = ModularFrameEncoder(fd)
+    state = {}
+
+    def write_lf_global(sw):
+        DequantMatrices().encode_dc(sw)
+        state.update(mfe.encode_global_info(sw, full_image=img,
+                                            transforms=transforms,
+                                            predictor=predictor) or {})
+
+    def write_dc_group(sw, g):
+        rect = fd.dc_group_rect(g)
+        mrect = Rect(rect.x0 * 8, rect.y0 * 8, fd.dc_group_dim,
+                     fd.dc_group_dim)
+        mfe.encode_group(sw, state, mrect, 3, 1000)
+
+    def write_ac_global(sw):
+        pass  # modular frames carry nothing in ACGlobal
+
+    def write_ac_group(sw, g):
+        mfe.encode_group(sw, state, fd.group_rect(g), 0, 3)
+
+    parts = [write_lf_global]
+    parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)
+              for g in range(fd.num_dc_groups)]
+    parts += [write_ac_global]
+    parts += [(lambda g: (lambda sw: write_ac_group(sw, g)))(g)
+              for g in range(fd.num_groups)]
+    _emit_sections(w, fh, fd, parts)

@@ -266,55 +266,47 @@ class ModularFrameEncoder:
                            full_image: ModularImage | None = None,
                            transforms: list | None = None,
                            predictor: int = P_GRADIENT) -> dict | None:
-        """Writes has_tree=0 + global GroupHeader (+ small channels).
+        """Writes has_tree=0 + the global modular stream: GroupHeader
+        (with the frame's transform list) + local tree + tokens for all
+        channels up to the first non-meta channel exceeding group_dim
+        (matching modular_decode's max_chan_size cutoff).
 
         For modular-mode frames pass full_image (frame-sized channels);
         returns state for encode_group calls (the transformed image)."""
+        from libjxl_tpu.entropy.codes import (
+            build_and_encode_histograms, write_tokens)
+
         w.write_bool(False)  # no global tree; streams carry local trees
         header = GroupHeader()
         header.transforms = transforms or []
         fd = self.frame_dim
         if full_image is None:
-            # VarDCT frame: global modular image has no channels.
-            bundle_write(header, w)
+            # VarDCT frame with no extra channels: the global modular
+            # image is empty, and ModularDecode early-returns before
+            # even reading a GroupHeader (encoding.cc:561) — so the
+            # stream body is empty.
             return None
         work = full_image.clone()
         for t in header.transforms:
             _apply_forward_transform(work, t)
         bundle_write(header, w)
-        # channels <= group_dim go into the global stream
-        small = [i for i, ch in enumerate(work.channel)
-                 if ch.w <= fd.group_dim and ch.h <= fd.group_dim]
-        # The global stream encodes small channels with a local tree.
-        self._encode_channel_set(w, work, small, predictor)
-        return {"image": work, "predictor": predictor}
-
-    def _encode_channel_set(self, w: BitWriter, image: ModularImage,
-                            chan_indices: list, predictor: int,
-                            tree: Tree | None = None,
-                            stream_id: int = 0) -> None:
-        """Local-tree stream: GroupHeader + tree + histograms + tokens.
-
-        Matches ModularGenericDecompress's wire format for one stream."""
-        from libjxl_tpu.entropy.codes import (
-            build_and_encode_histograms, write_tokens)
-
-        header = GroupHeader()  # no transforms at stream level
-        sub = ModularImage(image.w, image.h, image.bitdepth, 0)
-        sub.channel = [image.channel[i] for i in chan_indices]
-        bundle_write(header, w)
-        if not sub.channel or all(c.w == 0 or c.h == 0 for c in sub.channel):
-            return
-        if tree is None:
+        small = []
+        for i, ch in enumerate(work.channel):
+            if i >= work.nb_meta_channels and \
+                    (ch.w > fd.group_dim or ch.h > fd.group_dim):
+                break
+            if ch.w and ch.h:
+                small.append(i)
+        if small:
             tree = _simple_tree(predictor)
-        encode_tree(tree, w)
-        tokens: list = []
-        for i in range(len(sub.channel)):
-            _encode_channel(tree, header.wp_header, sub, i, stream_id,
-                            tokens)
-        codes = build_and_encode_histograms(num_tree_contexts(tree),
-                                            [tokens], w)
-        write_tokens(tokens, codes, w)
+            encode_tree(tree, w)
+            tokens: list = []
+            for i in small:
+                _encode_channel(tree, header.wp_header, work, i, 0, tokens)
+            codes = build_and_encode_histograms(num_tree_contexts(tree),
+                                                [tokens], w)
+            write_tokens(tokens, codes, w)
+        return {"image": work, "predictor": predictor}
 
     def encode_group(self, w: BitWriter, state: dict, rect: Rect,
                      min_shift: int, max_shift: int) -> None:
@@ -340,6 +332,8 @@ class ModularFrameEncoder:
                 continue
             ch = Channel(fc.data[rr.slices()].copy(), fc.hshift, fc.vshift)
             sub.channel.append(ch)
+        if not sub.channel:
+            return  # geometrically empty stream: write nothing
         self._encode_stream_image(w, sub, state["predictor"])
 
     def _encode_stream_image(self, w: BitWriter, sub: ModularImage,

@@ -1,0 +1,81 @@
+"""End-to-end codec roundtrips through the public API
+(mirrors reference jxl_test.cc / roundtrip_test.cc)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api import decode, encode
+
+
+def _gradient_image(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (128 + 100 * np.sin(x / 17) * np.cos(y / 13)),
+        (128 + 80 * np.cos(x / 11)),
+        (120 + 90 * np.sin((x + y) / 19)),
+    ], -1).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (24, 33), (64, 64), (100, 130)])
+def test_lossless_roundtrip_exact(shape):
+    rng = np.random.default_rng(shape[0])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    data = encode(img, lossless=True)
+    res = decode(data)
+    assert res.lossless
+    np.testing.assert_array_equal(res.pixels, img)
+
+
+def test_lossless_16bit():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, (21, 17, 3), dtype=np.uint16)
+    res = decode(encode(img, lossless=True))
+    np.testing.assert_array_equal(res.pixels, img)
+
+
+def test_lossless_multigroup():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (280, 300, 3), dtype=np.uint8)
+    res = decode(encode(img, lossless=True))
+    np.testing.assert_array_equal(res.pixels, img)
+
+
+@pytest.mark.parametrize("distance,max_mean_err", [(0.5, 1.5), (1.0, 2.5),
+                                                   (4.0, 8.0)])
+def test_lossy_roundtrip_quality(distance, max_mean_err):
+    img = _gradient_image(56, 72)
+    data = encode(img, distance=distance)
+    res = decode(data)
+    err = np.abs(res.pixels.astype(int) - img.astype(int))
+    assert err.mean() < max_mean_err, (distance, err.mean())
+    # And rate should drop as distance rises.
+    assert len(data) < img.size  # some compression at least
+
+
+def test_lossy_rate_quality_tradeoff():
+    img = _gradient_image(64, 64)
+    sizes = [len(encode(img, distance=d)) for d in (0.5, 1.0, 2.0, 4.0)]
+    assert sizes == sorted(sizes, reverse=True), sizes
+
+
+def test_lossy_multigroup():
+    img = _gradient_image(280, 300)
+    res = decode(encode(img, distance=1.0))
+    err = np.abs(res.pixels.astype(int) - img.astype(int))
+    assert err.mean() < 2.5
+
+
+def test_lossy_ragged_sizes():
+    img = _gradient_image(41, 59)  # not multiples of 8
+    res = decode(encode(img, distance=1.0))
+    assert res.pixels.shape == (41, 59, 3)
+    err = np.abs(res.pixels.astype(int) - img.astype(int))
+    assert err.mean() < 3.0
+
+
+def test_truncated_stream_raises():
+    from libjxl_tpu.base.errors import JxlError
+    img = _gradient_image(24, 24)
+    data = encode(img, distance=1.0)
+    with pytest.raises(Exception):
+        decode(data[:len(data) // 2])
