@@ -149,6 +149,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     # Assemble strategy/qf/cmap maps.
     strategies = np.full((fd.ysize_blocks, fd.xsize_blocks), -1, np.int32)
     raw_quant = np.ones((fd.ysize_blocks, fd.xsize_blocks), np.int32)
+    sharpness = np.zeros((fd.ysize_blocks, fd.xsize_blocks), np.int32)
     tiles_x = (fd.xsize_blocks + 7) // 8
     tiles_y = (fd.ysize_blocks + 7) // 8
     ytox_map = np.zeros((tiles_y, tiles_x), np.int32)
@@ -159,6 +160,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
         sl = rect.slices()
         strategies[sl] = meta["strategies"]
         raw_quant[sl] = meta["raw_quant"]
+        sharpness[sl] = meta["epf"]
         cr = Rect(rect.x0 >> 3, rect.y0 >> 3, (rect.xsize + 7) >> 3,
                   (rect.ysize + 7) >> 3)
         ytox_map[cr.slices()] = meta["ytox"]
@@ -211,7 +213,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     if lfp.gab or lfp.epf_iters > 0:
         from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
         out = apply_loop_filters(out, lfp, raw_quant, strategies,
-                                 quantizer, fd)
+                                 quantizer, fd, sharpness=sharpness)
 
     out = out[:, :fd.ysize, :fd.xsize]
     return DecodedFrame(header=fh, xyb=out)

@@ -75,9 +75,11 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     fh.encoding = FrameEncoding.VARDCT
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
     fh.is_last = is_last
-    fh.loop_filter.all_default = False
-    fh.loop_filter.gab = False
-    fh.loop_filter.epf_iters = 0
+    # Loop filters: gaborish + 2 EPF passes, like the reference's
+    # defaults for photographic content (loop_filter.h, enc_heuristics).
+    fh.loop_filter.all_default = distance > 0.0
+    fh.loop_filter.gab = True
+    fh.loop_filter.epf_iters = 2
     fd = fh.to_frame_dimensions()
 
     # Pad to whole blocks by edge replication.
@@ -85,11 +87,16 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     pad_x = fd.xsize_padded - xsize
     planes = np.pad(xyb, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
 
+    from libjxl_tpu.frame.adaptive_quant import (
+        gaborish_inverse, initial_quant_dc as aq_dc,
+        initial_quant_field as aq_field)
+    if fh.loop_filter.gab:
+        planes = gaborish_inverse(planes)
+
     matrices = DequantMatrices()
     quantizer = Quantizer(matrices)
-    qf = np.full((fd.ysize_blocks, fd.xsize_blocks),
-                 initial_quant_ac(distance), np.float32)
-    raw_quant = quantizer.set_quant_field(initial_quant_dc(distance), qf)
+    qf = aq_field(distance, planes)
+    raw_quant = quantizer.set_quant_field(aq_dc(distance), qf)
 
     ctx_map = BlockCtxMap()
     cmap = ColorCorrelation()
@@ -189,7 +196,9 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
         cr_h = (rect.ysize + 7) >> 3
         ytox = np.zeros((cr_h, cr_w), np.int32)
         ytob = np.zeros((cr_h, cr_w), np.int32)
-        epf = np.zeros((rect.ysize, rect.xsize), np.int32)
+        # Fast-path AR heuristic: constant sharpness 4
+        # (enc_heuristics.cc:907).
+        epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
         mfe.encode_ac_metadata(sw, rect, ytox, ytob,
                                strategies[sl], raw_quant[sl], epf, bitdepth)
 
