@@ -135,14 +135,17 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     qdc[2] = np.round((dc_float[2] - cfl_fac[2] * y_dec)
                       / mul_dc[2]).astype(np.int32)
 
+    # Fit per-tile chroma-from-luma factors (fast least squares).
+    from libjxl_tpu.frame.cfl_fit import fit_cfl_maps
+    flat_table = table.reshape(3, 64)
+    flat_inv = inv_table.reshape(3, 64)
+    ytox_map, ytob_map = fit_cfl_maps(coeffs, flat_inv, raw_quant,
+                                      quantizer.global_scale_float)
+
     # Quantize AC per block. Y first; X/B have the (quantize-dequantized)
     # Y scaled by the CfL factors subtracted (enc_group.cc
     # ComputeCoefficients), mirroring the decoder's CfL restore.
     from libjxl_tpu.vardct.quantizer import adjust_quant_bias
-    ytox0 = cmap.ytox(0)
-    ytob0 = cmap.ytob(0)
-    flat_table = table.reshape(3, 64)
-    flat_inv = inv_table.reshape(3, 64)
     blocks_per_group: dict = {}
     for g in range(fd.num_groups):
         brect = fd.block_group_rect(g)
@@ -150,6 +153,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         for by in range(brect.ysize):
             for bx in range(brect.xsize):
                 aby, abx = brect.y0 + by, brect.x0 + bx
+                ytox0 = cmap.ytox(int(ytox_map[aby // 8, abx // 8]))
+                ytob0 = cmap.ytob(int(ytob_map[aby // 8, abx // 8]))
                 rq = int(raw_quant[aby, abx])
                 scale = rq / quantizer.inv_global_scale
                 q = np.zeros((3, 64), np.int32)
@@ -166,11 +171,13 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         blocks_per_group[g] = blist
 
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
-                           qdc, raw_quant, strategies, blocks_per_group)
+                           qdc, raw_quant, strategies, blocks_per_group,
+                           ytox_map, ytob_map)
 
 
 def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
-                           qdc, raw_quant, strategies, blocks_per_group):
+                           qdc, raw_quant, strategies, blocks_per_group,
+                           ytox_map=None, ytob_map=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -194,8 +201,12 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
         # nothing is written (decoder skips it, dec_modular.cc:377).
         cr_w = (rect.xsize + 7) >> 3
         cr_h = (rect.ysize + 7) >> 3
-        ytox = np.zeros((cr_h, cr_w), np.int32)
-        ytob = np.zeros((cr_h, cr_w), np.int32)
+        cr = (slice(rect.y0 >> 3, (rect.y0 >> 3) + cr_h),
+              slice(rect.x0 >> 3, (rect.x0 >> 3) + cr_w))
+        ytox = ytox_map[cr] if ytox_map is not None \
+            else np.zeros((cr_h, cr_w), np.int32)
+        ytob = ytob_map[cr] if ytob_map is not None \
+            else np.zeros((cr_h, cr_w), np.int32)
         # Fast-path AR heuristic: constant sharpness 4
         # (enc_heuristics.cc:907).
         epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
