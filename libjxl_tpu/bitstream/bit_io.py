@@ -93,6 +93,25 @@ class BitReader:
     def bits_consumed(self) -> int:
         return self._bits_consumed
 
+    def seek_bits(self, bit_pos: int) -> None:
+        """Reposition to an absolute bit offset (native-decoder handoff)."""
+        self._pos = bit_pos // 8
+        self._buf = 0
+        self._bits_in_buf = 0
+        self._bits_consumed = bit_pos
+        rem = bit_pos % 8
+        if rem:
+            if self._pos < self._nbytes:
+                self._buf = self._data[self._pos] >> rem
+                self._pos += 1
+                self._bits_in_buf = 8 - rem
+            else:
+                self.overread = True
+
+    @property
+    def raw_data(self) -> bytes:
+        return self._data
+
     @property
     def total_bytes(self) -> int:
         return self._nbytes
@@ -149,6 +168,35 @@ class BitWriter:
         if self._bit_pos != 0:
             raise ValueError("append_bytes requires byte alignment")
         self._bytes.extend(data)
+
+    def append_bits_lsb(self, data, nbits: int) -> None:
+        """Append nbits of an LSB-first packed uint8 buffer, fast even
+        when the writer is bit-unaligned (vectorized shift)."""
+        import numpy as np
+
+        if nbits == 0:
+            return
+        arr = np.frombuffer(bytes(data), np.uint8)[: (nbits + 7) // 8].copy()
+        # Mask tail bits beyond nbits.
+        tail = nbits % 8
+        if tail:
+            arr[-1] &= (1 << tail) - 1
+        off = self._bit_pos
+        if off == 0:
+            self._bytes.extend(arr.tobytes())
+            # Fix logical bit position: mark partial last byte.
+            if tail:
+                self._bit_pos = tail
+            return
+        lo = (arr.astype(np.uint16) << off)
+        shifted = np.zeros(len(arr) + 1, np.uint8)
+        shifted[:-1] = (lo & 0xFF).astype(np.uint8)
+        shifted[1:] |= (lo >> 8).astype(np.uint8)
+        self._bytes[-1] |= int(shifted[0])
+        total_bits = off + nbits
+        extra_bytes = (total_bits + 7) // 8 - 1  # beyond the merged byte
+        self._bytes.extend(shifted[1:1 + extra_bytes].tobytes())
+        self._bit_pos = total_bits % 8
 
     def get_bytes(self) -> bytes:
         return bytes(self._bytes)

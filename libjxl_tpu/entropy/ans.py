@@ -77,6 +77,29 @@ class HybridUintConfig:
         msb_part = (1 << self.msb_in_token) | (token & ((1 << self.msb_in_token) - 1))
         return (((msb_part << nbits) | bits) << self.lsb_in_token) | low
 
+    def encode_np(self, values: np.ndarray):
+        """Vectorized encode: values -> (tokens, nbits, bits) arrays."""
+        v = np.asarray(values, np.int64)
+        small = v < self.split_token
+        # floor_log2 via bit_length equivalent
+        safe = np.maximum(v, 1)
+        n = np.floor(np.log2(safe)).astype(np.int64)
+        # correct any fp edge cases
+        n = np.where((1 << (n + 1)) <= safe, n + 1, n)
+        n = np.where((1 << n) > safe, n - 1, n)
+        m = v - (1 << n)
+        mt = self.msb_in_token + self.lsb_in_token
+        token = (self.split_token
+                 + ((n - self.split_exponent) << mt)
+                 + ((m >> np.maximum(n - self.msb_in_token, 0))
+                    << self.lsb_in_token)
+                 + (m & ((1 << self.lsb_in_token) - 1)))
+        nbits = n - mt
+        bits = (v >> self.lsb_in_token) & ((1 << np.maximum(nbits, 0)) - 1)
+        return (np.where(small, v, token),
+                np.where(small, 0, nbits),
+                np.where(small, 0, bits))
+
     def max_token_bits(self, token: int) -> int:
         """Bits needed for values this token can produce (UpdateMaxNumBits)."""
         if token < self.split_token:

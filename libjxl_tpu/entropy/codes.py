@@ -281,9 +281,19 @@ class Token:
     is_lz77_length: bool = False
 
 
+def stream_arrays(stream):
+    """Normalize a token stream to (ctx int32[], value uint32[]) arrays."""
+    if isinstance(stream, tuple):
+        return (np.asarray(stream[0], np.int32),
+                np.asarray(stream[1], np.uint32))
+    ctx = np.fromiter((t.context for t in stream), np.int32, len(stream))
+    val = np.fromiter((t.value for t in stream), np.uint32, len(stream))
+    return ctx, val
+
+
 def build_and_encode_histograms(
         num_contexts: int,
-        token_streams: list[list[Token]],
+        token_streams: list,
         w: BitWriter,
         *,
         use_prefix_code: bool = False,
@@ -292,6 +302,7 @@ def build_and_encode_histograms(
 ) -> EntropyCodes:
     """BuildAndEncodeHistograms (enc_ans.cc:1082) minus LZ77 search.
 
+    Streams may be lists of Token or (ctx, value) array pairs.
     Clusters per-context token histograms, writes LZ77 params (disabled),
     context map, uint configs and histograms; returns codes usable with
     write_tokens. LZ77 token generation is handled by the caller
@@ -304,18 +315,22 @@ def build_and_encode_histograms(
     lz77 = LZ77Params(enabled=False)
     lz77.write(w)
 
-    # Tokenize values to symbol histograms.
+    # Tokenize values to symbol histograms (vectorized).
     histograms = [np.zeros(ANS_MAX_ALPHABET_SIZE, np.int64)
                   for _ in range(num_contexts)]
     max_token = 0
+    hist2d = np.zeros((num_contexts, ANS_MAX_ALPHABET_SIZE), np.int64)
     for stream in token_streams:
-        for t in stream:
-            tok, _, _ = uint_config.encode(t.value)
-            if tok >= ANS_MAX_ALPHABET_SIZE:
-                raise BitstreamError(
-                    f"token {tok} exceeds ANS alphabet; value {t.value}")
-            histograms[t.context][tok] += 1
-            max_token = max(max_token, tok)
+        ctx, val = stream_arrays(stream)
+        if len(val) == 0:
+            continue
+        toks, _, _ = uint_config.encode_np(val)
+        if toks.max() >= ANS_MAX_ALPHABET_SIZE:
+            raise BitstreamError("token exceeds ANS alphabet")
+        np.add.at(hist2d, (ctx, toks.astype(np.int64)), 1)
+        max_token = max(max_token, int(toks.max()))
+    for c in range(num_contexts):
+        histograms[c] += hist2d[c]
 
     if num_contexts > 1:
         context_map, clustered = cluster_histograms(histograms, max_clusters)
@@ -372,23 +387,32 @@ def build_and_encode_histograms(
     return codes
 
 
-def write_tokens(tokens: list[Token], codes: EntropyCodes, w: BitWriter,
+def write_tokens(tokens, codes: EntropyCodes, w: BitWriter,
                  context_offset: int = 0) -> None:
-    """WriteTokens (enc_ans.cc:1240-1330): ANS emits in reverse order."""
+    """WriteTokens (enc_ans.cc:1240-1330): ANS emits in reverse order.
+
+    `tokens` is a list of Token or a (ctx, value) array pair."""
+    ctx, val = stream_arrays(tokens)
+    if len(ctx) and context_offset:
+        ctx = ctx + context_offset
+
     if codes.use_prefix_code:
-        for t in tokens:
-            histo = codes.context_map[context_offset + t.context]
-            tok, nbits, bits = codes.uint_configs[histo].encode(t.value)
+        for c, v in zip(ctx, val):
+            histo = codes.context_map[c]
+            tok, nbits, bits = codes.uint_configs[histo].encode(int(v))
             pc = codes.prefix_codes[histo]
-            w.write(pc.depths[tok], pc.bits[tok])
-            w.write(nbits, bits)
+            w.write(int(pc.depths[tok]), int(pc.bits[tok]))
+            w.write(int(nbits), int(bits))
+        return
+
+    if _native_write_tokens(ctx, val, codes, w):
         return
 
     chunks: list[tuple[int, int]] = []  # (bits, nbits) reversed order
     enc = AnsEncoder()
-    for t in reversed(tokens):
-        histo = codes.context_map[context_offset + t.context]
-        tok, nbits, bits = codes.uint_configs[histo].encode(t.value)
+    for i in range(len(ctx) - 1, -1, -1):
+        histo = codes.context_map[int(ctx[i])]
+        tok, nbits, bits = codes.uint_configs[histo].encode(int(val[i]))
         chunks.append((bits, nbits))
         freq = codes.counts[histo][tok]
         ans_bits, ans_nbits = enc.put_symbol(freq,
@@ -397,3 +421,52 @@ def write_tokens(tokens: list[Token], codes: EntropyCodes, w: BitWriter,
     w.write(32, enc.state)
     for bits, nbits in reversed(chunks):
         w.write(nbits, bits)
+
+
+def _native_write_tokens(ctx, val, codes: EntropyCodes, w: BitWriter) -> bool:
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+    except Exception:
+        return False
+    lib = get_lib()
+    if lib is None or len(ctx) == 0:
+        return False
+    import ctypes as C
+
+    n_clusters = codes.num_histograms
+    alpha = max(len(c) for c in codes.counts)
+    freqs = np.zeros((n_clusters, alpha), np.uint32)
+    rmap_parts = []
+    rmap_off = np.zeros((n_clusters, alpha), np.uint32)
+    off = 0
+    for h in range(n_clusters):
+        for t, cnt in enumerate(codes.counts[h]):
+            rmap_off[h, t] = off
+            freqs[h, t] = cnt
+            if cnt > 0:
+                rmap_parts.append(codes.reverse_maps[h][t])
+                off += cnt
+    rmap = np.concatenate(rmap_parts).astype(np.uint32) if rmap_parts \
+        else np.zeros(1, np.uint32)
+    cmap = np.array(codes.context_map, np.uint8)
+    cfgs = np.array([[c.split_exponent, c.msb_in_token, c.lsb_in_token]
+                     for c in codes.uint_configs], np.int32)
+    ctx32 = np.ascontiguousarray(ctx, np.int32)
+    val32 = np.ascontiguousarray(val, np.uint32)
+    cap_bits = 64 * len(ctx) + 4096
+    out = np.zeros((cap_bits + 7) // 8, np.uint8)
+    used = C.c_int64(0)
+    rc = lib.ans_write_tokens(
+        ctx32.ctypes.data_as(C.POINTER(C.c_int32)),
+        val32.ctypes.data_as(C.POINTER(C.c_uint32)),
+        len(ctx), cmap.ctypes.data_as(C.POINTER(C.c_uint8)),
+        cfgs.ctypes.data_as(C.POINTER(C.c_int32)), n_clusters,
+        freqs.ctypes.data_as(C.POINTER(C.c_uint32)),
+        rmap.ctypes.data_as(C.POINTER(C.c_uint32)),
+        rmap_off.ctypes.data_as(C.POINTER(C.c_uint32)), alpha,
+        out.ctypes.data_as(C.POINTER(C.c_uint8)), cap_bits, C.byref(used))
+    if rc != 0:
+        return False
+    # Append bit-exact: stream bits produced LSB-first in out.
+    w.append_bits_lsb(out, used.value)
+    return True

@@ -187,6 +187,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     out = np.zeros((3, fd.ysize_padded, fd.xsize_padded), np.float32)
     histo_bits = (num_histograms - 1).bit_length() if num_histograms > 1 \
         else 0
+    from libjxl_tpu.vardct.group_native import (
+        native_decode_group, prepare_blocks)
     for g in range(fd.num_groups):
         br = get(2 + fd.num_dc_groups + g) if not single else seq
         brect = fd.block_group_rect(g)
@@ -194,13 +196,21 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
         if cur_histogram >= num_histograms:
             raise BitstreamError("invalid histogram selector")
         ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
-        reader = SymbolReader(ac_codes, br)
         sl = brect.slices()
-        blocks = decode_group_coeffs(
-            reader, brect.xsize, brect.ysize, strategies[sl],
-            raw_quant[sl], orders, ctx_map, ctx_offset)
-        if not reader.check_final_state():
-            raise BitstreamError("bad ANS state in AC group")
+        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map, orders)
+        native = native_decode_group(br.raw_data, br.bits_consumed, ac_codes,
+                                     brect.xsize, brect.ysize, prep, ctx_map,
+                                     ctx_offset)
+        if native is not None:
+            blocks, new_pos = native
+            br.seek_bits(new_pos)
+        else:
+            reader = SymbolReader(ac_codes, br)
+            blocks = decode_group_coeffs(
+                reader, brect.xsize, brect.ysize, strategies[sl],
+                raw_quant[sl], orders, ctx_map, ctx_offset)
+            if not reader.check_final_state():
+                raise BitstreamError("bad ANS state in AC group")
         pix = reconstruct_group(
             blocks, brect.xsize, brect.ysize, quantizer, raw_quant[sl],
             dc_full[:, brect.y0:brect.y1, brect.x0:brect.x1], cmap,

@@ -142,32 +142,43 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     ytox_map, ytob_map = fit_cfl_maps(coeffs, flat_inv, raw_quant,
                                       quantizer.global_scale_float)
 
-    # Quantize AC per block. Y first; X/B have the (quantize-dequantized)
-    # Y scaled by the CfL factors subtracted (enc_group.cc
-    # ComputeCoefficients), mirroring the decoder's CfL restore.
-    from libjxl_tpu.vardct.quantizer import adjust_quant_bias
+    # Quantize AC, vectorized over all blocks. Y first; X/B have the
+    # (quantize-dequantized) Y scaled by the CfL factors subtracted
+    # (enc_group.cc ComputeCoefficients).
+    rq = raw_quant.astype(np.float32)
+    scale = rq / quantizer.inv_global_scale  # (BY,BX)
+    tile_y = np.arange(fd.ysize_blocks) // 8
+    tile_x = np.arange(fd.xsize_blocks) // 8
+    ytox_b = (cmap.base_correlation_x
+              + ytox_map[np.ix_(tile_y, tile_x)] * cmap.color_scale)
+    ytob_b = (cmap.base_correlation_b
+              + ytob_map[np.ix_(tile_y, tile_x)] * cmap.color_scale)
+    sc = scale[..., None]
+    qy = np.round(coeffs[1] * flat_inv[1] * sc).astype(np.int32)
+    # AdjustQuantBias for the y channel (bias index 1).
+    xq = qy.astype(np.float32)
+    by_bias = 1.0 - 0.07005449891748593
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gen = xq - 0.145 / np.where(xq == 0, 1, xq)
+    biased_y = np.where(xq == 0, 0.0,
+                        np.where(xq == 1, by_bias,
+                                 np.where(xq == -1, -by_bias, gen)))
+    dq_y = biased_y * flat_table[1] / sc
+    qx = np.round((coeffs[0] - ytox_b[..., None] * dq_y)
+                  * flat_inv[0] * (sc / x_mul)).astype(np.int32)
+    qb = np.round((coeffs[2] - ytob_b[..., None] * dq_y)
+                  * flat_inv[2] * (sc / b_mul)).astype(np.int32)
+    qall = np.stack([qx, qy, qb], axis=0)  # (3,BY,BX,64)
+    qall[..., 0] = 0  # LLF slot not coded
     blocks_per_group: dict = {}
     for g in range(fd.num_groups):
         brect = fd.block_group_rect(g)
         blist = []
         for by in range(brect.ysize):
             for bx in range(brect.xsize):
-                aby, abx = brect.y0 + by, brect.x0 + bx
-                ytox0 = cmap.ytox(int(ytox_map[aby // 8, abx // 8]))
-                ytob0 = cmap.ytob(int(ytob_map[aby // 8, abx // 8]))
-                rq = int(raw_quant[aby, abx])
-                scale = rq / quantizer.inv_global_scale
-                q = np.zeros((3, 64), np.int32)
-                cvals = coeffs[:, aby, abx]
-                q[1] = np.round(cvals[1] * flat_inv[1] * scale)
-                dq_y = adjust_quant_bias(q[None, 1].repeat(3, 0))[1] \
-                    * flat_table[1] * (1.0 / scale)
-                q[0] = np.round((cvals[0] - ytox0 * dq_y)
-                                * flat_inv[0] * (scale / x_mul))
-                q[2] = np.round((cvals[2] - ytob0 * dq_y)
-                                * flat_inv[2] * (scale / b_mul))
-                q[:, 0] = 0  # LLF slot not coded
-                blist.append(CoeffBlock(bx, by, acs.DCT8X8, q))
+                blist.append(CoeffBlock(
+                    bx, by, acs.DCT8X8,
+                    qall[:, brect.y0 + by, brect.x0 + bx]))
         blocks_per_group[g] = blist
 
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
@@ -219,10 +230,18 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
         ord_b = acs.STRATEGY_ORDER[s]
         for c in range(3):
             orders[(ord_b, c)] = acs.natural_coeff_order(s)
+    from libjxl_tpu.vardct.group_native import (
+        native_tokenize_group, prepare_blocks)
     group_tokens = []
     for g in range(fd.num_groups):
         brect = fd.block_group_rect(g)
         sl = brect.slices()
+        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map, orders)
+        nat = native_tokenize_group(blocks_per_group[g], brect.xsize,
+                                    brect.ysize, prep, ctx_map)
+        if nat is not None:
+            group_tokens.append(nat)
+            continue
         tokens = []
         tokenize_group_coeffs(blocks_per_group[g], brect.xsize, brect.ysize,
                               raw_quant[sl], orders, ctx_map, tokens)

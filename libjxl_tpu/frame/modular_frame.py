@@ -298,11 +298,11 @@ class ModularFrameEncoder:
             if ch.w and ch.h:
                 small.append(i)
         if small:
+            from libjxl_tpu.modular.codec import encode_channels_tokens
             tree = _simple_tree(predictor)
             encode_tree(tree, w)
-            tokens: list = []
-            for i in small:
-                _encode_channel(tree, header.wp_header, work, i, 0, tokens)
+            tokens = encode_channels_tokens(work, small, tree,
+                                            header.wp_header, 0)
             codes = build_and_encode_histograms(num_tree_contexts(tree),
                                                 [tokens], w)
             write_tokens(tokens, codes, w)
@@ -351,10 +351,9 @@ class ModularFrameEncoder:
         if tree is None:
             tree = _simple_tree(predictor)
         encode_tree(tree, w)
-        tokens: list = []
-        for i in live:
-            _encode_channel(tree, header.wp_header, sub, i, stream_id,
-                            tokens)
+        from libjxl_tpu.modular.codec import encode_channels_tokens
+        tokens = encode_channels_tokens(sub, live, tree, header.wp_header,
+                                        stream_id)
         codes = build_and_encode_histograms(num_tree_contexts(tree),
                                             [tokens], w)
         write_tokens(tokens, codes, w)

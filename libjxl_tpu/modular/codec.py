@@ -330,6 +330,92 @@ def _encode_channel(tree: Tree, wp_header: WPHeader, image: ModularImage,
                 wp_state.update_errors(val, x, y)
 
 
+def encode_channels_tokens(image: ModularImage, chan_indices, tree,
+                           wp_header: WPHeader, group_id: int):
+    """Tokenize channels -> (ctx, value) arrays; native when possible."""
+    try:
+        from libjxl_tpu.native.bindings import (
+            available, make_channel_descs, make_tree_array, make_wp_header)
+    except Exception:
+        available = lambda: False  # noqa: E731
+    total = sum(image.channel[i].w * image.channel[i].h
+                for i in chan_indices)
+    if available() and total > 0:
+        import ctypes as Ct
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+        buffers = [np.ascontiguousarray(ch.data) for ch in image.channel]
+        descs = make_channel_descs(image.channel, buffers)
+        tree_arr = make_tree_array(tree)
+        wp_hdr = make_wp_header(wp_header)
+        out_ctx = np.zeros(total, np.int32)
+        out_val = np.zeros(total, np.uint32)
+        pos = 0
+        ok = True
+        for i in chan_indices:
+            n = image.channel[i].w * image.channel[i].h
+            if n == 0:
+                continue
+            rc = lib.mod_encode_channel(
+                descs, len(image.channel), i, group_id, tree_arr,
+                len(tree), Ct.byref(wp_hdr),
+                out_ctx[pos:].ctypes.data_as(Ct.POINTER(Ct.c_int32)),
+                out_val[pos:].ctypes.data_as(Ct.POINTER(Ct.c_uint32)),
+                total - pos)
+            if rc < 0:
+                ok = False
+                break
+            pos += rc
+        if ok:
+            return out_ctx[:pos], out_val[:pos]
+    tokens: list = []
+    for i in chan_indices:
+        _encode_channel(tree, wp_header, image, i, group_id, tokens)
+    ctx = np.fromiter((t.context for t in tokens), np.int32, len(tokens))
+    val = np.fromiter((t.value for t in tokens), np.uint32, len(tokens))
+    return ctx, val
+
+
+# ---------------------------------------------------------------------------
+# Native fast path
+
+
+def _native_decode_channels(r, codes, tree, wp_header, image, to_decode,
+                            group_id, distance_multiplier) -> bool:
+    """Decode all channels with the C++ loops; returns False to fall
+    back to Python (prefix codes or native unavailable)."""
+    if codes.use_prefix_code:
+        return False
+    try:
+        from libjxl_tpu.native.bindings import (
+            NativeModularDecoder, available, make_channel_descs,
+            make_tree_array, make_wp_header)
+    except Exception:
+        return False
+    if not available():
+        return False
+    buffers = [np.ascontiguousarray(ch.data) for ch in image.channel]
+    descs = make_channel_descs(image.channel, buffers)
+    tree_arr = make_tree_array(tree)
+    wp_hdr = make_wp_header(wp_header)
+    dec = NativeModularDecoder(r.raw_data, r.bits_consumed, codes,
+                               distance_multiplier)
+    try:
+        for i in to_decode:
+            rc = dec.decode_channel(descs, len(image.channel), i, group_id,
+                                    tree_arr, len(tree), wp_hdr)
+            if rc != 0:
+                raise BitstreamError("native modular decode failed")
+        if not dec.check_final():
+            raise BitstreamError("bad ANS state after modular image")
+        r.seek_bits(dec.bit_pos())
+    finally:
+        dec.close()
+    for ch, buf in zip(image.channel, buffers):
+        ch.data = buf
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Top-level decode / encode
 
@@ -373,12 +459,17 @@ def modular_decode(r: BitReader, image: ModularImage, group_id: int = 0,
                 raise BitstreamError("global tree requested but unavailable")
             tree = global_tree
             codes = global_codes
-        reader = SymbolReader(codes, r, distance_multiplier)
-        for i in to_decode:
-            _decode_channel(reader, tree, header.wp_header, image, i,
-                            group_id)
-        if not reader.check_final_state():
-            raise BitstreamError("bad ANS state after modular image")
+        if _native_decode_channels(r, codes, tree, header.wp_header, image,
+                                   to_decode, group_id,
+                                   distance_multiplier):
+            pass  # decoded natively, reader advanced
+        else:
+            reader = SymbolReader(codes, r, distance_multiplier)
+            for i in to_decode:
+                _decode_channel(reader, tree, header.wp_header, image, i,
+                                group_id)
+            if not reader.check_final_state():
+                raise BitstreamError("bad ANS state after modular image")
     if undo_transforms:
         for t in reversed(header.transforms):
             t.inverse(image, header.wp_header)

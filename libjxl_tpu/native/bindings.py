@@ -1,0 +1,155 @@
+"""ctypes bindings + high-level wrappers for jxl_native.so."""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+
+class TreeNodeC(C.Structure):
+    _fields_ = [("property", C.c_int32), ("splitval", C.c_int32),
+                ("lchild", C.c_int32), ("rchild", C.c_int32),
+                ("predictor", C.c_int32), ("offset", C.c_int32),
+                ("multiplier", C.c_int32)]
+
+
+class WpHeaderC(C.Structure):
+    _fields_ = [("p1c", C.c_int32), ("p2c", C.c_int32), ("p3ca", C.c_int32),
+                ("p3cb", C.c_int32), ("p3cc", C.c_int32), ("p3cd", C.c_int32),
+                ("p3ce", C.c_int32), ("w0", C.c_int32), ("w1", C.c_int32),
+                ("w2", C.c_int32), ("w3", C.c_int32)]
+
+
+class ChannelDescC(C.Structure):
+    _fields_ = [("w", C.c_int32), ("h", C.c_int32), ("hshift", C.c_int32),
+                ("vshift", C.c_int32), ("data", C.POINTER(C.c_int32))]
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LIBJXL_TPU_NO_NATIVE"):
+        return None
+    from libjxl_tpu.native.build import build
+    path = build()
+    if path is None:
+        return None
+    lib = C.CDLL(path)
+    lib.mod_decoder_create.restype = C.c_void_p
+    lib.mod_decoder_create.argtypes = [
+        C.c_char_p, C.c_uint64, C.c_uint64,
+        C.POINTER(C.c_uint16), C.POINTER(C.c_uint16), C.POINTER(C.c_uint32),
+        C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int,
+        C.c_int, C.c_uint32, C.c_uint32, C.c_uint32, C.POINTER(C.c_int32),
+        C.c_uint32]
+    lib.mod_decoder_bit_pos.restype = C.c_uint64
+    lib.mod_decoder_bit_pos.argtypes = [C.c_void_p]
+    lib.mod_decoder_check_final.restype = C.c_int
+    lib.mod_decoder_check_final.argtypes = [C.c_void_p]
+    lib.mod_decoder_destroy.argtypes = [C.c_void_p]
+    lib.mod_decode_channel.restype = C.c_int
+    lib.mod_decode_channel.argtypes = [
+        C.c_void_p, C.POINTER(ChannelDescC), C.c_int, C.c_int, C.c_int,
+        C.POINTER(TreeNodeC), C.c_int, C.POINTER(WpHeaderC)]
+    lib.mod_encode_channel.restype = C.c_int64
+    lib.mod_encode_channel.argtypes = [
+        C.POINTER(ChannelDescC), C.c_int, C.c_int, C.c_int,
+        C.POINTER(TreeNodeC), C.c_int, C.POINTER(WpHeaderC),
+        C.POINTER(C.c_int32), C.POINTER(C.c_uint32), C.c_int64]
+    lib.ans_write_tokens.restype = C.c_int64
+    lib.ans_write_tokens.argtypes = [
+        C.POINTER(C.c_int32), C.POINTER(C.c_uint32), C.c_int64,
+        C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int,
+        C.POINTER(C.c_uint32), C.POINTER(C.c_uint32), C.POINTER(C.c_uint32),
+        C.c_int, C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int64)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _as_ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(C.POINTER(ctype))
+
+
+def make_tree_array(tree) -> "C.Array":
+    arr = (TreeNodeC * len(tree))()
+    for i, n in enumerate(tree):
+        arr[i] = TreeNodeC(n.property, n.splitval, n.lchild, n.rchild,
+                           n.predictor, n.predictor_offset, n.multiplier)
+    return arr
+
+
+def make_wp_header(h) -> WpHeaderC:
+    return WpHeaderC(h.p1c, h.p2c, h.p3ca, h.p3cb, h.p3cc, h.p3cd, h.p3ce,
+                     h.w0, h.w1, h.w2, h.w3)
+
+
+def make_channel_descs(channels, buffers):
+    arr = (ChannelDescC * len(channels))()
+    for i, (ch, buf) in enumerate(zip(channels, buffers)):
+        arr[i] = ChannelDescC(ch.w, ch.h, ch.hshift, ch.vshift,
+                              buf.ctypes.data_as(C.POINTER(C.c_int32)))
+    return arr
+
+
+class NativeModularDecoder:
+    """Wraps the native ANS+modular decoder for one stream."""
+
+    def __init__(self, data: bytes, bit_pos: int, codes, distance_mult: int):
+        lib = get_lib()
+        n = codes.num_histograms
+        self._value = np.concatenate(
+            [t.value for t in codes.alias_tables]).astype(np.uint16)
+        self._offset = np.concatenate(
+            [t.offset for t in codes.alias_tables]).astype(np.uint16)
+        self._freq = np.concatenate(
+            [t.freq for t in codes.alias_tables]).astype(np.uint32)
+        self._cmap = np.array(codes.context_map, np.uint8)
+        self._cfgs = np.array(
+            [[c.split_exponent, c.msb_in_token, c.lsb_in_token]
+             for c in codes.uint_configs], np.int32)
+        lz = codes.lz77
+        self._lzcfg = np.array(
+            [lz.length_uint_config.split_exponent,
+             lz.length_uint_config.msb_in_token,
+             lz.length_uint_config.lsb_in_token], np.int32)
+        self._data = data  # keep alive
+        self.handle = lib.mod_decoder_create(
+            data, len(data), bit_pos,
+            _as_ptr(self._value, C.c_uint16), _as_ptr(self._offset, C.c_uint16),
+            _as_ptr(self._freq, C.c_uint32), _as_ptr(self._cmap, C.c_uint8),
+            _as_ptr(self._cfgs, C.c_int32), n,
+            1 if lz.enabled else 0, lz.min_symbol, lz.min_length,
+            codes.lz77_distance_ctx if lz.enabled else 0,
+            _as_ptr(self._lzcfg, C.c_int32), distance_mult)
+        self.lib = lib
+
+    def decode_channel(self, chan_descs, num_chans, chan_idx, group_id,
+                       tree_arr, num_nodes, wp_hdr) -> int:
+        return self.lib.mod_decode_channel(
+            self.handle, chan_descs, num_chans, chan_idx, group_id,
+            tree_arr, num_nodes, C.byref(wp_hdr))
+
+    def bit_pos(self) -> int:
+        return self.lib.mod_decoder_bit_pos(self.handle)
+
+    def check_final(self) -> bool:
+        return bool(self.lib.mod_decoder_check_final(self.handle))
+
+    def close(self):
+        if self.handle:
+            self.lib.mod_decoder_destroy(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        self.close()

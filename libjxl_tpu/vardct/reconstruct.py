@@ -271,6 +271,51 @@ def dequant_block(coeffs_q: np.ndarray, strategy: int, quantizer: Quantizer,
     return dq
 
 
+def reconstruct_group_dct8(blocks, block_w, block_h, quantizer, raw_quant,
+                           dc, cmap_base, ytox_map, ytob_map, group_bx0,
+                           group_by0, x_qm_mul, b_qm_mul,
+                           biases=DEFAULT_QUANT_BIAS):
+    """Vectorized fast path when every block is DCT8X8."""
+    n = len(blocks)
+    coeffs = np.empty((n, 3, 64), np.int32)
+    bxs = np.empty(n, np.int32)
+    bys = np.empty(n, np.int32)
+    for i, b in enumerate(blocks):
+        coeffs[i] = b.coeffs
+        bxs[i] = b.bx
+        bys[i] = b.by
+    table = quantizer.dequant.table(acs.DCT8X8).reshape(3, 64)
+    rq = raw_quant[bys, bxs].astype(np.float32)
+    scale = quantizer.inv_global_scale / rq  # (n,)
+    qmul = np.array([x_qm_mul, 1.0, b_qm_mul], np.float32)
+    # adjust_quant_bias vectorized over (n,3,64)
+    x = coeffs.astype(np.float32)
+    bias_c = np.asarray(biases[:3], np.float32).reshape(1, 3, 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        general = x - biases[3] / np.where(x == 0, 1, x)
+    biased = np.where(x == 0, 0.0,
+                      np.where(x == 1, bias_c,
+                               np.where(x == -1, -bias_c, general)))
+    dq = biased * table[None] * scale[:, None, None] * qmul[None, :, None]
+    tx = (group_bx0 + bxs) // 8
+    ty = (group_by0 + bys) // 8
+    fx = (cmap_base.base_correlation_x
+          + ytox_map[ty, tx] * cmap_base.color_scale).astype(np.float32)
+    fb = (cmap_base.base_correlation_b
+          + ytob_map[ty, tx] * cmap_base.color_scale).astype(np.float32)
+    dq[:, 0] += fx[:, None] * dq[:, 1]
+    dq[:, 2] += fb[:, None] * dq[:, 1]
+    dq[:, :, 0] = dc[:, bys, bxs].T  # (n,3)
+    i8 = idct_matrix(8).astype(np.float32)
+    blocks8 = dq.reshape(n, 3, 8, 8)
+    pix = np.einsum("yu,ncuv,wv->ncyw", i8, blocks8, i8, optimize=True)
+    out = np.zeros((3, block_h * 8, block_w * 8), np.float32)
+    # scatter: all blocks are 8x8 at (by*8, bx*8)
+    out_blocks = out.reshape(3, block_h, 8, block_w, 8)
+    out_blocks[:, bys, :, bxs, :] = pix.transpose(0, 1, 2, 3)
+    return out
+
+
 def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
                       quantizer: Quantizer, raw_quant: np.ndarray,
                       dc: np.ndarray, cmap_base, ytox_map: np.ndarray,
@@ -282,6 +327,11 @@ def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
     dc: (3, block_h, block_w) dequantized DC for this group's blocks.
     ytox/ytob_map: per-64px-tile factors (group-relative indices
     computed from absolute block coords)."""
+    if blocks and all(b.strategy == acs.DCT8X8 for b in blocks):
+        return reconstruct_group_dct8(
+            blocks, block_w, block_h, quantizer, raw_quant, dc, cmap_base,
+            ytox_map, ytob_map, group_bx0, group_by0, x_qm_mul, b_qm_mul,
+            biases)
     out = np.zeros((3, block_h * 8, block_w * 8), np.float32)
     for blk in blocks:
         cx, cy = acs.covered_blocks(blk.strategy)
