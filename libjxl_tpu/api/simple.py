@@ -47,6 +47,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     if image.ndim == 2:
         image = image[:, :, None]
     h, w, nchan = image.shape
+    has_alpha = nchan in (2, 4)
     if image.dtype == np.uint8:
         bits = 8
         scale = 255.0
@@ -60,32 +61,39 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     meta = CodecMetadata()
     meta.size.set(w, h)
     meta.m.bit_depth = BitDepth.uint(bits)
+    if has_alpha:
+        meta.m.set_alpha_bits(bits)
 
     writer = BitWriter()
     if lossless:
         meta.m.xyb_encoded = False
-        meta.m.color_encoding = ColorEncoding.srgb(is_gray=nchan == 1)
+        meta.m.color_encoding = ColorEncoding.srgb(
+            is_gray=(nchan - (1 if has_alpha else 0)) == 1)
         if image.dtype not in (np.uint8, np.uint16):
             raise ValueError("lossless encode expects integer samples")
         write_codestream_headers(meta, writer)
-        channels = [image[:, :, c].astype(np.int32) for c in range(nchan)]
-        if nchan == 1:
-            channels = channels * 3  # gray stored as 3 identical planes
+        ncolor = nchan - 1 if has_alpha else nchan
+        channels = [image[:, :, c].astype(np.int32) for c in range(ncolor)]
+        if has_alpha:
+            channels.append(image[:, :, -1].astype(np.int32))
         from libjxl_tpu.modular.codec import Transform, TransformId
         transforms = []
-        if nchan >= 3:
+        if len(channels) >= 3:
             transforms = [Transform(id=TransformId.RCT, begin_c=0,
                                     rct_type=6)]
         encode_modular_frame(channels, meta, writer, transforms=transforms)
     else:
         meta.m.xyb_encoded = True
         write_codestream_headers(meta, writer)
-        srgb = image[:, :, :3].astype(np.float32) / scale
-        if nchan == 1:
+        ncolor = nchan - 1 if has_alpha else nchan
+        srgb = image[:, :, :min(ncolor, 3)].astype(np.float32) / scale
+        if ncolor == 1:
             srgb = np.repeat(srgb, 3, axis=2)
         linear = srgb_to_linear(srgb).transpose(2, 0, 1)
         xyb = linear_rgb_to_xyb(linear)
-        encode_vardct_frame(xyb, meta, writer, distance=distance)
+        extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
+        encode_vardct_frame(xyb, meta, writer, distance=distance,
+                            extra_channels=extra)
     writer.align_to_byte()
     return writer.get_bytes()
 
@@ -99,19 +107,19 @@ def decode(data: bytes) -> DecodeResult:
     frame = decode_frame(r, meta)
 
     bits = meta.m.bit_depth.bits_per_sample
+    dtype = np.uint8 if bits <= 8 else np.uint16
+    maxval = (1 << bits) - 1
     if frame.modular_channels is not None:
-        chans = frame.modular_channels
-        arr = np.stack(chans, axis=-1)
-        if meta.m.color_encoding.is_gray:
-            arr = arr[:, :, :1]
-        dtype = np.uint8 if bits <= 8 else np.uint16
-        arr = np.clip(arr, 0, (1 << bits) - 1).astype(dtype)
+        arr = np.stack(frame.modular_channels, axis=-1)
+        arr = np.clip(arr, 0, maxval).astype(dtype)
         return DecodeResult(pixels=arr, metadata=meta, lossless=True)
 
     linear = xyb_to_linear_rgb(frame.xyb)
     srgb = linear_to_srgb(linear)
-    maxval = (1 << bits) - 1
-    dtype = np.uint8 if bits <= 8 else np.uint16
     arr = np.clip(np.round(srgb * maxval), 0, maxval).astype(dtype)
-    return DecodeResult(pixels=arr.transpose(1, 2, 0), metadata=meta,
-                        lossless=False)
+    arr = arr.transpose(1, 2, 0)
+    if frame.extra_channels:
+        alpha = np.clip(frame.extra_channels[0], 0, maxval
+                        ).astype(dtype)[:, :, None]
+        arr = np.concatenate([arr, alpha], axis=-1)
+    return DecodeResult(pixels=arr, metadata=meta, lossless=False)

@@ -42,6 +42,7 @@ class DecodedFrame:
     # For modular frames: the modular image channels as int32 planes.
     xyb: np.ndarray | None = None
     modular_channels: list | None = None
+    extra_channels: list | None = None
     bits_consumed: int = 0
 
 
@@ -211,6 +212,11 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
                 raw_quant[sl], orders, ctx_map, ctx_offset)
             if not reader.check_final_state():
                 raise BitstreamError("bad ANS state in AC group")
+        # Modular stream of this AC group (extra channels; pass 0
+        # shift bracket 0..3, dec_frame.cc:512-530).
+        mrect = fd.group_rect(g)
+        prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
+        mfd.decode_group(prect, br, 0, 3, stream_modular_ac(g, 0, fd))
         pix = reconstruct_group(
             blocks, brect.xsize, brect.ysize, quantizer, raw_quant[sl],
             dc_full[:, brect.y0:brect.y1, brect.x0:brect.x1], cmap,
@@ -226,4 +232,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
                                  quantizer, fd, sharpness=sharpness)
 
     out = out[:, :fd.ysize, :fd.xsize]
-    return DecodedFrame(header=fh, xyb=out)
+    extra = None
+    if metadata.m.num_extra_channels:
+        gi = mfd.finalize()
+        extra = [c.data for c in gi.channel]
+    return DecodedFrame(header=fh, xyb=out, extra_channels=extra)

@@ -66,7 +66,8 @@ class VarDCTEncodeState:
 
 def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         w: BitWriter, distance: float = 1.0,
-                        is_last: bool = True) -> None:
+                        is_last: bool = True,
+                        extra_channels: list | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     Writes frame header + TOC + sections into `w` (byte-aligned)."""
@@ -183,12 +184,13 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
 
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
-                           ytox_map, ytob_map)
+                           ytox_map, ytob_map, extra_channels)
 
 
 def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
-                           ytox_map=None, ytob_map=None):
+                           ytox_map=None, ytob_map=None,
+                           extra_channels=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -196,12 +198,21 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     mfe = ModularFrameEncoder(fd)
     bitdepth = metadata.m.bit_depth.bits_per_sample
 
+    mod_state = {}
+
     def write_lf_global(sw):
         quantizer.dequant.encode_dc(sw)
         quantizer.encode(sw)
         ctx_map.encode(sw)
         cmap.encode_dc(sw)
-        mfe.encode_global_info(sw)
+        if extra_channels:
+            full = ModularImage.from_planes(extra_channels,
+                                            metadata.m.bit_depth.bits_per_sample)
+            st = mfe.encode_global_info(sw, full_image=full)
+            if st:
+                mod_state.update(st)
+        else:
+            mfe.encode_global_info(sw)
 
     def write_dc_group(sw, g):
         rect = fd.dc_group_rect(g)
@@ -263,6 +274,10 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     def write_ac_group(sw, g):
         # single histogram set: no selector bits
         write_tokens(group_tokens[g], ac_codes_holder["codes"], sw)
+        if mod_state:
+            mrect = fd.group_rect(g)
+            prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
+            mfe.encode_group(sw, mod_state, prect, 0, 3)
 
     parts = [write_lf_global]
     parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)

@@ -79,3 +79,28 @@ def test_truncated_stream_raises():
     data = encode(img, distance=1.0)
     with pytest.raises(Exception):
         decode(data[:len(data) // 2])
+
+
+def test_rgba_lossless_roundtrip():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (33, 47, 4), dtype=np.uint8)
+    res = decode(encode(img, lossless=True))
+    np.testing.assert_array_equal(res.pixels, img)
+
+
+def test_rgba_lossy_alpha_is_lossless():
+    y, x = np.mgrid[0:80, 0:90]
+    img = np.stack([x * 2 % 256, y * 3 % 256, (x + y) % 256,
+                    np.where(x > 40, 255, 0)], -1).astype(np.uint8)
+    res = decode(encode(img, distance=1.0))
+    assert res.pixels.shape == (80, 90, 4)
+    np.testing.assert_array_equal(res.pixels[:, :, 3], img[:, :, 3])
+    err = np.abs(res.pixels[:, :, :3].astype(int) - img[:, :, :3].astype(int))
+    assert err.mean() < 4.0
+
+
+def test_gray_roundtrip():
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (25, 31), dtype=np.uint8)
+    res = decode(encode(img, lossless=True))
+    np.testing.assert_array_equal(res.pixels[:, :, 0], img)
