@@ -1,0 +1,123 @@
+"""AC strategy selection: choose transform sizes per region.
+
+Reference: lib/jxl/enc_ac_strategy.cc — per-8x8 entropy estimates, then
+greedy merging into larger DCTs where the estimated rate drops. This
+implementation scores candidates with a vectorized entropy proxy over
+quantized coefficients (sum log2(1+|q|) + nonzero cost), merging
+8x8 -> 16x16 -> 32x32 and trying 16-wide pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libjxl_tpu.vardct import ac_strategy as acs
+from libjxl_tpu.vardct.dct import dct_matrix
+
+# Required relative rate saving before accepting a merge; conservative
+# to avoid smearing detail into large transforms.
+_MERGE_FACTOR = 0.92
+
+
+def _bits_proxy(q: np.ndarray, axis) -> np.ndarray:
+    a = np.abs(q)
+    return np.log2(1.0 + a).sum(axis=axis) + 1.3 * (a > 0).sum(axis=axis)
+
+
+def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
+                      quantizer, *, enable_16: bool = True,
+                      enable_32: bool = True,
+                      enable_rect: bool = True) -> np.ndarray:
+    """Returns per-8x8-block strategy map (-1 marks covered non-first
+    blocks). planes: (3, H, W) XYB padded to blocks."""
+    _, h, w = planes.shape
+    by, bx = h // 8, w // 8
+    strategies = np.zeros((by, bx), np.int32)
+    if not (enable_16 or enable_32 or enable_rect):
+        return strategies
+
+    dm = quantizer.dequant
+    inv_gs = quantizer.inv_global_scale
+    y = planes[1].astype(np.float64)
+
+    m8 = dct_matrix(8)
+    blocks8 = y.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coef8 = np.einsum("ui,abij,wj->abuw", m8, blocks8, m8, optimize=True)
+    inv8y = (1.0 / dm.table(acs.DCT8X8))[1].ravel()
+    scale8 = raw_quant.astype(np.float64) / inv_gs
+    q8 = np.round(coef8.reshape(by, bx, 64) * inv8y * scale8[..., None])
+    q8[..., 0] = 0
+    bits8 = _bits_proxy(q8, axis=-1)
+
+    accept = None
+    bits16 = None
+    # ---- 16x16 pass (vectorized over all aligned 2x2 tiles) ----
+    if enable_16 and by >= 2 and bx >= 2:
+        m16 = dct_matrix(16)
+        inv16y = (1.0 / dm.table(acs.DCT16X16))[1]
+        ty, tx = by // 2, bx // 2
+        regions = y[:ty * 16, :tx * 16].reshape(ty, 16, tx, 16)
+        regions = regions.transpose(0, 2, 1, 3)  # (ty,tx,16,16)
+        coef16 = np.einsum("ui,abij,wj->abuw", m16, regions, m16,
+                           optimize=True)
+        rq16 = raw_quant[:ty * 2, :tx * 2].reshape(ty, 2, tx, 2) \
+            .max(axis=(1, 3))
+        sc16 = (rq16 / inv_gs)[..., None, None]
+        q16 = np.round(coef16 * inv16y * sc16)
+        q16[..., :2, :2] = 0
+        bits16 = _bits_proxy(q16, axis=(-2, -1))
+        bits8_t = bits8[:ty * 2, :tx * 2].reshape(ty, 2, tx, 2) \
+            .sum(axis=(1, 3))
+        accept = bits16 < bits8_t * _MERGE_FACTOR
+        for t_y, t_x in zip(*np.nonzero(accept)):
+            b0y, b0x = t_y * 2, t_x * 2
+            strategies[b0y:b0y + 2, b0x:b0x + 2] = -1
+            strategies[b0y, b0x] = acs.DCT16X16
+
+        # ---- 32x32 pass over regions fully covered by accepted 16s ----
+        if enable_32 and ty >= 2 and tx >= 2:
+            m32 = dct_matrix(32)
+            inv32y = (1.0 / dm.table(acs.DCT32X32))[1]
+            qy, qx = by // 4, bx // 4
+            cand = accept[:qy * 2, :qx * 2].reshape(qy, 2, qx, 2) \
+                .all(axis=(1, 3))
+            if cand.any():
+                regions32 = y[:qy * 32, :qx * 32].reshape(qy, 32, qx, 32)
+                regions32 = regions32.transpose(0, 2, 1, 3)
+                coef32 = np.einsum("ui,abij,wj->abuw", m32, regions32, m32,
+                                   optimize=True)
+                rq32 = raw_quant[:qy * 4, :qx * 4].reshape(qy, 4, qx, 4) \
+                    .max(axis=(1, 3))
+                sc32 = (rq32 / inv_gs)[..., None, None]
+                q32 = np.round(coef32 * inv32y * sc32)
+                q32[..., :4, :4] = 0
+                bits32 = _bits_proxy(q32, axis=(-2, -1))
+                bits16_q = bits16[:qy * 2, :qx * 2].reshape(qy, 2, qx, 2) \
+                    .sum(axis=(1, 3))
+                accept32 = cand & (bits32 < bits16_q * _MERGE_FACTOR)
+                for t_y, t_x in zip(*np.nonzero(accept32)):
+                    b0y, b0x = t_y * 4, t_x * 4
+                    strategies[b0y:b0y + 4, b0x:b0x + 4] = -1
+                    strategies[b0y, b0x] = acs.DCT32X32
+
+    # ---- 16-wide pairs on remaining 8x8 blocks ----
+    if enable_rect and bx >= 2:
+        m16 = dct_matrix(16)
+        invwy = (1.0 / dm.table(acs.DCT8X16))[1]  # (8,16)
+        px = bx // 2
+        regions = y[:, :px * 16].reshape(by, 8, px, 16).transpose(0, 2, 1, 3)
+        coefw = np.einsum("ui,abij,wj->abuw", m8, regions, m16,
+                          optimize=True)  # (by,px,8,16)
+        rqw = raw_quant[:, :px * 2].reshape(by, px, 2).max(axis=-1)
+        scw = (rqw / inv_gs)[..., None, None]
+        qw = np.round(coefw * invwy * scw)
+        qw[..., :1, :2] = 0
+        bitsw = _bits_proxy(qw, axis=(-2, -1))
+        bits8_p = bits8[:, :px * 2].reshape(by, px, 2).sum(axis=-1)
+        free = (strategies[:, 0:px * 2:2] == acs.DCT8X8) \
+            & (strategies[:, 1:px * 2:2] == acs.DCT8X8)
+        accept_w = free & (bitsw < bits8_p * _MERGE_FACTOR)
+        for yy, pp in zip(*np.nonzero(accept_w)):
+            strategies[yy, pp * 2] = acs.DCT8X16
+            strategies[yy, pp * 2 + 1] = -1
+    return strategies

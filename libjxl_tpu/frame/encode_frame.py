@@ -104,10 +104,19 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     x_mul = x_qm_multiplier(fh.x_qm_scale)
     b_mul = b_qm_multiplier(fh.b_qm_scale)
 
-    # ---- Forward DCT + quantize (8x8 strategy everywhere) ----
+    # ---- AC strategy selection ----
+    from libjxl_tpu.frame.acs_select import select_strategies
+    strategies = select_strategies(planes, raw_quant, quantizer)
+    # AdjustQuantField: uniform qf within a multi-block strategy (max).
+    for by0, bx0 in zip(*np.nonzero(strategies > 0)):
+        s = int(strategies[by0, bx0])
+        cx, cy = acs.covered_blocks(s)
+        raw_quant[by0:by0 + cy, bx0:bx0 + cx] = \
+            raw_quant[by0:by0 + cy, bx0:bx0 + cx].max()
+
+    # ---- Forward DCT (batched 8x8 plus per-strategy large blocks) ----
     table = matrices.table(acs.DCT8X8)  # (3, 8, 8)
     inv_table = 1.0 / table
-    strategies = np.zeros((fd.ysize_blocks, fd.xsize_blocks), np.int32)
 
     # DC path
     mul_dc = quantizer.mul_dc()  # per-channel dequant step
@@ -117,7 +126,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     coeffs = np.zeros(
         (3, fd.ysize_blocks, fd.xsize_blocks, 64), np.float32)
     # Batched 8x8 DCT via matrix multiplication.
-    from libjxl_tpu.vardct.dct import dct_matrix
+    from libjxl_tpu.vardct.dct import dct_matrix, dc_from_llf
     m8 = dct_matrix(8)
     for c in range(3):
         blocks = planes[c].reshape(fd.ysize_blocks, 8, fd.xsize_blocks, 8)
@@ -126,6 +135,26 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                          optimize=True)
         coeffs[c] = coef.reshape(fd.ysize_blocks, fd.xsize_blocks, 64)
         dc_float[c] = coef[:, :, 0, 0]
+
+    # Large/rect blocks: per-strategy transforms + DC-from-LLF.
+    from libjxl_tpu.vardct.reconstruct import transform_from_pixels
+    big_blocks = {}
+    for by0, bx0 in zip(*np.nonzero(strategies > 0)):
+        s = int(strategies[by0, bx0])
+        cx, cy = acs.covered_blocks(s)
+        ly, lx = acs.coefficient_layout(cy, cx)
+        region = planes[:, by0 * 8:(by0 + cy) * 8, bx0 * 8:(bx0 + cx) * 8]
+        cblock = np.zeros((3, cx * cy * 64), np.float32)
+        for c in range(3):
+            cf = transform_from_pixels(s, region[c].astype(np.float64))
+            cblock[c] = cf
+            grid = cf.reshape(ly * 8, lx * 8)
+            llf = grid[:ly, :lx]
+            if cy > cx:
+                llf = llf.T
+            dc_float[c, by0:by0 + cy, bx0:bx0 + cx] = \
+                dc_from_llf(llf, cy * 8, cx * 8)
+        big_blocks[(by0, bx0)] = cblock
 
     # Quantize DC with CfL (Y first, then X/B against dequantized Y).
     qdc = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks), np.int32)
@@ -171,15 +200,49 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                   * flat_inv[2] * (sc / b_mul)).astype(np.int32)
     qall = np.stack([qx, qy, qb], axis=0)  # (3,BY,BX,64)
     qall[..., 0] = 0  # LLF slot not coded
+
+    # Quantize the large blocks (per-strategy tables, with CfL).
+    from libjxl_tpu.vardct.quantizer import adjust_quant_bias
+    big_q = {}
+    for (by0, bx0), cblock in big_blocks.items():
+        s = int(strategies[by0, bx0])
+        cx, cy = acs.covered_blocks(s)
+        ly, lx = acs.coefficient_layout(cy, cx)
+        size = cx * cy * 64
+        t_s = matrices.table(s).reshape(3, size)
+        inv_s = 1.0 / t_s
+        rqv = int(raw_quant[by0, bx0])
+        sc_s = rqv / quantizer.inv_global_scale
+        ytox0 = cmap.ytox(int(ytox_map[by0 // 8, bx0 // 8]))
+        ytob0 = cmap.ytob(int(ytob_map[by0 // 8, bx0 // 8]))
+        q = np.zeros((3, size), np.int32)
+        q[1] = np.round(cblock[1] * inv_s[1] * sc_s)
+        dqy = adjust_quant_bias(q[None, 1].repeat(3, 0))[1] \
+            * t_s[1] / sc_s
+        q[0] = np.round((cblock[0] - ytox0 * dqy) * inv_s[0]
+                        * (sc_s / x_mul))
+        q[2] = np.round((cblock[2] - ytob0 * dqy) * inv_s[2]
+                        * (sc_s / b_mul))
+        # Zero LLF slots (first cy x cx of the layout grid).
+        grid = q.reshape(3, ly * 8, lx * 8)
+        grid[:, :ly, :lx] = 0
+        big_q[(by0, bx0)] = q
+
     blocks_per_group: dict = {}
     for g in range(fd.num_groups):
         brect = fd.block_group_rect(g)
         blist = []
         for by in range(brect.ysize):
             for bx in range(brect.xsize):
-                blist.append(CoeffBlock(
-                    bx, by, acs.DCT8X8,
-                    qall[:, brect.y0 + by, brect.x0 + bx]))
+                aby, abx = brect.y0 + by, brect.x0 + bx
+                s = int(strategies[aby, abx])
+                if s < 0:
+                    continue
+                if s == acs.DCT8X8:
+                    blist.append(CoeffBlock(bx, by, s,
+                                            qall[:, aby, abx]))
+                else:
+                    blist.append(CoeffBlock(bx, by, s, big_q[(aby, abx)]))
         blocks_per_group[g] = blist
 
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
