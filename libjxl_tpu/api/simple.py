@@ -16,6 +16,8 @@ import numpy as np
 from libjxl_tpu.base.errors import BitstreamError
 from libjxl_tpu.bitstream.bit_io import BitReader, BitWriter
 from libjxl_tpu.color.color_encoding import ColorEncoding
+from libjxl_tpu.container.boxes import is_container, pack_container, \
+    unpack_container
 from libjxl_tpu.color.xyb import (
     linear_rgb_to_xyb, linear_to_srgb, srgb_to_linear, xyb_to_linear_rgb,
 )
@@ -36,7 +38,7 @@ class DecodeResult:
 
 
 def encode(image: np.ndarray, *, distance: float = 1.0,
-           lossless: bool = False) -> bytes:
+           lossless: bool = False, container: bool = False) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -95,10 +97,13 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         encode_vardct_frame(xyb, meta, writer, distance=distance,
                             extra_channels=extra)
     writer.align_to_byte()
-    return writer.get_bytes()
+    data = writer.get_bytes()
+    return pack_container(data) if container else data
 
 
 def decode(data: bytes) -> DecodeResult:
+    if is_container(data):
+        data = unpack_container(data).codestream
     r = BitReader(data)
     meta = read_codestream_headers(r)
     if meta.m.color_encoding.want_icc:

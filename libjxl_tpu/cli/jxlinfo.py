@@ -25,6 +25,14 @@ def main(argv=None) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
+    from libjxl_tpu.container.boxes import is_container, unpack_container
+    if is_container(data):
+        content = unpack_container(data)
+        print(f"container: level {content.level}, "
+              f"codestream {len(content.codestream)} bytes"
+              + (", exif" if content.exif else "")
+              + (", xml" if content.xml else ""))
+        data = content.codestream
     r = BitReader(data)
     meta = read_codestream_headers(r)
     m = meta.m
