@@ -38,7 +38,8 @@ class DecodeResult:
 
 
 def encode(image: np.ndarray, *, distance: float = 1.0,
-           lossless: bool = False, container: bool = False) -> bytes:
+           lossless: bool = False, container: bool = False,
+           progressive: bool = False) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -95,7 +96,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         xyb = linear_rgb_to_xyb(linear)
         extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
         encode_vardct_frame(xyb, meta, writer, distance=distance,
-                            extra_channels=extra)
+                            extra_channels=extra,
+                            pass_shifts=[2, 0] if progressive else None)
     writer.align_to_byte()
     data = writer.get_bytes()
     return pack_container(data) if container else data

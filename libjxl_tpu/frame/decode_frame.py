@@ -60,8 +60,6 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     fd = fh.to_frame_dimensions()
 
     num_passes = fh.passes.num_passes
-    if num_passes != 1:
-        raise UnsupportedError("multiple passes not supported yet")
     toc_entries = num_toc_entries(fd.num_groups, fd.num_dc_groups, num_passes)
     sizes, offsets = read_toc(toc_entries, r)
     r.align_to_byte()
@@ -118,10 +116,14 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
 
     if not is_vardct:
         # ---- Modular AC groups ----
-        for g in range(fd.num_groups):
-            br = get(2 + fd.num_dc_groups + g) if not single else seq
-            rect = fd.group_rect(g)
-            mfd.decode_group(rect, br, 0, 3, stream_modular_ac(g, 0, fd))
+        for p in range(num_passes):
+            min_s, max_s = fh.passes.downsampling_bracket(p)
+            for g in range(fd.num_groups):
+                br = get(2 + fd.num_dc_groups + p * fd.num_groups + g) \
+                    if not single else seq
+                rect = fd.group_rect(g)
+                mfd.decode_group(rect, br, min_s, max_s,
+                                 stream_modular_ac(g, p, fd))
         gi = mfd.finalize()
         return DecodedFrame(header=fh,
                             modular_channels=[c.data for c in gi.channel])
@@ -176,11 +178,14 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
         if fd.num_groups > 1 else 0
     num_histograms = 1 + (acg.read(num_histo_bits) if num_histo_bits else 0)
-    used_orders = read_used_orders(acg)
-    orders = decode_coeff_orders(used_orders, used_acs, acg)
     from libjxl_tpu.entropy.codes import decode_histograms, SymbolReader
     num_contexts = num_histograms * ctx_map.num_ac_contexts()
-    ac_codes = decode_histograms(acg, num_contexts)
+    # Per-pass coefficient orders + histograms (dec_frame.cc:396-413).
+    pass_orders, pass_codes = [], []
+    for _p in range(num_passes):
+        used_orders = read_used_orders(acg)
+        pass_orders.append(decode_coeff_orders(used_orders, used_acs, acg))
+        pass_codes.append(decode_histograms(acg, num_contexts))
 
     # ---- AC groups ----
     x_mul = x_qm_multiplier(fh.x_qm_scale)
@@ -190,33 +195,57 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
         else 0
     from libjxl_tpu.vardct.group_native import (
         native_decode_group, prepare_blocks)
+    group_blocks: list = [None] * fd.num_groups
+    for p in range(num_passes):
+        shift = fh.passes.shift[p]
+        min_s, max_s = fh.passes.downsampling_bracket(p)
+        orders = pass_orders[p]
+        ac_codes = pass_codes[p]
+        for g in range(fd.num_groups):
+            br = get(2 + fd.num_dc_groups + p * fd.num_groups + g) \
+                if not single else seq
+            brect = fd.block_group_rect(g)
+            cur_histogram = br.read(histo_bits) if histo_bits else 0
+            if cur_histogram >= num_histograms:
+                raise BitstreamError("invalid histogram selector")
+            ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
+            sl = brect.slices()
+            prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
+                                  orders)
+            native = native_decode_group(br.raw_data, br.bits_consumed,
+                                         ac_codes, brect.xsize, brect.ysize,
+                                         prep, ctx_map, ctx_offset)
+            if native is not None:
+                blocks, new_pos = native
+                br.seek_bits(new_pos)
+            else:
+                reader = SymbolReader(ac_codes, br)
+                blocks = decode_group_coeffs(
+                    reader, brect.xsize, brect.ysize, strategies[sl],
+                    raw_quant[sl], orders, ctx_map, ctx_offset)
+                if not reader.check_final_state():
+                    raise BitstreamError("bad ANS state in AC group")
+            # Modular stream of this AC group for this pass's shift
+            # bracket (dec_frame.cc:512-530).
+            mrect = fd.group_rect(g)
+            prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
+            mfd.decode_group(prect, br, min_s, max_s,
+                             stream_modular_ac(g, p, fd))
+            # Accumulate pass coefficients: coeff += decoded << shift
+            # (dec_group.cc DecodeACVarBlock shift param).
+            if group_blocks[g] is None:
+                if shift:
+                    for blk in blocks:
+                        np.left_shift(blk.coeffs, shift, out=blk.coeffs)
+                group_blocks[g] = blocks
+            else:
+                for acc, blk in zip(group_blocks[g], blocks):
+                    acc.coeffs += blk.coeffs << shift
+
     for g in range(fd.num_groups):
-        br = get(2 + fd.num_dc_groups + g) if not single else seq
         brect = fd.block_group_rect(g)
-        cur_histogram = br.read(histo_bits) if histo_bits else 0
-        if cur_histogram >= num_histograms:
-            raise BitstreamError("invalid histogram selector")
-        ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
         sl = brect.slices()
-        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map, orders)
-        native = native_decode_group(br.raw_data, br.bits_consumed, ac_codes,
-                                     brect.xsize, brect.ysize, prep, ctx_map,
-                                     ctx_offset)
-        if native is not None:
-            blocks, new_pos = native
-            br.seek_bits(new_pos)
-        else:
-            reader = SymbolReader(ac_codes, br)
-            blocks = decode_group_coeffs(
-                reader, brect.xsize, brect.ysize, strategies[sl],
-                raw_quant[sl], orders, ctx_map, ctx_offset)
-            if not reader.check_final_state():
-                raise BitstreamError("bad ANS state in AC group")
-        # Modular stream of this AC group (extra channels; pass 0
-        # shift bracket 0..3, dec_frame.cc:512-530).
-        mrect = fd.group_rect(g)
-        prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
-        mfd.decode_group(prect, br, 0, 3, stream_modular_ac(g, 0, fd))
+        blocks = group_blocks[g]
         pix = reconstruct_group(
             blocks, brect.xsize, brect.ysize, quantizer, raw_quant[sl],
             dc_full[:, brect.y0:brect.y1, brect.x0:brect.x1], cmap,

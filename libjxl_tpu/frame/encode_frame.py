@@ -67,15 +67,24 @@ class VarDCTEncodeState:
 def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         w: BitWriter, distance: float = 1.0,
                         is_last: bool = True,
-                        extra_channels: list | None = None) -> None:
+                        extra_channels: list | None = None,
+                        pass_shifts: list | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
+    pass_shifts: per-pass coefficient shifts for progressive encoding
+    (e.g. [2, 0]); the last entry must be 0. None = single pass.
     Writes frame header + TOC + sections into `w` (byte-aligned)."""
     _, ysize, xsize = xyb.shape
     fh = FrameHeader(nonserialized_metadata=metadata)
     fh.encoding = FrameEncoding.VARDCT
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
     fh.is_last = is_last
+    if pass_shifts and len(pass_shifts) > 1:
+        if pass_shifts[-1] != 0:
+            raise ValueError("last pass must have shift 0")
+        fh.passes.num_passes = len(pass_shifts)
+        for i, s in enumerate(pass_shifts):
+            fh.passes.shift[i] = s
     # Loop filters: gaborish + 2 EPF passes, like the reference's
     # defaults for photographic content (loop_filter.h, enc_heuristics).
     fh.loop_filter.all_default = distance > 0.0
@@ -250,6 +259,28 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                            ytox_map, ytob_map, extra_channels)
 
 
+def _split_pass_blocks(blocks_per_group: dict, shifts: list,
+                       ) -> list[dict]:
+    """Split quantized coefficients across progressive passes so that
+    sum_p(t_p << shift_p) reconstructs the original values
+    (enc_progressive / progressive_split.h semantics; the exact split
+    is encoder freedom). Truncation toward zero keeps early-pass
+    previews unbiased."""
+    per_pass: list[dict] = [dict() for _ in shifts]
+    for g, blist in blocks_per_group.items():
+        residual = [blk.coeffs.astype(np.int64) for blk in blist]
+        for p, s in enumerate(shifts):
+            out = []
+            for i, blk in enumerate(blist):
+                r = residual[i]
+                t = np.sign(r) * (np.abs(r) >> s)
+                residual[i] = r - (t << s)
+                out.append(CoeffBlock(blk.bx, blk.by, blk.strategy,
+                                      t.astype(np.int32)))
+            per_pass[p][g] = out
+    return per_pass
+
+
 def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map=None, ytob_map=None,
@@ -299,6 +330,10 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                                strategies[sl], raw_quant[sl], epf, bitdepth)
 
     # Tokenize all groups up-front (shared histograms live in ACGlobal).
+    num_passes = fh.passes.num_passes
+    shifts = [fh.passes.shift[p] for p in range(num_passes)]
+    pass_blocks = _split_pass_blocks(blocks_per_group, shifts) \
+        if num_passes > 1 else [blocks_per_group]
     orders = {}
     for s in range(acs.NUM_STRATEGIES):
         ord_b = acs.STRATEGY_ORDER[s]
@@ -306,20 +341,25 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
             orders[(ord_b, c)] = acs.natural_coeff_order(s)
     from libjxl_tpu.vardct.group_native import (
         native_tokenize_group, prepare_blocks)
-    group_tokens = []
-    for g in range(fd.num_groups):
-        brect = fd.block_group_rect(g)
-        sl = brect.slices()
-        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map, orders)
-        nat = native_tokenize_group(blocks_per_group[g], brect.xsize,
-                                    brect.ysize, prep, ctx_map)
-        if nat is not None:
-            group_tokens.append(nat)
-            continue
-        tokens = []
-        tokenize_group_coeffs(blocks_per_group[g], brect.xsize, brect.ysize,
-                              raw_quant[sl], orders, ctx_map, tokens)
-        group_tokens.append(tokens)
+    pass_tokens = []
+    for p in range(num_passes):
+        group_tokens = []
+        for g in range(fd.num_groups):
+            brect = fd.block_group_rect(g)
+            sl = brect.slices()
+            prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
+                                  orders)
+            nat = native_tokenize_group(pass_blocks[p][g], brect.xsize,
+                                        brect.ysize, prep, ctx_map)
+            if nat is not None:
+                group_tokens.append(nat)
+                continue
+            tokens = []
+            tokenize_group_coeffs(pass_blocks[p][g], brect.xsize,
+                                  brect.ysize, raw_quant[sl], orders,
+                                  ctx_map, tokens)
+            group_tokens.append(tokens)
+        pass_tokens.append(group_tokens)
 
     ac_codes_holder = {}
 
@@ -329,26 +369,30 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
             if fd.num_groups > 1 else 0
         if num_histo_bits:
             sw.write(num_histo_bits, 0)  # num_histograms = 1
-        write_used_orders(0, sw)  # natural orders everywhere
         num_contexts = ctx_map.num_ac_contexts()
-        ac_codes_holder["codes"] = build_and_encode_histograms(
-            num_contexts, group_tokens, sw)
+        codes = []
+        for p in range(num_passes):
+            write_used_orders(0, sw)  # natural orders everywhere
+            codes.append(build_and_encode_histograms(
+                num_contexts, pass_tokens[p], sw))
+        ac_codes_holder["codes"] = codes
 
-    def write_ac_group(sw, g):
+    def write_ac_group(sw, g, p):
         # single histogram set: no selector bits
-        write_tokens(group_tokens[g], ac_codes_holder["codes"], sw)
+        write_tokens(pass_tokens[p][g], ac_codes_holder["codes"][p], sw)
         if mod_state:
+            min_s, max_s = fh.passes.downsampling_bracket(p)
             mrect = fd.group_rect(g)
             prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
-            mfe.encode_group(sw, mod_state, prect, 0, 3)
+            mfe.encode_group(sw, mod_state, prect, min_s, max_s)
 
     parts = [write_lf_global]
     parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)
               for g in range(fd.num_dc_groups)]
     parts += [write_ac_global]
-    parts += [(lambda g: (lambda sw: write_ac_group(sw, g)))(g)
-              for g in range(fd.num_groups)]
-    _emit_sections(w, fh, fd, parts)
+    parts += [(lambda g, p: (lambda sw: write_ac_group(sw, g, p)))(g, p)
+              for p in range(num_passes) for g in range(fd.num_groups)]
+    _emit_sections(w, fh, fd, parts, num_passes)
 
 
 def _emit_sections(w, fh, fd, parts, num_passes: int = 1):
@@ -415,7 +459,8 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
         pass  # modular frames carry nothing in ACGlobal
 
     def write_ac_group(sw, g):
-        mfe.encode_group(sw, state, fd.group_rect(g), 0, 3)
+        min_s, max_s = fh.passes.downsampling_bracket(0)
+        mfe.encode_group(sw, state, fd.group_rect(g), min_s, max_s)
 
     parts = [write_lf_global]
     parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)

@@ -179,6 +179,23 @@ class Passes:
                 if self.last_pass[i] >= self.num_passes:
                     raise BitstreamError("last_pass >= num_passes")
 
+    def downsampling_bracket(self, pass_idx: int) -> tuple[int, int]:
+        """(min_shift, max_shift) of modular channels coded in this pass
+        (frame_header.h GetDownsamplingBracket). An empty bracket
+        (min > max) means the pass carries no modular AC channels."""
+        max_shift, min_shift = 2, 3
+        i = 0
+        while True:
+            for j in range(self.num_downsample):
+                if i == self.last_pass[j]:
+                    min_shift = {8: 3, 4: 2, 2: 1, 1: 0}[self.downsample[j]]
+            if i == self.num_passes - 1:
+                min_shift = 0
+            if i == pass_idx:
+                return min_shift, max_shift
+            max_shift = min_shift - 1
+            i += 1
+
 
 _GAB_W1_DEFAULT = 1.1 * 0.104699568
 _GAB_W2_DEFAULT = 1.1 * 0.055680538

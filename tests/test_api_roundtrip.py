@@ -104,3 +104,23 @@ def test_gray_roundtrip():
     img = rng.integers(0, 256, (25, 31), dtype=np.uint8)
     res = decode(encode(img, lossless=True))
     np.testing.assert_array_equal(res.pixels[:, :, 0], img)
+
+
+def test_progressive_roundtrip():
+    img = _gradient_image(56, 72)
+    d1 = encode(img, distance=1.0)
+    d2 = encode(img, distance=1.0, progressive=True)
+    r1 = decode(d1)
+    r2 = decode(d2)
+    # The pass split is exact: reconstruction matches single-pass.
+    np.testing.assert_array_equal(r1.pixels, r2.pixels)
+
+
+def test_progressive_multigroup_rgba():
+    y, x = np.mgrid[0:280, 0:300]
+    img = np.stack([x % 256, y % 256, (x + y) % 256,
+                    np.where(x > 150, 255, 128)], -1).astype(np.uint8)
+    res = decode(encode(img, distance=1.0, progressive=True))
+    np.testing.assert_array_equal(res.pixels[:, :, 3], img[:, :, 3])
+    err = np.abs(res.pixels[:, :, :3].astype(int) - img[:, :, :3].astype(int))
+    assert err.mean() < 4.0
