@@ -39,7 +39,7 @@ class DecodeResult:
 
 def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
-           progressive: bool = False) -> bytes:
+           progressive: bool = False, noise: float | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -97,7 +97,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
         encode_vardct_frame(xyb, meta, writer, distance=distance,
                             extra_channels=extra,
-                            pass_shifts=[2, 0] if progressive else None)
+                            pass_shifts=[2, 0] if progressive else None,
+                            noise=noise)
     writer.align_to_byte()
     data = writer.get_bytes()
     return pack_container(data) if container else data

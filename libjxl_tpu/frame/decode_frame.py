@@ -53,8 +53,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     if fh.frame_type not in (FrameType.REGULAR,):
         raise UnsupportedError("only regular frames supported yet")
     if fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES
-                   | FrameFlags.NOISE | FrameFlags.USE_DC_FRAME):
-        raise UnsupportedError("image features not supported yet")
+                   | FrameFlags.USE_DC_FRAME):
+        raise UnsupportedError("patches/splines/dc-frame not supported yet")
     if fh.upsampling != 1:
         raise UnsupportedError("frame upsampling not supported yet")
     fd = fh.to_frame_dimensions()
@@ -86,6 +86,11 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
 
     # ---- LfGlobal (section 0) ----
     lf = get(0)
+    # Image features come first (dec_frame.cc ProcessDCGlobal:272-300).
+    noise_lut = None
+    if fh.flags & FrameFlags.NOISE:
+        from libjxl_tpu.frame.noise import decode_noise
+        noise_lut = decode_noise(lf)
     matrices = DequantMatrices()
     matrices.decode_dc(lf)
     quantizer = Quantizer(matrices)
@@ -259,6 +264,10 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
         from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
         out = apply_loop_filters(out, lfp, raw_quant, strategies,
                                  quantizer, fd, sharpness=sharpness)
+
+    if noise_lut is not None:
+        from libjxl_tpu.frame.noise import add_noise
+        out = add_noise(out, noise_lut, cmap, fd)
 
     out = out[:, :fd.ysize, :fd.xsize]
     extra = None

@@ -68,16 +68,22 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         w: BitWriter, distance: float = 1.0,
                         is_last: bool = True,
                         extra_channels: list | None = None,
-                        pass_shifts: list | None = None) -> None:
+                        pass_shifts: list | None = None,
+                        noise: float | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
     (e.g. [2, 0]); the last entry must be 0. None = single pass.
+    noise: synthetic film-grain strength in [0, 1] (constant LUT).
     Writes frame header + TOC + sections into `w` (byte-aligned)."""
     _, ysize, xsize = xyb.shape
     fh = FrameHeader(nonserialized_metadata=metadata)
     fh.encoding = FrameEncoding.VARDCT
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
+    noise_lut = None
+    if noise is not None and noise > 0:
+        fh.flags |= int(FrameFlags.NOISE)
+        noise_lut = np.full(8, float(noise), np.float32)
     fh.is_last = is_last
     if pass_shifts and len(pass_shifts) > 1:
         if pass_shifts[-1] != 0:
@@ -256,7 +262,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
 
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
-                           ytox_map, ytob_map, extra_channels)
+                           ytox_map, ytob_map, extra_channels, noise_lut)
 
 
 def _split_pass_blocks(blocks_per_group: dict, shifts: list,
@@ -284,7 +290,7 @@ def _split_pass_blocks(blocks_per_group: dict, shifts: list,
 def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map=None, ytob_map=None,
-                           extra_channels=None):
+                           extra_channels=None, noise_lut=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -295,6 +301,9 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     mod_state = {}
 
     def write_lf_global(sw):
+        if noise_lut is not None:
+            from libjxl_tpu.frame.noise import encode_noise
+            encode_noise(noise_lut, sw)
         quantizer.dequant.encode_dc(sw)
         quantizer.encode(sw)
         ctx_map.encode(sw)

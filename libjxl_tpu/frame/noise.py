@@ -1,0 +1,168 @@
+"""Noise synthesis (film-grain) — parameters, RNG, and application.
+
+Reference: lib/jxl/noise.h (NoiseParams, 8-point LUT at 1024 precision),
+dec_noise.cc (DecodeNoise, Xorshift128Plus-seeded random planes per
+group), render_pipeline/stage_noise.cc (5x5 Laplacian convolution +
+AddNoise stage), xorshift128plus-inl.h (8-lane generator seeded via
+SplitMix64). The convolution and strength application are vectorized
+over whole planes; the per-group RNG stream layout matches the
+reference's batch structure exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NOISE_PRECISION = 1024.0
+NUM_NOISE_POINTS = 8
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def decode_noise(r) -> np.ndarray:
+    """DecodeNoise: 8 x 10-bit LUT values / 1024."""
+    return np.array([r.read(10) / NOISE_PRECISION
+                     for _ in range(NUM_NOISE_POINTS)], np.float32)
+
+
+def encode_noise(lut: np.ndarray, w) -> None:
+    for v in lut:
+        q = int(np.clip(round(float(v) * NOISE_PRECISION), 0, 1023))
+        w.write(10, q)
+
+
+class Xorshift128Plus:
+    """8 independent xorshift128+ generators (xorshift128plus-inl.h)."""
+
+    N = 8
+
+    def __init__(self, seed1: int, seed2: int, seed3: int, seed4: int):
+        def split_mix(z: np.uint64) -> np.uint64:
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z &= _MASK
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z &= _MASK
+            return z ^ (z >> np.uint64(31))
+
+        golden = np.uint64(0x9E3779B97F4A7C15)
+        s0 = np.zeros(self.N, np.uint64)
+        s1 = np.zeros(self.N, np.uint64)
+        with np.errstate(over="ignore"):
+            s0[0] = split_mix(
+                (np.uint64((seed1 << 32) + seed2) + golden) & _MASK)
+            s1[0] = split_mix(
+                (np.uint64((seed3 << 32) + seed4) + golden) & _MASK)
+            for i in range(1, self.N):
+                s0[i] = split_mix(s0[i - 1])
+                s1[i] = split_mix(s1[i - 1])
+        self.s0 = s0
+        self.s1 = s1
+
+    def fill(self) -> np.ndarray:
+        """Returns 16 uint32 of random bits (one batch)."""
+        a, b = self.s0, self.s1
+        with np.errstate(over="ignore"):
+            bits = (a + b) & _MASK
+            self.s0 = b
+            t = (a ^ ((a << np.uint64(23)) & _MASK))
+            self.s1 = t ^ b ^ (t >> np.uint64(18)) ^ (b >> np.uint64(5))
+        return bits.view(np.uint32)  # little-endian: low word first
+
+
+def _bits_to_float(u32: np.ndarray) -> np.ndarray:
+    # 1.0 + 23 random mantissa bits => [1, 2)
+    return ((u32 >> np.uint32(9)) | np.uint32(0x3F800000)).view(np.float32)
+
+
+def _random_plane_rows(rng: Xorshift128Plus, xsize: int, ysize: int,
+                       ) -> np.ndarray:
+    """RandomImage: per-row batches of 16 floats; the tail row segment
+    always consumes a fresh batch (dec_noise.cc:48-76)."""
+    out = np.empty((ysize, xsize), np.float32)
+    batch = 2 * Xorshift128Plus.N  # 16 floats per Fill
+    n_full = max(0, -(-(xsize - batch) // batch)) if xsize > batch else 0
+    for y in range(ysize):
+        x = 0
+        for _ in range(n_full):
+            out[y, x:x + batch] = _bits_to_float(rng.fill())
+            x += batch
+        if x < xsize:
+            tail = _bits_to_float(rng.fill())
+            out[y, x:] = tail[:xsize - x]
+    return out
+
+
+def synthesize_noise_planes(fd, visible_frame_index: int = 1,
+                            nonvisible_frame_index: int = 0) -> np.ndarray:
+    """Generates the 3 raw noise planes for the whole frame, seeding one
+    RNG per group (dec_noise.cc PrepareNoiseInput/Random3Planes)."""
+    h, w = fd.ysize_padded, fd.xsize_padded
+    planes = np.empty((3, h, w), np.float32)
+    gd = fd.group_dim
+    for gy in range((h + gd - 1) // gd):
+        for gx in range((w + gd - 1) // gd):
+            x0, y0 = gx * gd, gy * gd
+            rw, rh = min(gd, w - x0), min(gd, h - y0)
+            rng = Xorshift128Plus(visible_frame_index,
+                                  nonvisible_frame_index, x0, y0)
+            for c in range(3):
+                planes[c, y0:y0 + rh, x0:x0 + rw] = \
+                    _random_plane_rows(rng, rw, rh)
+    return planes
+
+
+def _convolve_laplacian(plane: np.ndarray) -> np.ndarray:
+    """ConvolveNoiseStage: 4*(1 - 5x5 box) with symmetric borders."""
+    p = np.pad(plane, 2, mode="symmetric").astype(np.float32)
+    h, w = plane.shape
+    acc = np.zeros((h, w), np.float32)
+    for dy in range(5):
+        for dx in range(5):
+            if dy == 2 and dx == 2:
+                continue
+            acc += p[dy:dy + h, dx:dx + w]
+    return acc * 0.16 + plane * -3.84
+
+
+def _strength_lut(lut: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """StrengthEvalLut + Clamp0ToMax(., 1)."""
+    scale = NUM_NOISE_POINTS - 2
+    sx = np.maximum(0.0, x * scale)
+    fx = np.floor(sx)
+    frac = sx - fx
+    over = sx >= scale + 1
+    fx = np.where(over, scale, fx).astype(np.int32)
+    frac = np.where(over, 1.0, frac)
+    low = lut[fx]
+    hi = lut[fx + 1]
+    return np.clip(low + (hi - low) * frac, 0.0, 1.0)
+
+
+def add_noise(xyb: np.ndarray, lut: np.ndarray, cmap, fd,
+              visible_frame_index: int = 1) -> np.ndarray:
+    """Applies synthesized noise to (3, H, W) XYB in place
+    (stage_noise.cc AddNoiseStage)."""
+    raw = synthesize_noise_planes(fd, visible_frame_index)
+    rnd = np.stack([_convolve_laplacian(p) for p in raw])
+    h, w = xyb.shape[1], xyb.shape[2]
+    rnd = rnd[:, :h, :w]
+
+    norm_const = np.float32(0.22)
+    k_rg_corr = np.float32(0.9921875)
+    k_rgn_corr = np.float32(0.0078125)
+    vx, vy = xyb[0], xyb[1]
+    in_g = vy - vx
+    in_r = vy + vx
+    strength_g = _strength_lut(lut, in_g * 0.5)
+    strength_r = _strength_lut(lut, in_r * 0.5)
+    nr = rnd[0] * norm_const
+    ng = rnd[1] * norm_const
+    nc = rnd[2] * norm_const
+    red_noise = strength_r * (k_rgn_corr * nr + k_rg_corr * nc)
+    green_noise = strength_g * (k_rgn_corr * ng + k_rg_corr * nc)
+    rg_noise = red_noise + green_noise
+    ytox = cmap.base_correlation_x
+    ytob = cmap.base_correlation_b
+    xyb[0] += ytox * rg_noise + (red_noise - green_noise)
+    xyb[1] += rg_noise
+    xyb[2] += ytob * rg_noise
+    return xyb

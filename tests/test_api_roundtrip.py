@@ -124,3 +124,16 @@ def test_progressive_multigroup_rgba():
     np.testing.assert_array_equal(res.pixels[:, :, 3], img[:, :, 3])
     err = np.abs(res.pixels[:, :, :3].astype(int) - img[:, :, :3].astype(int))
     assert err.mean() < 4.0
+
+
+def test_noise_synthesis():
+    img = _gradient_image(64, 80)
+    d0 = encode(img, distance=1.0)
+    dn = encode(img, distance=1.0, noise=0.05)
+    assert len(dn) == len(d0) + 10  # 8 x 10-bit LUT
+    r0 = decode(d0)
+    rn = decode(dn)
+    diff = np.abs(rn.pixels.astype(int) - r0.pixels.astype(int))
+    assert 0.2 < diff.mean() < 15.0, diff.mean()  # grain present, subtle
+    # Synthesis is deterministic (seeded per group).
+    np.testing.assert_array_equal(rn.pixels, decode(dn).pixels)
