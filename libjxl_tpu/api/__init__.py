@@ -5,6 +5,9 @@ one-shot convenience layer (extras/enc/jxl.cc-style usage). The
 streaming/event API lives in api/decoder.py / api/encoder.py.
 """
 
-from libjxl_tpu.api.simple import decode, encode, DecodeResult
+from libjxl_tpu.api.simple import (
+    DecodeResult, FrameResult, decode, decode_all, encode, encode_animation,
+)
 
-__all__ = ["decode", "encode", "DecodeResult"]
+__all__ = ["decode", "encode", "decode_all", "encode_animation",
+           "DecodeResult", "FrameResult"]

@@ -37,6 +37,12 @@ class DecodeResult:
     lossless: bool
 
 
+@dataclasses.dataclass
+class FrameResult:
+    pixels: np.ndarray     # (H, W, C) uint8/uint16
+    duration: int          # animation ticks (0 for still)
+
+
 def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
            progressive: bool = False, noise: float | None = None) -> bytes:
@@ -131,3 +137,133 @@ def decode(data: bytes) -> DecodeResult:
                         ).astype(dtype)[:, :, None]
         arr = np.concatenate([arr, alpha], axis=-1)
     return DecodeResult(pixels=arr, metadata=meta, lossless=False)
+
+
+def _frame_to_float(frame, meta) -> tuple[np.ndarray, np.ndarray | None]:
+    """DecodedFrame -> ((H,W,3) sRGB float [0,1], alpha float or None)."""
+    bits = meta.m.bit_depth.bits_per_sample
+    maxval = (1 << bits) - 1
+    if frame.modular_channels is not None:
+        chans = frame.modular_channels
+        nec = meta.m.num_extra_channels
+        ncolor = len(chans) - nec
+        color = np.stack(chans[:ncolor], axis=-1).astype(np.float32) / maxval
+        if ncolor == 1:
+            color = np.repeat(color, 3, axis=2)
+        alpha = None
+        if nec:
+            alpha = chans[ncolor].astype(np.float32) / maxval
+        return np.clip(color, 0.0, 1.0), alpha
+    srgb = linear_to_srgb(xyb_to_linear_rgb(frame.xyb)).transpose(1, 2, 0)
+    alpha = None
+    if frame.extra_channels:
+        alpha = np.clip(frame.extra_channels[0].astype(np.float32)
+                        / maxval, 0.0, 1.0)
+    return np.clip(srgb, 0.0, 1.0), alpha
+
+
+def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
+    """Decode every frame of a (possibly animated) codestream, applying
+    frame blending (dec: blending.cc PerformBlending, decode.cc frame
+    loop). Returns displayed frames with their tick durations."""
+    from libjxl_tpu.frame.blending import blend_frame
+    from libjxl_tpu.frame.frame_header import FrameType
+
+    if is_container(data):
+        data = unpack_container(data).codestream
+    r = BitReader(data)
+    meta = read_codestream_headers(r)
+    if meta.m.color_encoding.want_icc:
+        raise BitstreamError("ICC codestreams not supported yet")
+    h, w = meta.ysize, meta.xsize
+    bits = meta.m.bit_depth.bits_per_sample
+    dtype = np.uint8 if bits <= 8 else np.uint16
+    maxval = (1 << bits) - 1
+    has_alpha = any(eci.type == 1 for eci in meta.m.extra_channel_info)
+
+    canvas = np.zeros((h, w, 3), np.float32)
+    canvas_alpha = np.zeros((h, w), np.float32) if has_alpha else None
+    results: list[FrameResult] = []
+    while True:
+        frame = decode_frame(r, meta)
+        fh = frame.header
+        color, alpha = _frame_to_float(frame, meta)
+        blend_frame(canvas, canvas_alpha, color, alpha,
+                    int(fh.blending_info.mode),
+                    fh.frame_origin_x0, fh.frame_origin_y0)
+        if fh.frame_type == FrameType.REGULAR:
+            shown = np.clip(np.round(canvas * maxval), 0, maxval
+                            ).astype(dtype)
+            if canvas_alpha is not None:
+                a8 = np.clip(np.round(canvas_alpha * maxval), 0, maxval
+                             ).astype(dtype)
+                shown = np.concatenate([shown, a8[:, :, None]], axis=-1)
+            results.append(FrameResult(
+                pixels=shown, duration=fh.animation_frame.duration))
+        if fh.is_last:
+            break
+    return results, meta
+
+
+def encode_animation(frames: list, *, durations: list | None = None,
+                     tps: tuple = (10, 1), distance: float = 1.0,
+                     lossless: bool = False, num_loops: int = 0) -> bytes:
+    """Encode a list of (H, W, C) uint8/uint16 frames as an animation.
+
+    durations: per-frame tick counts (default 1 tick each);
+    tps: (numerator, denominator) ticks per second."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    first = frames[0]
+    if durations is None:
+        durations = [1] * len(frames)
+    if first.ndim == 2:
+        frames = [f[:, :, None] for f in frames]
+        first = frames[0]
+    h, w, nchan = first.shape
+    has_alpha = nchan in (2, 4)
+    bits = 16 if first.dtype == np.uint16 else 8
+    scale = 65535.0 if bits == 16 else 255.0
+
+    meta = CodecMetadata()
+    meta.size.set(w, h)
+    meta.m.bit_depth = BitDepth.uint(bits)
+    meta.m.have_animation = True
+    meta.m.animation.tps_numerator = tps[0]
+    meta.m.animation.tps_denominator = tps[1]
+    meta.m.animation.num_loops = num_loops
+    if has_alpha:
+        meta.m.set_alpha_bits(bits)
+
+    writer = BitWriter()
+    ncolor = nchan - 1 if has_alpha else nchan
+    if lossless:
+        meta.m.xyb_encoded = False
+        meta.m.color_encoding = ColorEncoding.srgb(is_gray=(ncolor == 1))
+        write_codestream_headers(meta, writer)
+        from libjxl_tpu.modular.codec import Transform, TransformId
+        for i, img in enumerate(frames):
+            channels = [img[:, :, c].astype(np.int32) for c in range(nchan)]
+            transforms = []
+            if ncolor >= 3:
+                transforms = [Transform(id=TransformId.RCT, begin_c=0,
+                                        rct_type=6)]
+            encode_modular_frame(channels, meta, writer,
+                                 transforms=transforms,
+                                 is_last=(i == len(frames) - 1),
+                                 duration=durations[i])
+    else:
+        meta.m.xyb_encoded = True
+        write_codestream_headers(meta, writer)
+        for i, img in enumerate(frames):
+            srgb = img[:, :, :min(ncolor, 3)].astype(np.float32) / scale
+            if ncolor == 1:
+                srgb = np.repeat(srgb, 3, axis=2)
+            xyb = linear_rgb_to_xyb(srgb_to_linear(srgb).transpose(2, 0, 1))
+            extra = [img[:, :, -1].astype(np.int32)] if has_alpha else None
+            encode_vardct_frame(xyb, meta, writer, distance=distance,
+                                is_last=(i == len(frames) - 1),
+                                extra_channels=extra,
+                                duration=durations[i])
+    writer.align_to_byte()
+    return writer.get_bytes()

@@ -71,6 +71,9 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
         end = start + sizes[idx]
         return BitReader(data[start:end])
 
+    frame_end_bits = (base + (max(o + s for o, s in zip(offsets, sizes))
+                              if sizes else 0)) * 8
+
     single = (toc_entries == 1)
     if single:
         seq = BitReader(data[base + offsets[0]:base + offsets[0] + sizes[0]])
@@ -130,6 +133,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
                 mfd.decode_group(rect, br, min_s, max_s,
                                  stream_modular_ac(g, p, fd))
         gi = mfd.finalize()
+        r.seek_bits(frame_end_bits)
         return DecodedFrame(header=fh,
                             modular_channels=[c.data for c in gi.channel])
 
@@ -274,4 +278,5 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     if metadata.m.num_extra_channels:
         gi = mfd.finalize()
         extra = [c.data for c in gi.channel]
+    r.seek_bits(frame_end_bits)
     return DecodedFrame(header=fh, xyb=out, extra_channels=extra)

@@ -69,7 +69,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         is_last: bool = True,
                         extra_channels: list | None = None,
                         pass_shifts: list | None = None,
-                        noise: float | None = None) -> None:
+                        noise: float | None = None,
+                        duration: int = 0) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -85,6 +86,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         fh.flags |= int(FrameFlags.NOISE)
         noise_lut = np.full(8, float(noise), np.float32)
     fh.is_last = is_last
+    fh.animation_frame.duration = duration
     if pass_shifts and len(pass_shifts) > 1:
         if pass_shifts[-1] != 0:
             raise ValueError("last pass must have shift 0")
@@ -436,11 +438,12 @@ def _emit_sections(w, fh, fd, parts, num_passes: int = 1):
 def encode_modular_frame(channels: list, metadata: CodecMetadata,
                          w: BitWriter, *, transforms: list | None = None,
                          predictor: int = P_GRADIENT,
-                         is_last: bool = True) -> None:
+                         is_last: bool = True, duration: int = 0) -> None:
     """Lossless modular frame from int channel planes."""
     fh = FrameHeader(nonserialized_metadata=metadata)
     fh.encoding = FrameEncoding.MODULAR
     fh.is_last = is_last
+    fh.animation_frame.duration = duration
     fh.color_transform = ColorTransform.NONE
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = False
