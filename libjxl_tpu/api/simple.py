@@ -118,7 +118,16 @@ def decode(data: bytes) -> DecodeResult:
     if meta.m.color_encoding.want_icc:
         raise BitstreamError("ICC codestreams not supported yet")
     # Frames start immediately (bit-unaligned); the TOC aligns internally.
-    frame = decode_frame(r, meta)
+    from libjxl_tpu.frame.frame_header import FrameType
+    refs: list = [None] * 4
+    while True:
+        frame = decode_frame(r, meta, refs)
+        fh = frame.header
+        if fh.save_as_reference is not None and frame.xyb is not None \
+                and fh.frame_type == FrameType.REFERENCE_ONLY:
+            refs[fh.save_as_reference] = frame.xyb
+            continue
+        break
 
     bits = meta.m.bit_depth.bits_per_sample
     dtype = np.uint8 if bits <= 8 else np.uint16
@@ -184,9 +193,14 @@ def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
     canvas = np.zeros((h, w, 3), np.float32)
     canvas_alpha = np.zeros((h, w), np.float32) if has_alpha else None
     results: list[FrameResult] = []
+    refs: list = [None] * 4
     while True:
-        frame = decode_frame(r, meta)
+        frame = decode_frame(r, meta, refs)
         fh = frame.header
+        if fh.frame_type == FrameType.REFERENCE_ONLY:
+            if frame.xyb is not None:
+                refs[fh.save_as_reference] = frame.xyb
+            continue
         color, alpha = _frame_to_float(frame, meta)
         blend_frame(canvas, canvas_alpha, color, alpha,
                     int(fh.blending_info.mode),

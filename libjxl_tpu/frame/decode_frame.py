@@ -46,15 +46,20 @@ class DecodedFrame:
     bits_consumed: int = 0
 
 
-def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
-    """Decode one frame from `r` (positioned after image headers)."""
+def decode_frame(r: BitReader, metadata: CodecMetadata,
+                 reference_frames: list | None = None) -> DecodedFrame:
+    """Decode one frame from `r` (positioned after image headers).
+
+    reference_frames: 4 slots of saved (3, H, W) XYB planes used by
+    patches (dec_frame.cc reference_frames_)."""
     fh = FrameHeader(nonserialized_metadata=metadata)
     bundle_read(r, fh)
-    if fh.frame_type not in (FrameType.REGULAR,):
-        raise UnsupportedError("only regular frames supported yet")
-    if fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES
-                   | FrameFlags.USE_DC_FRAME):
-        raise UnsupportedError("patches/splines/dc-frame not supported yet")
+    if fh.frame_type not in (FrameType.REGULAR, FrameType.REFERENCE_ONLY):
+        raise UnsupportedError("DC/skip-progressive frames not supported yet")
+    if fh.flags & (FrameFlags.SPLINES | FrameFlags.USE_DC_FRAME):
+        raise UnsupportedError("splines/dc-frame not supported yet")
+    if reference_frames is None:
+        reference_frames = [None] * 4
     if fh.upsampling != 1:
         raise UnsupportedError("frame upsampling not supported yet")
     fd = fh.to_frame_dimensions()
@@ -90,6 +95,12 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
     # ---- LfGlobal (section 0) ----
     lf = get(0)
     # Image features come first (dec_frame.cc ProcessDCGlobal:272-300).
+    patch_dict = None
+    if fh.flags & FrameFlags.PATCHES:
+        from libjxl_tpu.frame.patches import decode_patches
+        patch_dict = decode_patches(lf, fd.xsize_padded, fd.ysize_padded,
+                                    metadata.m.num_extra_channels,
+                                    reference_frames)
     noise_lut = None
     if fh.flags & FrameFlags.NOISE:
         from libjxl_tpu.frame.noise import decode_noise
@@ -269,14 +280,21 @@ def decode_frame(r: BitReader, metadata: CodecMetadata) -> DecodedFrame:
         out = apply_loop_filters(out, lfp, raw_quant, strategies,
                                  quantizer, fd, sharpness=sharpness)
 
+    extra = None
+    if metadata.m.num_extra_channels:
+        gi = mfd.finalize()
+        extra = [c.data for c in gi.channel]
+
+    # Patches before noise (dec_cache.cc stage order: EPF -> patches ->
+    # splines -> noise).
+    if patch_dict is not None:
+        from libjxl_tpu.frame.patches import apply_patches
+        apply_patches(patch_dict, out, extra, reference_frames)
+
     if noise_lut is not None:
         from libjxl_tpu.frame.noise import add_noise
         out = add_noise(out, noise_lut, cmap, fd)
 
     out = out[:, :fd.ysize, :fd.xsize]
-    extra = None
-    if metadata.m.num_extra_channels:
-        gi = mfd.finalize()
-        extra = [c.data for c in gi.channel]
     r.seek_bits(frame_end_bits)
     return DecodedFrame(header=fh, xyb=out, extra_channels=extra)

@@ -70,7 +70,9 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         extra_channels: list | None = None,
                         pass_shifts: list | None = None,
                         noise: float | None = None,
-                        duration: int = 0) -> None:
+                        duration: int = 0,
+                        patches=None,
+                        save_as_reference: int | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -87,6 +89,14 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         noise_lut = np.full(8, float(noise), np.float32)
     fh.is_last = is_last
     fh.animation_frame.duration = duration
+    if patches is not None:
+        fh.flags |= int(FrameFlags.PATCHES)
+    if save_as_reference is not None:
+        from libjxl_tpu.frame.frame_header import FrameType
+        fh.frame_type = FrameType.REFERENCE_ONLY
+        fh.save_as_reference = save_as_reference
+        fh.save_before_color_transform = True
+        fh.is_last = False
     if pass_shifts and len(pass_shifts) > 1:
         if pass_shifts[-1] != 0:
             raise ValueError("last pass must have shift 0")
@@ -264,7 +274,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
 
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
-                           ytox_map, ytob_map, extra_channels, noise_lut)
+                           ytox_map, ytob_map, extra_channels, noise_lut, patches)
 
 
 def _split_pass_blocks(blocks_per_group: dict, shifts: list,
@@ -292,7 +302,7 @@ def _split_pass_blocks(blocks_per_group: dict, shifts: list,
 def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map=None, ytob_map=None,
-                           extra_channels=None, noise_lut=None):
+                           extra_channels=None, noise_lut=None, patches=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -303,6 +313,9 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     mod_state = {}
 
     def write_lf_global(sw):
+        if patches is not None:
+            from libjxl_tpu.frame.patches import encode_patches
+            encode_patches(patches, metadata.m.num_extra_channels, sw)
         if noise_lut is not None:
             from libjxl_tpu.frame.noise import encode_noise
             encode_noise(noise_lut, sw)

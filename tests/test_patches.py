@@ -1,0 +1,88 @@
+"""Patch dictionary: reference frames + blits
+(reference: dec_patch_dictionary.cc, patch_dictionary_internal.h)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api import decode
+from libjxl_tpu.api.simple import CodecMetadata
+from libjxl_tpu.bitstream.bit_io import BitWriter
+from libjxl_tpu.color.xyb import linear_rgb_to_xyb, srgb_to_linear
+from libjxl_tpu.frame.encode_frame import encode_vardct_frame
+from libjxl_tpu.frame.headers import BitDepth, write_codestream_headers
+from libjxl_tpu.frame.patches import (
+    PatchBlendMode, PatchBlending, PatchDictionary, PatchPosition,
+    PatchRefPosition,
+)
+
+
+def _to_xyb(img):
+    srgb = img.astype(np.float32) / 255.0
+    return linear_rgb_to_xyb(srgb_to_linear(srgb).transpose(2, 0, 1))
+
+
+def _encode_with_patches(base, ref_img, pd):
+    h, w = base.shape[:2]
+    meta = CodecMetadata()
+    meta.size.set(w, h)
+    meta.m.bit_depth = BitDepth.uint(8)
+    meta.m.xyb_encoded = True
+    wtr = BitWriter()
+    write_codestream_headers(meta, wtr)
+    encode_vardct_frame(_to_xyb(ref_img), meta, wtr, distance=1.0,
+                        save_as_reference=1)
+    encode_vardct_frame(_to_xyb(base), meta, wtr, distance=1.0, patches=pd)
+    wtr.align_to_byte()
+    return wtr.get_bytes()
+
+
+def _scene():
+    y, x = np.mgrid[0:64, 0:80]
+    base = np.stack([(100 + 50 * np.sin(x / 9)), (120 + 40 * np.cos(y / 7)),
+                     (90 + 60 * np.sin((x + y) / 11))], -1) \
+        .clip(0, 255).astype(np.uint8)
+    sy, sx = np.mgrid[0:24, 0:24]
+    sprite = np.stack([np.full((24, 24), 220), 40 + sx * 4, 40 + sy * 4],
+                      -1).clip(0, 255).astype(np.uint8)
+    ref_img = np.zeros((64, 80, 3), np.uint8)
+    ref_img[:24, :24] = sprite
+    return base, ref_img, sprite
+
+
+def test_patch_replace_two_positions():
+    base, ref_img, sprite = _scene()
+    pd = PatchDictionary(
+        ref_positions=[PatchRefPosition(1, 0, 0, 24, 24)],
+        positions=[PatchPosition(8, 8, 0), PatchPosition(48, 32, 0)],
+        blendings=[[PatchBlending(PatchBlendMode.REPLACE)],
+                   [PatchBlending(PatchBlendMode.REPLACE)]])
+    res = decode(_encode_with_patches(base, ref_img, pd))
+    for (px, py) in [(8, 8), (48, 32)]:
+        err = np.abs(res.pixels[py:py + 24, px:px + 24].astype(int)
+                     - sprite.astype(int)).mean()
+        assert err < 8, err
+    err_base = np.abs(res.pixels[40:, :40].astype(int)
+                      - base[40:, :40].astype(int)).mean()
+    assert err_base < 5
+
+
+def test_patch_none_mode_is_noop():
+    base, ref_img, _ = _scene()
+    pd = PatchDictionary(
+        ref_positions=[PatchRefPosition(1, 0, 0, 24, 24)],
+        positions=[PatchPosition(8, 8, 0)],
+        blendings=[[PatchBlending(PatchBlendMode.NONE)]])
+    res = decode(_encode_with_patches(base, ref_img, pd))
+    err = np.abs(res.pixels[8:32, 8:32].astype(int)
+                 - base[8:32, 8:32].astype(int)).mean()
+    assert err < 5, err
+
+
+def test_patch_bad_reference_rejected():
+    base, ref_img, _ = _scene()
+    pd = PatchDictionary(
+        ref_positions=[PatchRefPosition(2, 0, 0, 24, 24)],  # empty slot
+        positions=[PatchPosition(0, 0, 0)],
+        blendings=[[PatchBlending(PatchBlendMode.REPLACE)]])
+    with pytest.raises(Exception):
+        decode(_encode_with_patches(base, ref_img, pd))
