@@ -56,8 +56,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     bundle_read(r, fh)
     if fh.frame_type not in (FrameType.REGULAR, FrameType.REFERENCE_ONLY):
         raise UnsupportedError("DC/skip-progressive frames not supported yet")
-    if fh.flags & (FrameFlags.SPLINES | FrameFlags.USE_DC_FRAME):
-        raise UnsupportedError("splines/dc-frame not supported yet")
+    if fh.flags & FrameFlags.USE_DC_FRAME:
+        raise UnsupportedError("dc-frames not supported yet")
     if reference_frames is None:
         reference_frames = [None] * 4
     if fh.upsampling != 1:
@@ -101,6 +101,10 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         patch_dict = decode_patches(lf, fd.xsize_padded, fd.ysize_padded,
                                     metadata.m.num_extra_channels,
                                     reference_frames)
+    splines = None
+    if fh.flags & FrameFlags.SPLINES:
+        from libjxl_tpu.frame.splines import decode_splines
+        splines = decode_splines(lf, fd.xsize * fd.ysize)
     noise_lut = None
     if fh.flags & FrameFlags.NOISE:
         from libjxl_tpu.frame.noise import decode_noise
@@ -290,6 +294,10 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     if patch_dict is not None:
         from libjxl_tpu.frame.patches import apply_patches
         apply_patches(patch_dict, out, extra, reference_frames)
+
+    if splines is not None:
+        from libjxl_tpu.frame.splines import render_splines
+        render_splines(splines, out, cmap)
 
     if noise_lut is not None:
         from libjxl_tpu.frame.noise import add_noise

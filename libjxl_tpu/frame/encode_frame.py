@@ -72,6 +72,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         noise: float | None = None,
                         duration: int = 0,
                         patches=None,
+                        splines=None,
                         save_as_reference: int | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
@@ -91,6 +92,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     fh.animation_frame.duration = duration
     if patches is not None:
         fh.flags |= int(FrameFlags.PATCHES)
+    if splines is not None:
+        fh.flags |= int(FrameFlags.SPLINES)
     if save_as_reference is not None:
         from libjxl_tpu.frame.frame_header import FrameType
         fh.frame_type = FrameType.REFERENCE_ONLY
@@ -274,7 +277,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
 
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
-                           ytox_map, ytob_map, extra_channels, noise_lut, patches)
+                           ytox_map, ytob_map, extra_channels, noise_lut, patches,
+                           splines)
 
 
 def _split_pass_blocks(blocks_per_group: dict, shifts: list,
@@ -302,7 +306,8 @@ def _split_pass_blocks(blocks_per_group: dict, shifts: list,
 def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map=None, ytob_map=None,
-                           extra_channels=None, noise_lut=None, patches=None):
+                           extra_channels=None, noise_lut=None, patches=None,
+                           splines=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -316,6 +321,9 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
         if patches is not None:
             from libjxl_tpu.frame.patches import encode_patches
             encode_patches(patches, metadata.m.num_extra_channels, sw)
+        if splines is not None:
+            from libjxl_tpu.frame.splines import encode_splines
+            encode_splines(splines, sw)
         if noise_lut is not None:
             from libjxl_tpu.frame.noise import encode_noise
             encode_noise(noise_lut, sw)
