@@ -85,11 +85,9 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         channels = [image[:, :, c].astype(np.int32) for c in range(ncolor)]
         if has_alpha:
             channels.append(image[:, :, -1].astype(np.int32))
-        from libjxl_tpu.modular.codec import Transform, TransformId
-        transforms = []
-        if len(channels) >= 3:
-            transforms = [Transform(id=TransformId.RCT, begin_c=0,
-                                    rct_type=6)]
+        from libjxl_tpu.frame.enc_modular_heuristics import (
+            select_modular_transforms)
+        transforms = select_modular_transforms(channels, bits)
         encode_modular_frame(channels, meta, writer, transforms=transforms)
     else:
         meta.m.xyb_encoded = True

@@ -525,4 +525,6 @@ def _apply_forward_transform(image: ModularImage, t: Transform) -> None:
     elif t.id == TransformId.SQUEEZE:
         tx.fwd_squeeze(image, t.squeezes)
     elif t.id == TransformId.PALETTE:
-        raise BitstreamError("use fwd_palette helper for palette encode")
+        nb_colors, nb_deltas = tx.fwd_palette(image, t.begin_c, t.num_c)
+        t.nb_colors = nb_colors
+        t.nb_deltas = nb_deltas

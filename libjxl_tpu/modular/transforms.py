@@ -528,3 +528,26 @@ def fwd_squeeze(image: ModularImage, squeezes: list) -> None:
                 fwd_h_squeeze(image, c, rc)
             else:
                 fwd_v_squeeze(image, c, rc)
+
+
+def fwd_palette(image: ModularImage, begin_c: int, num_c: int,
+                ) -> tuple[int, int]:
+    """enc_palette.cc FwdPalette (exact colors, no deltas): replaces
+    channels [begin_c, begin_c+num_c) with one index channel plus a
+    meta palette channel. Returns (nb_colors, nb_deltas)."""
+    chans = [image.channel[begin_c + i].data for i in range(num_c)]
+    stacked = np.stack([c.ravel() for c in chans], axis=1)  # (N, num_c)
+    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    nb_colors = colors.shape[0]
+    h, w = chans[0].shape
+    idx = inverse.reshape(h, w).astype(np.int32)
+    end_c = begin_c + num_c - 1
+    if begin_c >= image.nb_meta_channels:
+        image.nb_meta_channels += 1
+    else:
+        image.nb_meta_channels += 2 - num_c
+    del image.channel[begin_c + 1:end_c + 1]
+    image.channel[begin_c] = Channel(idx, 0, 0)
+    pch = Channel(colors.T.astype(np.int32).copy(), -1, -1)
+    image.channel.insert(0, pch)
+    return nb_colors, 0
