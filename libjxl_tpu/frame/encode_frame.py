@@ -474,26 +474,22 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
     img = ModularImage.from_planes(
         channels, metadata.m.bit_depth.bits_per_sample)
     mfe = ModularFrameEncoder(fd)
-    state = {}
+    from libjxl_tpu.frame.modular_frame import (
+        stream_modular_ac, stream_modular_dc)
+    state = mfe.prepare_global_tree(img, transforms or [], fh)
 
     def write_lf_global(sw):
         DequantMatrices().encode_dc(sw)
-        state.update(mfe.encode_global_info(sw, full_image=img,
-                                            transforms=transforms,
-                                            predictor=predictor) or {})
+        mfe.write_global_with_tree(sw, state)
 
     def write_dc_group(sw, g):
-        rect = fd.dc_group_rect(g)
-        mrect = Rect(rect.x0 * 8, rect.y0 * 8, fd.dc_group_dim,
-                     fd.dc_group_dim)
-        mfe.encode_group(sw, state, mrect, 3, 1000)
+        mfe.write_group_with_tree(sw, state, stream_modular_dc(g, fd))
 
     def write_ac_global(sw):
         pass  # modular frames carry nothing in ACGlobal
 
     def write_ac_group(sw, g):
-        min_s, max_s = fh.passes.downsampling_bracket(0)
-        mfe.encode_group(sw, state, fd.group_rect(g), min_s, max_s)
+        mfe.write_group_with_tree(sw, state, stream_modular_ac(g, 0, fd))
 
     parts = [write_lf_global]
     parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)

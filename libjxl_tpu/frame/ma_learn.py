@@ -1,0 +1,229 @@
+"""MA tree learning: greedy CART-style induction over modular properties.
+
+Reference: lib/jxl/modular/encoding/enc_ma.cc (ComputeBestTree — sample
+pixels, recursively pick the (property, splitval) cut that minimizes
+the summed token-entropy of the best static predictor per side).
+This learner is fully vectorized: property planes and per-predictor
+residual token classes are precomputed with numpy, split candidates are
+property quantiles, and costs come from class histograms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libjxl_tpu.modular.predict import (
+    P_AVG0, P_GRADIENT, P_LEFT, P_SELECT, P_TOP, P_ZERO,
+)
+from libjxl_tpu.modular.tree import Tree, TreeNode, leaf
+
+# Properties the learner may split on (vectorizable subset of the 16).
+_LEARN_PROPS = (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+_PREDICTORS = (P_ZERO, P_LEFT, P_TOP, P_AVG0, P_SELECT, P_GRADIENT)
+_MAX_CLASSES = 40
+# Cost (bits) of signalling one extra leaf; discourages overfit splits.
+_SPLIT_COST = 96.0
+
+
+def _shift(c, dy, dx, fill_from=None):
+    out = np.empty_like(c)
+    if dy > 0:
+        out[dy:] = c[:-dy] if dx == 0 else 0
+        out[:dy] = 0
+    else:
+        out[:] = c
+    if dx > 0:
+        out[:, dx:] = out[:, :-dx].copy() if dy == 0 else out[:, dx:]
+    return out
+
+
+def _neighbor_planes(c: np.ndarray) -> dict:
+    """Edge-replicated neighbor planes (context_predict.h:520-535)."""
+    c = c.astype(np.int64)
+    h, w = c.shape
+    west = np.zeros_like(c)
+    west[:, 1:] = c[:, :-1]
+    west[1:, 0] = c[:-1, 0]          # x==0: left := top
+    north = np.zeros_like(c)
+    north[1:] = c[:-1]
+    north[0] = west[0]
+    nw = np.zeros_like(c)
+    nw[1:, 1:] = c[:-1, :-1]
+    nw[0] = west[0]
+    nw[1:, 0] = west[1:, 0]
+    ne = np.zeros_like(c)
+    ne[1:, :-1] = c[:-1, 1:]
+    ne[1:, -1] = north[1:, -1]
+    ne[0] = north[0]
+    ww = np.zeros_like(c)
+    ww[:, 2:] = c[:, :-2]
+    ww[:, :2] = west[:, :2]
+    nn = np.zeros_like(c)
+    nn[2:] = c[:-2]
+    nn[:2] = north[:2]
+    return {"W": west, "N": north, "NW": nw, "NE": ne, "WW": ww, "NN": nn}
+
+
+def property_planes(c: np.ndarray, chan_idx: int) -> dict:
+    nb = _neighbor_planes(c)
+    west, north, nw, ne = nb["W"], nb["N"], nb["NW"], nb["NE"]
+    ww, nn = nb["WW"], nb["NN"]
+    grad = west + north - nw
+    # props[8] = W - (previous pixel's local gradient); the previous
+    # pixel's gradient is grad shifted one to the left (0 at x=0).
+    prev_grad = np.zeros_like(grad)
+    prev_grad[:, 1:] = grad[:, :-1]
+    props = {
+        0: np.full(c.shape, chan_idx, np.int64),
+        2: np.broadcast_to(np.arange(c.shape[0], dtype=np.int64)[:, None],
+                           c.shape),
+        3: np.broadcast_to(np.arange(c.shape[1], dtype=np.int64)[None, :],
+                           c.shape),
+        4: np.abs(north),
+        5: np.abs(west),
+        6: north,
+        7: west,
+        8: west - prev_grad,
+        9: grad,
+        10: west - nw,
+        11: nw - north,
+        12: north - ne,
+        13: north - nn,
+        14: west - ww,
+    }
+    return props
+
+
+def predictor_residuals(c: np.ndarray) -> dict:
+    nb = _neighbor_planes(c)
+    west, north, nw, ne = nb["W"], nb["N"], nb["NW"], nb["NE"]
+    c64 = c.astype(np.int64)
+    grad = np.clip(west + north - nw,
+                   np.minimum(np.minimum(west, north), nw),
+                   np.maximum(np.maximum(west, north), nw))
+    select = np.where(np.abs(north - nw) < np.abs(west - nw), west, north)
+    return {
+        P_ZERO: c64,
+        P_LEFT: c64 - west,
+        P_TOP: c64 - north,
+        P_AVG0: c64 - ((west + north) >> 1),
+        P_SELECT: c64 - select,
+        P_GRADIENT: c64 - grad,
+    }
+
+
+def _token_class(residual: np.ndarray) -> np.ndarray:
+    """Hybrid-uint-style magnitude class of the packed residual."""
+    packed = np.abs(residual) * 2 - (residual < 0)
+    cls = np.zeros(packed.shape, np.uint8)
+    nz = packed > 0
+    cls[nz] = np.minimum(np.int64(np.log2(packed[nz])) + 1,
+                         _MAX_CLASSES - 1)
+    return cls
+
+
+def _cost(class_rows: np.ndarray) -> tuple[float, int]:
+    """(bits, best predictor index) for a (npred, n) class matrix."""
+    best = None
+    best_k = 0
+    for k in range(class_rows.shape[0]):
+        counts = np.bincount(class_rows[k], minlength=_MAX_CLASSES)
+        tot = counts.sum()
+        nzc = counts[counts > 0]
+        p = nzc / tot
+        ent = float(-(p * np.log2(p)).sum()) * tot
+        # raw mantissa bits: class m needs ~m-1 extra bits
+        raw = float((np.maximum(np.arange(_MAX_CLASSES) - 1, 0)
+                     * counts).sum())
+        bits = ent + raw
+        if best is None or bits < best:
+            best, best_k = bits, k
+    return best, best_k
+
+
+def learn_tree(channels: list, chan_indices: list | None = None,
+               max_leaves: int = 64, max_samples: int = 1 << 16) -> Tree:
+    """Learns an MA tree over the given channel arrays (one per modular
+    channel, in stream order). Returns a BFS-serialized tree."""
+    feats = []
+    classes = []
+    for ci, c in enumerate(channels):
+        idx = chan_indices[ci] if chan_indices else ci
+        if c.size == 0:
+            continue
+        props = property_planes(c, idx)
+        res = predictor_residuals(c)
+        f = np.stack([props[p].ravel() for p in _LEARN_PROPS])
+        k = np.stack([_token_class(res[p].ravel()) for p in _PREDICTORS])
+        feats.append(f)
+        classes.append(k)
+    if not feats:
+        return [leaf(0, P_GRADIENT)]
+    feat = np.concatenate(feats, axis=1)     # (nprops, N)
+    cls = np.concatenate(classes, axis=1)    # (npred, N)
+    n = feat.shape[1]
+    if n > max_samples:
+        step = n // max_samples + 1
+        feat = feat[:, ::step]
+        cls = cls[:, ::step]
+        n = feat.shape[1]
+
+    # Recursive greedy induction on index masks.
+    nodes = []  # (prop|-1, splitval, left_ref, right_ref, pred)
+
+    def build(sel: np.ndarray, depth: int, leaves_left: list) -> dict:
+        base_cost, base_k = _cost(cls[:, sel])
+        node = {"pred": _PREDICTORS[base_k]}
+        if depth >= 10 or leaves_left[0] <= 1 or sel.sum() < 64:
+            return node
+        best_gain = _SPLIT_COST
+        best = None
+        fsel = feat[:, sel]
+        csel = cls[:, sel]
+        for pi, prop in enumerate(_LEARN_PROPS):
+            vals = fsel[pi]
+            qs = np.unique(np.percentile(
+                vals, [6, 12, 25, 37, 50, 63, 75, 88, 94]).astype(np.int64))
+            for sv in qs:
+                mask = vals > sv
+                cnt = int(mask.sum())
+                if cnt == 0 or cnt == vals.size:
+                    continue
+                lcost, lk = _cost(csel[:, mask])
+                rcost, rk = _cost(csel[:, ~mask])
+                gain = base_cost - lcost - rcost
+                if gain > best_gain:
+                    best_gain = gain
+                    best = (prop, int(sv), mask, lk, rk)
+        if best is None:
+            return node
+        prop, sv, mask, lk, rk = best
+        leaves_left[0] -= 1
+        sub_idx = np.nonzero(sel)[0]
+        lsel = np.zeros_like(sel)
+        lsel[sub_idx[mask]] = True
+        rsel = np.zeros_like(sel)
+        rsel[sub_idx[~mask]] = True
+        node.update(prop=prop, splitval=sv,
+                    left=build(lsel, depth + 1, leaves_left),
+                    right=build(rsel, depth + 1, leaves_left))
+        return node
+
+    root = build(np.ones(n, bool), 0, [max_leaves])
+
+    # BFS serialization matching dec_ma.cc's layout.
+    tree: Tree = []
+    queue = [root]
+    leaf_id = 0
+    while queue:
+        nd = queue.pop(0)
+        if "prop" in nd:
+            tree.append(TreeNode(nd["prop"], nd["splitval"],
+                                 len(tree) + len(queue) + 1,
+                                 len(tree) + len(queue) + 2))
+            queue.append(nd["left"])
+            queue.append(nd["right"])
+        else:
+            tree.append(leaf(leaf_id, nd["pred"]))
+            leaf_id += 1
+    return tree

@@ -308,10 +308,10 @@ class ModularFrameEncoder:
             write_tokens(tokens, codes, w)
         return {"image": work, "predictor": predictor}
 
-    def encode_group(self, w: BitWriter, state: dict, rect: Rect,
-                     min_shift: int, max_shift: int) -> None:
-        """Per-group stream of rect slices of big channels."""
-        image = state["image"]
+    def _build_sub_image(self, image: ModularImage, rect: Rect,
+                         min_shift: int, max_shift: int) -> ModularImage:
+        """Extracts the per-group sub-image of big channels whose shift
+        is within [min_shift, max_shift] (enc_modular.cc stream split)."""
         fd = self.frame_dim
         sub = ModularImage(rect.xsize, rect.ysize, image.bitdepth, 0)
         c = image.nb_meta_channels
@@ -332,9 +332,118 @@ class ModularFrameEncoder:
                 continue
             ch = Channel(fc.data[rr.slices()].copy(), fc.hshift, fc.vshift)
             sub.channel.append(ch)
+        return sub
+
+    def encode_group(self, w: BitWriter, state: dict, rect: Rect,
+                     min_shift: int, max_shift: int) -> None:
+        """Per-group stream of rect slices of big channels."""
+        sub = self._build_sub_image(state["image"], rect, min_shift,
+                                    max_shift)
         if not sub.channel:
             return  # geometrically empty stream: write nothing
         self._encode_stream_image(w, sub, state["predictor"])
+
+    # -- Global-tree lossless path (enc_modular.cc with a learned tree) --
+
+    def prepare_global_tree(self, full_image: ModularImage,
+                            transforms: list, fh) -> dict:
+        """Applies transforms, learns a global MA tree, and tokenizes
+        every stream up-front so LfGlobal can carry the shared tree +
+        clustered histograms."""
+        from libjxl_tpu.entropy.codes import stream_arrays
+        from libjxl_tpu.frame.ma_learn import learn_tree
+        from libjxl_tpu.modular.codec import encode_channels_tokens
+
+        fd = self.frame_dim
+        work = full_image.clone()
+        for t in transforms:
+            _apply_forward_transform(work, t)
+
+        first_big = work.nb_meta_channels
+        while first_big < len(work.channel):
+            fc = work.channel[first_big]
+            if fc.w > fd.group_dim or fc.h > fd.group_dim:
+                break
+            first_big += 1
+
+        # Learn on the big channels with their in-stream indices (0-based
+        # within group streams); fall back to all channels for small
+        # images.
+        if first_big < len(work.channel):
+            learn_chans = [work.channel[i].data
+                           for i in range(first_big, len(work.channel))]
+            learn_idx = list(range(len(learn_chans)))
+        else:
+            learn_chans = [c.data for c in work.channel if c.w and c.h]
+            learn_idx = list(range(len(learn_chans)))
+        tree = learn_tree(learn_chans, learn_idx)
+
+        header = GroupHeader()
+        header.use_global_tree = True
+        header.transforms = transforms
+
+        streams = {}  # stream_id -> (sub_image or None, tokens)
+        all_tokens = []
+        # Global stream: meta + small channels.
+        small = [i for i in range(first_big)
+                 if work.channel[i].w and work.channel[i].h]
+        if small:
+            g_tokens = encode_channels_tokens(work, small, tree,
+                                              header.wp_header, 0)
+            streams[stream_global()] = g_tokens
+            all_tokens.append(g_tokens)
+        # DC group streams (shift >= 3) and AC group streams.
+        specs = []
+        for g in range(fd.num_dc_groups):
+            rect = fd.dc_group_rect(g)
+            mrect = Rect(rect.x0 * 8, rect.y0 * 8, fd.dc_group_dim,
+                         fd.dc_group_dim)
+            specs.append((mrect, 3, 1000, stream_modular_dc(g, fd)))
+        min_s, max_s = fh.passes.downsampling_bracket(0)
+        for g in range(fd.num_groups):
+            specs.append((fd.group_rect(g), min_s, max_s,
+                          stream_modular_ac(g, 0, fd)))
+        for (rect, mn, mx, sid) in specs:
+            sub = self._build_sub_image(work, rect, mn, mx)
+            live = [i for i, c in enumerate(sub.channel) if c.w and c.h]
+            if not live:
+                continue
+            tokens = encode_channels_tokens(sub, live, tree,
+                                            header.wp_header, sid)
+            streams[sid] = tokens
+            all_tokens.append(tokens)
+
+        return {"image": work, "tree": tree, "header": header,
+                "streams": streams, "all_tokens": all_tokens,
+                "codes": None}
+
+    def write_global_with_tree(self, w: BitWriter, state: dict) -> None:
+        """LfGlobal modular payload: has_tree=1, tree, histograms over
+        all streams, then the global stream."""
+        from libjxl_tpu.entropy.codes import (
+            build_and_encode_histograms, write_tokens)
+
+        w.write_bool(True)
+        tree = state["tree"]
+        encode_tree(tree, w)
+        state["codes"] = build_and_encode_histograms(
+            num_tree_contexts(tree), state["all_tokens"], w)
+        bundle_write(state["header"], w)
+        tokens = state["streams"].get(stream_global())
+        if tokens is not None:
+            write_tokens(tokens, state["codes"], w)
+
+    def write_group_with_tree(self, w: BitWriter, state: dict,
+                              stream_id: int) -> None:
+        from libjxl_tpu.entropy.codes import write_tokens
+
+        tokens = state["streams"].get(stream_id)
+        if tokens is None:
+            return  # geometrically empty stream: write nothing
+        header = GroupHeader()
+        header.use_global_tree = True
+        bundle_write(header, w)
+        write_tokens(tokens, state["codes"], w)
 
     def _encode_stream_image(self, w: BitWriter, sub: ModularImage,
                              predictor: int, tree: Tree | None = None,
