@@ -45,7 +45,8 @@ class FrameResult:
 
 def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
-           progressive: bool = False, noise: float | None = None) -> bytes:
+           progressive: bool = False, noise: float | None = None,
+           resampling: int = 1) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -102,7 +103,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         encode_vardct_frame(xyb, meta, writer, distance=distance,
                             extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
-                            noise=noise)
+                            noise=noise, resampling=resampling)
     writer.align_to_byte()
     data = writer.get_bytes()
     return pack_container(data) if container else data

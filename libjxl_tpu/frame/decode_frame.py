@@ -60,8 +60,9 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         raise UnsupportedError("dc-frames not supported yet")
     if reference_frames is None:
         reference_frames = [None] * 4
-    if fh.upsampling != 1:
-        raise UnsupportedError("frame upsampling not supported yet")
+    if fh.upsampling != 1 and metadata.m.num_extra_channels:
+        raise UnsupportedError(
+            "extra channels with frame upsampling not supported yet")
     fd = fh.to_frame_dimensions()
 
     num_passes = fh.passes.num_passes
@@ -284,6 +285,12 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         out = apply_loop_filters(out, lfp, raw_quant, strategies,
                                  quantizer, fd, sharpness=sharpness)
 
+    # Upsampling precedes patches/splines/noise
+    # (dec_cache.cc stage order: EPF -> upsampling -> patches -> ...).
+    if fh.upsampling != 1:
+        from libjxl_tpu.pipeline.upsample import upsample_image
+        out = upsample_image(out[:, :fd.ysize, :fd.xsize], fh.upsampling)
+
     extra = None
     if metadata.m.num_extra_channels:
         gi = mfd.finalize()
@@ -303,6 +310,6 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         from libjxl_tpu.frame.noise import add_noise
         out = add_noise(out, noise_lut, cmap, fd)
 
-    out = out[:, :fd.ysize, :fd.xsize]
+    out = out[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
     r.seek_bits(frame_end_bits)
     return DecodedFrame(header=fh, xyb=out, extra_channels=extra)

@@ -73,15 +73,28 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         duration: int = 0,
                         patches=None,
                         splines=None,
-                        save_as_reference: int | None = None) -> None:
+                        save_as_reference: int | None = None,
+                        resampling: int = 1) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
     (e.g. [2, 0]); the last entry must be 0. None = single pass.
     noise: synthetic film-grain strength in [0, 1] (constant LUT).
     Writes frame header + TOC + sections into `w` (byte-aligned)."""
+    if resampling not in (1, 2, 4, 8):
+        raise ValueError("resampling must be 1, 2, 4 or 8")
+    if resampling != 1:
+        # Box-downsample to the coded resolution (encoder freedom;
+        # cjxl --resampling).
+        n = resampling
+        _, fy, fx = xyb.shape
+        py, px = (-fy) % n, (-fx) % n
+        padded = np.pad(xyb, ((0, 0), (0, py), (0, px)), mode="edge")
+        xyb = padded.reshape(3, (fy + py) // n, n, (fx + px) // n, n) \
+            .mean(axis=(2, 4))
     _, ysize, xsize = xyb.shape
     fh = FrameHeader(nonserialized_metadata=metadata)
+    fh.upsampling = resampling
     fh.encoding = FrameEncoding.VARDCT
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
     noise_lut = None

@@ -91,13 +91,15 @@ def _random_plane_rows(rng: Xorshift128Plus, xsize: int, ysize: int,
     return out
 
 
-def synthesize_noise_planes(fd, visible_frame_index: int = 1,
+def synthesize_noise_planes(h: int, w: int, group_dim: int,
+                            visible_frame_index: int = 1,
                             nonvisible_frame_index: int = 0) -> np.ndarray:
-    """Generates the 3 raw noise planes for the whole frame, seeding one
-    RNG per group (dec_noise.cc PrepareNoiseInput/Random3Planes)."""
-    h, w = fd.ysize_padded, fd.xsize_padded
+    """Generates the 3 raw noise planes for the whole (possibly
+    upsampled) frame, seeding one RNG per group_dim tile
+    (dec_noise.cc PrepareNoiseInput/Random3Planes; the upsampling
+    sub-tile loop produces the same seed grid)."""
     planes = np.empty((3, h, w), np.float32)
-    gd = fd.group_dim
+    gd = group_dim
     for gy in range((h + gd - 1) // gd):
         for gx in range((w + gd - 1) // gd):
             x0, y0 = gx * gd, gy * gd
@@ -141,10 +143,9 @@ def add_noise(xyb: np.ndarray, lut: np.ndarray, cmap, fd,
               visible_frame_index: int = 1) -> np.ndarray:
     """Applies synthesized noise to (3, H, W) XYB in place
     (stage_noise.cc AddNoiseStage)."""
-    raw = synthesize_noise_planes(fd, visible_frame_index)
-    rnd = np.stack([_convolve_laplacian(p) for p in raw])
     h, w = xyb.shape[1], xyb.shape[2]
-    rnd = rnd[:, :h, :w]
+    raw = synthesize_noise_planes(h, w, fd.group_dim, visible_frame_index)
+    rnd = np.stack([_convolve_laplacian(p) for p in raw])
 
     norm_const = np.float32(0.22)
     k_rg_corr = np.float32(0.9921875)

@@ -137,3 +137,15 @@ def test_noise_synthesis():
     assert 0.2 < diff.mean() < 15.0, diff.mean()  # grain present, subtle
     # Synthesis is deterministic (seeded per group).
     np.testing.assert_array_equal(rn.pixels, decode(dn).pixels)
+
+
+@pytest.mark.parametrize("rs", [2, 4, 8])
+def test_resampling_roundtrip(rs):
+    img = _gradient_image(120, 150)
+    d = encode(img, distance=1.0, resampling=rs)
+    dref = encode(img, distance=1.0)
+    res = decode(d)
+    assert res.pixels.shape == img.shape
+    assert len(d) < len(dref)  # lower coded resolution => fewer bytes
+    err = np.abs(res.pixels.astype(int) - img.astype(int)).mean()
+    assert err < 6.0 * rs, err
