@@ -1,0 +1,61 @@
+"""Corrupted/truncated stream robustness — decoding must raise JxlError,
+never crash or hang (reference: djxl_fuzzer / decode_test.cc)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api import decode, encode
+from libjxl_tpu.base.errors import JxlError
+
+
+def _img():
+    y, x = np.mgrid[0:48, 0:64]
+    return np.stack([x % 256, y % 256, (x + y) % 256], -1).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def streams():
+    img = _img()
+    return [encode(img, lossless=True), encode(img, distance=1.0),
+            encode(img, distance=1.0, progressive=True)]
+
+
+def test_truncation_ladder(streams):
+    for data in streams:
+        for frac in (0.1, 0.3, 0.5, 0.7, 0.9, 0.98):
+            cut = data[:int(len(data) * frac)]
+            try:
+                decode(cut)
+            except Exception as e:
+                assert isinstance(e, JxlError), (frac, type(e))
+
+
+def test_bit_flips(streams):
+    rng = np.random.default_rng(42)
+    for data in streams:
+        arr = np.frombuffer(data, np.uint8).copy()
+        for _ in range(40):
+            corrupted = arr.copy()
+            pos = rng.integers(0, len(arr))
+            corrupted[pos] ^= 1 << rng.integers(0, 8)
+            try:
+                res = decode(corrupted.tobytes())
+                # Decoding may "succeed" with different pixels; that's
+                # fine as long as shapes stay sane.
+                assert res.pixels.shape[0] <= 1 << 20
+            except Exception as e:
+                assert isinstance(e, JxlError), type(e)
+
+
+def test_random_garbage():
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 10, 100, 1000):
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        with pytest.raises(JxlError):
+            decode(b"\xff\x0a" + blob)
+
+
+def test_empty_and_tiny():
+    for blob in (b"", b"\xff", b"\x00", b"\xff\x0a"):
+        with pytest.raises(JxlError):
+            decode(blob)
