@@ -132,6 +132,21 @@ def decode(data: bytes) -> DecodeResult:
     dtype = np.uint8 if bits <= 8 else np.uint16
     maxval = (1 << bits) - 1
     if frame.modular_channels is not None:
+        from libjxl_tpu.frame.frame_header import ColorTransform
+        if frame.header.color_transform == ColorTransform.YCBCR:
+            from libjxl_tpu.color.ycbcr import chroma_upsample, ycbcr_to_rgb
+            cs = frame.header.chroma_subsampling
+            planes = []
+            for c in range(3):
+                p = frame.modular_channels[c].astype(np.float64) / maxval
+                hs, vs = cs.hshift(c), cs.vshift(c)
+                if hs or vs:
+                    p = chroma_upsample(p, hs, vs, meta.xsize, meta.ysize)
+                planes.append(p)
+            rgb = ycbcr_to_rgb(planes[0], planes[1], planes[2])
+            arr = np.clip(np.round(rgb * maxval), 0, maxval).astype(dtype)
+            return DecodeResult(pixels=arr.transpose(1, 2, 0),
+                                metadata=meta, lossless=False)
         arr = np.stack(frame.modular_channels, axis=-1)
         arr = np.clip(arr, 0, maxval).astype(dtype)
         return DecodeResult(pixels=arr, metadata=meta, lossless=True)

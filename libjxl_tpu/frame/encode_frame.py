@@ -472,13 +472,21 @@ def _emit_sections(w, fh, fd, parts, num_passes: int = 1):
 def encode_modular_frame(channels: list, metadata: CodecMetadata,
                          w: BitWriter, *, transforms: list | None = None,
                          predictor: int = P_GRADIENT,
-                         is_last: bool = True, duration: int = 0) -> None:
-    """Lossless modular frame from int channel planes."""
+                         is_last: bool = True, duration: int = 0,
+                         ycbcr_subsampling: list | None = None) -> None:
+    """Lossless modular frame from int channel planes.
+
+    ycbcr_subsampling: channel_mode triple (e.g. [0, 1, 0] for 4:2:0;
+    frame_header.h YCbCrChromaSubsampling) — channels must then be
+    [Cb, Y, Cr] already subsampled to their coded sizes."""
     fh = FrameHeader(nonserialized_metadata=metadata)
     fh.encoding = FrameEncoding.MODULAR
     fh.is_last = is_last
     fh.animation_frame.duration = duration
     fh.color_transform = ColorTransform.NONE
+    if ycbcr_subsampling is not None:
+        fh.color_transform = ColorTransform.YCBCR
+        fh.chroma_subsampling.channel_mode = list(ycbcr_subsampling)
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = False
     fh.loop_filter.epf_iters = 0
@@ -486,6 +494,10 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
 
     img = ModularImage.from_planes(
         channels, metadata.m.bit_depth.bits_per_sample)
+    if ycbcr_subsampling is not None:
+        for c in range(min(3, len(img.channel))):
+            img.channel[c].hshift = fh.chroma_subsampling.hshift(c)
+            img.channel[c].vshift = fh.chroma_subsampling.vshift(c)
     mfe = ModularFrameEncoder(fd)
     from libjxl_tpu.frame.modular_frame import (
         stream_modular_ac, stream_modular_dc)
