@@ -114,8 +114,6 @@ def decode(data: bytes) -> DecodeResult:
         data = unpack_container(data).codestream
     r = BitReader(data)
     meta = read_codestream_headers(r)
-    if meta.m.color_encoding.want_icc:
-        raise BitstreamError("ICC codestreams not supported yet")
     # Frames start immediately (bit-unaligned); the TOC aligns internally.
     from libjxl_tpu.frame.frame_header import FrameType
     refs: list = [None] * 4
@@ -196,8 +194,6 @@ def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
         data = unpack_container(data).codestream
     r = BitReader(data)
     meta = read_codestream_headers(r)
-    if meta.m.color_encoding.want_icc:
-        raise BitstreamError("ICC codestreams not supported yet")
     h, w = meta.ysize, meta.xsize
     bits = meta.m.bit_depth.bits_per_sample
     dtype = np.uint8 if bits <= 8 else np.uint16

@@ -445,6 +445,7 @@ class CodecMetadata:
     m: ImageMetadata = dataclasses.field(default_factory=ImageMetadata)
     transform_data: CustomTransformData = dataclasses.field(
         default_factory=CustomTransformData)
+    icc_profile: bytes | None = None   # decoded/attached ICC payload
 
     @property
     def xsize(self) -> int:
@@ -475,6 +476,9 @@ def read_codestream_headers(r: BitReader) -> CodecMetadata:
     bundle_read(r, meta.m)
     meta.transform_data.nonserialized_xyb_encoded = meta.m.xyb_encoded
     bundle_read(r, meta.transform_data)
+    if meta.m.color_encoding.want_icc:
+        from libjxl_tpu.color.icc_codec import read_icc
+        meta.icc_profile = read_icc(r)
     return meta
 
 
@@ -485,3 +489,8 @@ def write_codestream_headers(meta: CodecMetadata, w: BitWriter) -> None:
     bundle_write(meta.m, w)
     meta.transform_data.nonserialized_xyb_encoded = meta.m.xyb_encoded
     bundle_write(meta.transform_data, w)
+    if meta.m.color_encoding.want_icc:
+        from libjxl_tpu.color.icc_codec import write_icc
+        if meta.icc_profile is None:
+            raise ValueError("want_icc set but no ICC profile provided")
+        write_icc(meta.icc_profile, w)
