@@ -32,7 +32,8 @@ def transform_to_pixels(strategy: int, coeffs: np.ndarray) -> np.ndarray:
     """coeffs: (size,) float in coefficient layout -> (8cy, 8cx) pixels.
 
     Reference dec_transforms-inl.h TransformToPixels. Currently the
-    DCT family + IDENTITY + DCT2X2 + DCT4X4 + DCT4X8/8X4; AFV pending.
+    full strategy set: DCT family, IDENTITY, DCT2X2, DCT4X4,
+    DCT4X8/8X4 and AFV0-3.
     """
     cx, cy = acs.covered_blocks(strategy)
     ly, lx = acs.coefficient_layout(cy, cx)
@@ -48,7 +49,7 @@ def transform_to_pixels(strategy: int, coeffs: np.ndarray) -> np.ndarray:
     if strategy in (acs.DCT4X8, acs.DCT8X4):
         return _dct4x8_to_pixels(grid, horizontal=strategy == acs.DCT4X8)
     if strategy in (acs.AFV0, acs.AFV1, acs.AFV2, acs.AFV3):
-        raise UnsupportedError("AFV transforms not implemented yet")
+        return _afv_to_pixels(grid, strategy - acs.AFV0)
     # Plain (rectangular) DCT: coefficient grid is stored transposed if
     # the block is taller than wide.
     if cy > cx:
@@ -69,7 +70,7 @@ def transform_from_pixels(strategy: int, pixels: np.ndarray) -> np.ndarray:
         return _dct4x8_from_pixels(
             pixels, horizontal=strategy == acs.DCT4X8).ravel()
     if strategy in (acs.AFV0, acs.AFV1, acs.AFV2, acs.AFV3):
-        raise UnsupportedError("AFV transforms not implemented yet")
+        return _afv_from_pixels(pixels, strategy - acs.AFV0).ravel()
     coef = dct2d(pixels)
     if cy > cx:
         coef = coef.T
@@ -358,3 +359,95 @@ def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
             out[c, blk.by * 8:(blk.by + cy) * 8,
                 blk.bx * 8:(blk.bx + cx) * 8] = pix
     return out
+
+
+# -- AFV transforms (dec_transforms-inl.h:95-454, enc_transforms-inl.h
+# AFVTransformFromPixels). The 8x8 block holds one AFV-transformed 4x4
+# corner (selected by kind: 0=TL, 1=TR, 2=BL, 3=BR), one DCT4x4 block
+# beside it, and a DCT4x8 half; their DCs are butterflied into
+# coefficient slots [0,0], [0,1], [1,0].
+
+
+def _afv_idct4x4(coeffs: np.ndarray) -> np.ndarray:
+    from libjxl_tpu.vardct.afv_data import AFV_BASIS
+    return (coeffs.ravel() @ AFV_BASIS).reshape(4, 4)
+
+
+def _afv_dct4x4(pixels: np.ndarray) -> np.ndarray:
+    from libjxl_tpu.vardct.afv_data import AFV_BASIS
+    return (AFV_BASIS @ pixels.ravel()).reshape(4, 4)
+
+
+def _afv_to_pixels(grid: np.ndarray, kind: int) -> np.ndarray:
+    afv_x, afv_y = kind & 1, kind >> 1
+    block00, block01, block10 = grid[0, 0], grid[0, 1], grid[1, 0]
+    dc_afv = (block00 + block10 + block01) * 4.0
+    dc_44 = block00 + block10 - block01
+    dc_48 = block00 - block10
+    out = np.zeros((8, 8))
+
+    coeff = np.zeros((4, 4))
+    coeff[0, 0] = dc_afv
+    for iy in range(4):
+        for ix in range(4):
+            if iy == 0 and ix == 0:
+                continue
+            coeff[iy, ix] = grid[iy * 2, ix * 2]
+    block = _afv_idct4x4(coeff)
+    ys = slice(None, None, -1) if afv_y else slice(None)
+    xs = slice(None, None, -1) if afv_x else slice(None)
+    out[afv_y * 4:afv_y * 4 + 4, afv_x * 4:afv_x * 4 + 4] = block[ys, xs]
+
+    b44 = np.zeros((4, 4))
+    b44[0, 0] = dc_44
+    for iy in range(4):
+        for ix in range(4):
+            if iy == 0 and ix == 0:
+                continue
+            b44[iy, ix] = grid[iy * 2, ix * 2 + 1]
+    x0 = 0 if afv_x == 1 else 4
+    out[afv_y * 4:afv_y * 4 + 4, x0:x0 + 4] = idct2d(b44)
+
+    b48 = np.zeros((4, 8))
+    b48[0, 0] = dc_48
+    for iy in range(4):
+        for ix in range(8):
+            if iy == 0 and ix == 0:
+                continue
+            b48[iy, ix] = grid[1 + iy * 2, ix]
+    y0 = 0 if afv_y == 1 else 4
+    out[y0:y0 + 4, :] = idct2d(b48)
+    return out
+
+
+def _afv_from_pixels(pixels: np.ndarray, kind: int) -> np.ndarray:
+    afv_x, afv_y = kind & 1, kind >> 1
+    grid = np.zeros((8, 8))
+
+    block = pixels[afv_y * 4:afv_y * 4 + 4, afv_x * 4:afv_x * 4 + 4]
+    ys = slice(None, None, -1) if afv_y else slice(None)
+    xs = slice(None, None, -1) if afv_x else slice(None)
+    coeff = _afv_dct4x4(block[ys, xs])
+    for iy in range(4):
+        for ix in range(4):
+            grid[iy * 2, ix * 2] = coeff[iy, ix]
+
+    x0 = 0 if afv_x == 1 else 4
+    b44 = dct2d(pixels[afv_y * 4:afv_y * 4 + 4, x0:x0 + 4])
+    for iy in range(4):
+        for ix in range(4):
+            grid[iy * 2, ix * 2 + 1] = b44[iy, ix]
+
+    y0 = 0 if afv_y == 1 else 4
+    b48 = dct2d(pixels[y0:y0 + 4, :])
+    for iy in range(4):
+        for ix in range(8):
+            grid[1 + iy * 2, ix] = b48[iy, ix]
+
+    block00 = grid[0, 0] * 0.25
+    block01 = grid[0, 1]
+    block10 = grid[1, 0]
+    grid[0, 0] = (block00 + block01 + 2 * block10) * 0.25
+    grid[0, 1] = (block00 - block01) * 0.5
+    grid[1, 0] = (block00 + block01 - 2 * block10) * 0.25
+    return grid
