@@ -66,7 +66,8 @@ class Encoder:
             codestream = encode(img, distance=s.distance,
                                 lossless=s.lossless,
                                 progressive=s.progressive,
-                                noise=s.noise, resampling=s.resampling)
+                                noise=s.noise, resampling=s.resampling,
+                                effort=s.effort)
         else:
             imgs = [f[0] for f in self._frames]
             settings = self._frames[0][1]

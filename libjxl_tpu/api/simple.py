@@ -46,11 +46,13 @@ class FrameResult:
 def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
            progressive: bool = False, noise: float | None = None,
-           resampling: int = 1) -> bytes:
+           resampling: int = 1, effort: int = 7) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
     distance: butteraugli target for the lossy path (0 => lossless).
+    effort: >= 8 enables the butteraugli-guided quant-field iteration
+    (enc_heuristics FindBestQuantization analogue, ~3x encode time).
     """
     if distance == 0:
         lossless = True
@@ -100,13 +102,57 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         linear = srgb_to_linear(srgb).transpose(2, 0, 1)
         xyb = linear_rgb_to_xyb(linear)
         extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
-        encode_vardct_frame(xyb, meta, writer, distance=distance,
-                            extra_channels=extra,
+        frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling)
+        qf_adjust = None
+        if effort >= 8 and resampling == 1 and noise is None:
+            qf_adjust = _butteraugli_qf_iteration(
+                image, srgb, xyb, meta, writer, distance, frame_kwargs)
+        encode_vardct_frame(xyb, meta, writer, qf_adjust=qf_adjust,
+                            **frame_kwargs)
     writer.align_to_byte()
     data = writer.get_bytes()
     return pack_container(data) if container else data
+
+
+def _butteraugli_qf_iteration(image, srgb, xyb, meta, header_writer,
+                              distance, frame_kwargs,
+                              iterations: int = 2) -> np.ndarray:
+    """Iteratively refines a per-8x8-block quant-field multiplier so
+    the decoded butteraugli error tracks the target distance
+    (enc_heuristics.cc FindBestQuantization's role)."""
+    from libjxl_tpu.frame.decode_frame import decode_frame
+    from libjxl_tpu.metrics.butteraugli import butteraugli_diffmap
+
+    h, w = srgb.shape[:2]
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    adjust = np.ones((by + 4, bx + 4), np.float32)
+    ref_linear = srgb_to_linear(srgb).transpose(2, 0, 1).astype(np.float64)
+    header_bytes_writer = BitWriter()
+    # Re-create the headers so trial streams are self-contained.
+    write_codestream_headers(meta, header_bytes_writer)
+    for _ in range(iterations):
+        trial = BitWriter()
+        write_codestream_headers(meta, trial)
+        encode_vardct_frame(xyb, meta, trial,
+                            qf_adjust=adjust, **frame_kwargs)
+        trial.align_to_byte()
+        res = decode(trial.get_bytes())
+        dec_srgb = res.pixels[:, :, :3].astype(np.float32) / \
+            (255.0 if res.pixels.dtype == np.uint8 else 65535.0)
+        dec_linear = srgb_to_linear(dec_srgb).transpose(2, 0, 1) \
+            .astype(np.float64)
+        dmap = butteraugli_diffmap(ref_linear, dec_linear)
+        # Per-block 90th-percentile error vs the target distance.
+        pb, qb = by * 8 - h, bx * 8 - w
+        dpad = np.pad(dmap, ((0, pb), (0, qb)), mode="edge")
+        blocks = dpad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+            .reshape(by, bx, 64)
+        err = np.quantile(blocks, 0.9, axis=-1)
+        ratio = np.clip((err / max(distance, 1e-6)) ** 0.6, 1 / 1.3, 1.3)
+        adjust[:by, :bx] = np.clip(adjust[:by, :bx] * ratio, 0.4, 2.5)
+    return adjust
 
 
 def decode(data: bytes) -> DecodeResult:

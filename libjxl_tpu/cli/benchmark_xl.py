@@ -40,6 +40,8 @@ def _run_jxl(img, spec):
             kwargs["progressive"] = True
         elif p.startswith("r"):
             kwargs["resampling"] = int(p[1:])
+        elif p.startswith("e"):
+            kwargs["effort"] = int(p[1:])
     t0 = time.perf_counter()
     data = encode(img, **kwargs)
     t1 = time.perf_counter()

@@ -74,7 +74,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         patches=None,
                         splines=None,
                         save_as_reference: int | None = None,
-                        resampling: int = 1) -> None:
+                        resampling: int = 1,
+                        qf_adjust: np.ndarray | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -140,6 +141,10 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     matrices = DequantMatrices()
     quantizer = Quantizer(matrices)
     qf = aq_field(distance, planes)
+    if qf_adjust is not None:
+        # Per-block multiplier from the butteraugli-guided outer loop
+        # (enc_heuristics FindBestQuantization analogue).
+        qf = qf * qf_adjust[:qf.shape[0], :qf.shape[1]]
     raw_quant = quantizer.set_quant_field(aq_dc(distance), qf)
 
     ctx_map = BlockCtxMap()

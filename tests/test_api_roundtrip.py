@@ -149,3 +149,18 @@ def test_resampling_roundtrip(rs):
     assert len(d) < len(dref)  # lower coded resolution => fewer bytes
     err = np.abs(res.pixels.astype(int) - img.astype(int)).mean()
     assert err < 6.0 * rs, err
+
+
+def test_effort8_butteraugli_iteration():
+    from libjxl_tpu.metrics.butteraugli import butteraugli_distance
+    rng = np.random.default_rng(4)
+    img = np.clip(_gradient_image(96, 112).astype(int)
+                  + rng.normal(0, 5, (96, 112, 3)).astype(int),
+                  0, 255).astype(np.uint8)
+    d7 = encode(img, distance=1.0, effort=7)
+    d8 = encode(img, distance=1.0, effort=8)
+    b7 = butteraugli_distance(img, decode(d7).pixels)
+    b8 = butteraugli_distance(img, decode(d8).pixels)
+    # The guided iteration must move the achieved distance toward the
+    # target (here: reduce the overshoot).
+    assert b8 <= b7 + 1e-6, (b7, b8)
