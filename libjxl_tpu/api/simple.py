@@ -88,10 +88,20 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         channels = [image[:, :, c].astype(np.int32) for c in range(ncolor)]
         if has_alpha:
             channels.append(image[:, :, -1].astype(np.int32))
-        from libjxl_tpu.frame.enc_modular_heuristics import (
-            select_modular_transforms)
-        transforms = select_modular_transforms(channels, bits)
-        encode_modular_frame(channels, meta, writer, transforms=transforms)
+        if effort <= 3:
+            # Fast-lossless path (fjxl analogue): fixed YCoCg + fixed
+            # gradient tree, no search.
+            from libjxl_tpu.modular.codec import Transform, TransformId
+            transforms = [Transform(id=TransformId.RCT, begin_c=0,
+                                    rct_type=6)] if ncolor >= 3 else []
+            encode_modular_frame(channels, meta, writer,
+                                 transforms=transforms, learn_tree=False)
+        else:
+            from libjxl_tpu.frame.enc_modular_heuristics import (
+                select_modular_transforms)
+            transforms = select_modular_transforms(channels, bits)
+            encode_modular_frame(channels, meta, writer,
+                                 transforms=transforms)
     else:
         meta.m.xyb_encoded = True
         write_codestream_headers(meta, writer)
@@ -155,6 +165,26 @@ def _butteraugli_qf_iteration(image, srgb, xyb, meta, header_writer,
     return adjust
 
 
+def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """EXIF orientation 1-8 -> upright pixels (dec: stage order puts
+    orientation last; decode.cc kKeepOrientation=false default)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return arr.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return arr.transpose(1, 0, 2)[::-1]
+    return arr
+
+
 def decode(data: bytes) -> DecodeResult:
     if is_container(data):
         data = unpack_container(data).codestream
@@ -189,10 +219,12 @@ def decode(data: bytes) -> DecodeResult:
                 planes.append(p)
             rgb = ycbcr_to_rgb(planes[0], planes[1], planes[2])
             arr = np.clip(np.round(rgb * maxval), 0, maxval).astype(dtype)
-            return DecodeResult(pixels=arr.transpose(1, 2, 0),
-                                metadata=meta, lossless=False)
+            arr = _apply_orientation(arr.transpose(1, 2, 0),
+                                     meta.m.orientation)
+            return DecodeResult(pixels=arr, metadata=meta, lossless=False)
         arr = np.stack(frame.modular_channels, axis=-1)
         arr = np.clip(arr, 0, maxval).astype(dtype)
+        arr = _apply_orientation(arr, meta.m.orientation)
         return DecodeResult(pixels=arr, metadata=meta, lossless=True)
 
     linear = xyb_to_linear_rgb(frame.xyb)
@@ -203,6 +235,7 @@ def decode(data: bytes) -> DecodeResult:
         alpha = np.clip(frame.extra_channels[0], 0, maxval
                         ).astype(dtype)[:, :, None]
         arr = np.concatenate([arr, alpha], axis=-1)
+    arr = _apply_orientation(arr, meta.m.orientation)
     return DecodeResult(pixels=arr, metadata=meta, lossless=False)
 
 

@@ -478,7 +478,8 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
                          w: BitWriter, *, transforms: list | None = None,
                          predictor: int = P_GRADIENT,
                          is_last: bool = True, duration: int = 0,
-                         ycbcr_subsampling: list | None = None) -> None:
+                         ycbcr_subsampling: list | None = None,
+                         learn_tree: bool = True) -> None:
     """Lossless modular frame from int channel planes.
 
     ycbcr_subsampling: channel_mode triple (e.g. [0, 1, 0] for 4:2:0;
@@ -506,7 +507,8 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
     mfe = ModularFrameEncoder(fd)
     from libjxl_tpu.frame.modular_frame import (
         stream_modular_ac, stream_modular_dc)
-    state = mfe.prepare_global_tree(img, transforms or [], fh)
+    state = mfe.prepare_global_tree(img, transforms or [], fh,
+                                    learn=learn_tree)
 
     def write_lf_global(sw):
         DequantMatrices().encode_dc(sw)

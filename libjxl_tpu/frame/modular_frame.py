@@ -346,7 +346,8 @@ class ModularFrameEncoder:
     # -- Global-tree lossless path (enc_modular.cc with a learned tree) --
 
     def prepare_global_tree(self, full_image: ModularImage,
-                            transforms: list, fh) -> dict:
+                            transforms: list, fh,
+                            learn: bool = True) -> dict:
         """Applies transforms, learns a global MA tree, and tokenizes
         every stream up-front so LfGlobal can carry the shared tree +
         clustered histograms."""
@@ -376,7 +377,8 @@ class ModularFrameEncoder:
         else:
             learn_chans = [c.data for c in work.channel if c.w and c.h]
             learn_idx = list(range(len(learn_chans)))
-        tree = learn_tree(learn_chans, learn_idx)
+        tree = learn_tree(learn_chans, learn_idx) if learn \
+            else _simple_tree(P_GRADIENT)
 
         header = GroupHeader()
         header.use_global_tree = True

@@ -164,3 +164,34 @@ def test_effort8_butteraugli_iteration():
     # The guided iteration must move the achieved distance toward the
     # target (here: reduce the overshoot).
     assert b8 <= b7 + 1e-6, (b7, b8)
+
+
+@pytest.mark.parametrize("orientation,expect", [
+    (2, lambda a: a[:, ::-1]), (3, lambda a: a[::-1, ::-1]),
+    (4, lambda a: a[::-1]), (5, lambda a: a.transpose(1, 0, 2)),
+    (6, lambda a: a.transpose(1, 0, 2)[:, ::-1]),
+    (7, lambda a: a.transpose(1, 0, 2)[::-1, ::-1]),
+    (8, lambda a: a.transpose(1, 0, 2)[::-1]),
+])
+def test_orientation_applied(orientation, expect):
+    from libjxl_tpu.api.simple import CodecMetadata
+    from libjxl_tpu.bitstream.bit_io import BitWriter
+    from libjxl_tpu.color.color_encoding import ColorEncoding
+    from libjxl_tpu.frame.encode_frame import encode_modular_frame
+    from libjxl_tpu.frame.headers import BitDepth, write_codestream_headers
+
+    rng = np.random.default_rng(orientation)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    meta = CodecMetadata()
+    meta.size.set(30, 20)
+    meta.m.bit_depth = BitDepth.uint(8)
+    meta.m.xyb_encoded = False
+    meta.m.color_encoding = ColorEncoding.srgb(is_gray=False)
+    meta.m.orientation = orientation
+    w = BitWriter()
+    write_codestream_headers(meta, w)
+    encode_modular_frame([img[:, :, c].astype(np.int32) for c in range(3)],
+                         meta, w)
+    w.align_to_byte()
+    res = decode(w.get_bytes())
+    np.testing.assert_array_equal(res.pixels, expect(img))
