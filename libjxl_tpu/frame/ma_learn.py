@@ -122,23 +122,25 @@ def _token_class(residual: np.ndarray) -> np.ndarray:
     return cls
 
 
+_RAW_BITS = np.maximum(np.arange(_MAX_CLASSES) - 1, 0)
+
+
 def _cost(class_rows: np.ndarray) -> tuple[float, int]:
-    """(bits, best predictor index) for a (npred, n) class matrix."""
-    best = None
-    best_k = 0
-    for k in range(class_rows.shape[0]):
-        counts = np.bincount(class_rows[k], minlength=_MAX_CLASSES)
-        tot = counts.sum()
-        nzc = counts[counts > 0]
-        p = nzc / tot
-        ent = float(-(p * np.log2(p)).sum()) * tot
-        # raw mantissa bits: class m needs ~m-1 extra bits
-        raw = float((np.maximum(np.arange(_MAX_CLASSES) - 1, 0)
-                     * counts).sum())
-        bits = ent + raw
-        if best is None or bits < best:
-            best, best_k = bits, k
-    return best, best_k
+    """(bits, best predictor index) for a (npred, n) class matrix.
+    One combined bincount covers all predictors at once."""
+    k, n = class_rows.shape
+    comb = (np.arange(k, dtype=np.int64)[:, None] * _MAX_CLASSES
+            + class_rows).ravel()
+    counts = np.bincount(comb, minlength=k * _MAX_CLASSES) \
+        .reshape(k, _MAX_CLASSES)
+    tot = counts.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logp = np.log2(counts / tot)
+    ent = -(counts * np.where(counts > 0, logp, 0.0)).sum(axis=1)
+    raw = (_RAW_BITS * counts).sum(axis=1) + counts[:, 1:].sum(axis=1)
+    bits = ent + raw
+    best_k = int(np.argmin(bits))
+    return float(bits[best_k]), best_k
 
 
 def learn_tree(channels: list, chan_indices: list | None = None,
