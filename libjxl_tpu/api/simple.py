@@ -45,7 +45,7 @@ class FrameResult:
 
 def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
-           progressive: bool = False, noise: float | None = None,
+           progressive: bool = False, noise=None,
            resampling: int = 1, effort: int = 7) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
@@ -112,6 +112,10 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         linear = srgb_to_linear(srgb).transpose(2, 0, 1)
         xyb = linear_rgb_to_xyb(linear)
         extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
+        if noise == "auto":
+            from libjxl_tpu.frame.noise import estimate_noise
+            lut = estimate_noise(xyb)
+            noise = float(lut.mean()) if lut is not None else None
         frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling)

@@ -167,3 +167,39 @@ def add_noise(xyb: np.ndarray, lut: np.ndarray, cmap, fd,
     xyb[1] += rg_noise
     xyb[2] += ytob * rg_noise
     return xyb
+
+
+def estimate_noise(xyb: np.ndarray) -> np.ndarray | None:
+    """Estimates an 8-point noise LUT from the image (enc_noise.cc
+    GetNoiseParameter's role, simplified): per-intensity-bucket robust
+    std of the high-pass Y residual over non-edge pixels, scaled so
+    re-synthesized grain matches the measured amplitude (the 0.494
+    calibration is the Y-std produced by a unit LUT).
+
+    Returns None when the image carries no measurable grain."""
+    y = xyb[1].astype(np.float64)
+    hp = _convolve_laplacian(y.astype(np.float32)).astype(np.float64) / 3.84
+    gy, gx = np.gradient(y)
+    grad = np.hypot(gy, gx)
+    flat = grad < np.quantile(grad, 0.5)
+    intensity = np.clip(y * (NUM_NOISE_POINTS - 2), 0,
+                        NUM_NOISE_POINTS - 1).astype(np.int32)
+    lut = np.zeros(NUM_NOISE_POINTS, np.float32)
+    seen = 0
+    for b in range(NUM_NOISE_POINTS):
+        sel = flat & (intensity == b)
+        if sel.sum() < 256:
+            continue
+        # Robust sigma via median absolute deviation.
+        r = hp[sel]
+        sigma = 1.4826 * np.median(np.abs(r - np.median(r)))
+        lut[b] = sigma / 0.494
+        seen += 1
+    if seen == 0 or lut.max() < 0.01:
+        return None
+    # Fill unobserved buckets from their neighbors.
+    for b in range(NUM_NOISE_POINTS):
+        if lut[b] == 0:
+            nz = lut[lut > 0]
+            lut[b] = nz.mean() if nz.size else 0.0
+    return np.clip(lut, 0.0, 1.0)

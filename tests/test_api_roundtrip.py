@@ -195,3 +195,17 @@ def test_orientation_applied(orientation, expect):
     w.align_to_byte()
     res = decode(w.get_bytes())
     np.testing.assert_array_equal(res.pixels, expect(img))
+
+
+def test_noise_auto_estimation():
+    rng = np.random.default_rng(9)
+    base = _gradient_image(96, 112).astype(float)
+    noisy = np.clip(base + rng.normal(0, 6, base.shape), 0,
+                    255).astype(np.uint8)
+    d_auto = encode(noisy, distance=1.0, noise="auto")
+    d_off = encode(noisy, distance=1.0)
+    assert len(d_auto) == len(d_off) + 10  # noise LUT got written
+    clean = base.clip(0, 255).astype(np.uint8)
+    d_clean = encode(clean, distance=1.0, noise="auto")
+    d_clean_off = encode(clean, distance=1.0)
+    assert len(d_clean) == len(d_clean_off)  # no grain detected
