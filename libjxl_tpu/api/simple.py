@@ -46,7 +46,8 @@ class FrameResult:
 def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
            progressive: bool = False, noise=None,
-           resampling: int = 1, effort: int = 7) -> bytes:
+           resampling: int = 1, effort: int = 7,
+           dots: bool = False) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -119,6 +120,20 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling)
+        if dots and resampling == 1:
+            from libjxl_tpu.frame.dots import build_dot_sheet, detect_dots
+            dot_list, cleaned = detect_dots(xyb, distance)
+            if dot_list:
+                sheet, pd = build_dot_sheet(xyb, dot_list)
+                canvas = np.zeros_like(xyb)
+                sh, sw = sheet.shape[1:]
+                if sh <= canvas.shape[1] and sw <= canvas.shape[2]:
+                    canvas[:, :sh, :sw] = sheet
+                    encode_vardct_frame(canvas, meta, writer,
+                                        distance=min(distance, 0.3),
+                                        save_as_reference=1)
+                    xyb = cleaned
+                    frame_kwargs["patches"] = pd
         qf_adjust = None
         if effort >= 8 and resampling == 1 and noise is None:
             qf_adjust = _butteraugli_qf_iteration(

@@ -86,3 +86,29 @@ def test_patch_bad_reference_rejected():
         blendings=[[PatchBlending(PatchBlendMode.REPLACE)]])
     with pytest.raises(Exception):
         decode(_encode_with_patches(base, ref_img, pd))
+
+
+def test_dots_detection_preserves_impulses():
+    from libjxl_tpu.api import decode as api_decode, encode as api_encode
+    y, x = np.mgrid[0:128, 0:160]
+    img = np.stack([(110 + 60 * np.sin(x / 37)), (115 + 50 * np.cos(y / 29)),
+                    (105 + 40 * np.sin((x + y) / 47))],
+                   -1).clip(0, 255).astype(np.uint8)
+    pos = [(20, 30), (50, 90), (90, 40), (100, 130)]
+    for (py, px) in pos:
+        img[py, px] = [255, 240, 250]
+    r_plain = api_decode(api_encode(img, distance=1.0)).pixels
+    r_dots = api_decode(api_encode(img, distance=1.0, dots=True)).pixels
+    err_plain = np.mean([np.abs(r_plain[p].astype(int)
+                                - img[p].astype(int)).mean() for p in pos])
+    err_dots = np.mean([np.abs(r_dots[p].astype(int)
+                               - img[p].astype(int)).mean() for p in pos])
+    assert err_dots < err_plain * 0.5, (err_plain, err_dots)
+
+
+def test_dots_noop_on_smooth_image():
+    from libjxl_tpu.api import encode as api_encode
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.stack([x * 2 % 256] * 3, -1).astype(np.uint8)
+    assert len(api_encode(img, distance=1.0, dots=True)) == \
+        len(api_encode(img, distance=1.0))
