@@ -28,9 +28,21 @@ def main(argv=None) -> int:
                    help="butteraugli distance target (0 = lossless)")
     p.add_argument("-q", "--quality", type=float, default=None,
                    help="quality 0-100 (100 = lossless)")
-    p.add_argument("-e", "--effort", type=int, default=3,
-                   help="encoder effort 1-9 (currently informational)")
+    p.add_argument("-e", "--effort", type=int, default=7,
+                   help="encoder effort 1-9 (<=3 fast-lossless; >=8 "
+                        "butteraugli-guided quantization)")
     p.add_argument("--lossless", action="store_true")
+    p.add_argument("-p", "--progressive", action="store_true",
+                   help="progressive (multi-pass) encoding")
+    p.add_argument("--resampling", type=int, default=1, choices=[1, 2, 4, 8],
+                   help="encode at 1/N resolution with decoder upsampling")
+    p.add_argument("--photon_noise", default=None,
+                   help="'auto' or a LUT strength in [0,1] to synthesize "
+                        "film grain")
+    p.add_argument("--dots", action="store_true",
+                   help="detect isolated dots and encode them as patches")
+    p.add_argument("--container", action="store_true",
+                   help="wrap the codestream in an ISOBMFF container")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -49,8 +61,14 @@ def main(argv=None) -> int:
         img = img.convert("RGB")
     arr = np.asarray(img)
 
+    noise = args.photon_noise
+    if noise not in (None, "auto"):
+        noise = float(noise)
     t0 = time.time()
-    data = encode(arr, distance=distance, lossless=lossless)
+    data = encode(arr, distance=distance, lossless=lossless,
+                  effort=args.effort, progressive=args.progressive,
+                  resampling=args.resampling, noise=noise,
+                  dots=args.dots, container=args.container)
     dt = time.time() - t0
     with open(args.output, "wb") as f:
         f.write(data)
