@@ -328,13 +328,18 @@ def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
     dc: (3, block_h, block_w) dequantized DC for this group's blocks.
     ytox/ytob_map: per-64px-tile factors (group-relative indices
     computed from absolute block coords)."""
-    if blocks and all(b.strategy == acs.DCT8X8 for b in blocks):
-        return reconstruct_group_dct8(
-            blocks, block_w, block_h, quantizer, raw_quant, dc, cmap_base,
+    # Vectorize the (dominant) DCT8X8 subset; only non-8x8 strategies
+    # take the per-block path.
+    dct8 = [b for b in blocks if b.strategy == acs.DCT8X8]
+    rest = [b for b in blocks if b.strategy != acs.DCT8X8]
+    if dct8:
+        out = reconstruct_group_dct8(
+            dct8, block_w, block_h, quantizer, raw_quant, dc, cmap_base,
             ytox_map, ytob_map, group_bx0, group_by0, x_qm_mul, b_qm_mul,
             biases)
-    out = np.zeros((3, block_h * 8, block_w * 8), np.float32)
-    for blk in blocks:
+    else:
+        out = np.zeros((3, block_h * 8, block_w * 8), np.float32)
+    for blk in rest:
         cx, cy = acs.covered_blocks(blk.strategy)
         abx, aby = group_bx0 + blk.bx, group_by0 + blk.by
         tx, ty = abx // 8, aby // 8
