@@ -120,4 +120,28 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
         for yy, pp in zip(*np.nonzero(accept_w)):
             strategies[yy, pp * 2] = acs.DCT8X16
             strategies[yy, pp * 2 + 1] = -1
+
+    # ---- 16-tall pairs (DCT16X8) on what is still free ----
+    if enable_rect and by >= 2:
+        m16 = dct_matrix(16)
+        # DCT16X8 table is (8, 16) in coefficient layout (wider on x);
+        # the vertical pair's coefficients transpose into that layout.
+        invty = (1.0 / dm.table(acs.DCT16X8))[1]  # (8, 16)
+        py = by // 2
+        regions = y[:py * 16, :].reshape(py, 16, bx, 8).transpose(0, 2, 1, 3)
+        coeft = np.einsum("ui,abij,wj->abuw", m16, regions, m8,
+                          optimize=True)  # (py,bx,16,8)
+        coeft = coeft.transpose(0, 1, 3, 2)  # layout (8,16)
+        rqt = raw_quant[:py * 2, :].reshape(py, 2, bx).max(axis=1)
+        sct = (rqt / inv_gs)[..., None, None]
+        qt = np.round(coeft * invty * sct)
+        qt[..., :1, :2] = 0
+        bitst = _bits_proxy(qt, axis=(-2, -1))
+        bits8_t = bits8[:py * 2, :].reshape(py, 2, bx).sum(axis=1)
+        free = (strategies[0:py * 2:2, :] == acs.DCT8X8) \
+            & (strategies[1:py * 2:2, :] == acs.DCT8X8)
+        accept_t = free & (bitst < bits8_t * _MERGE_FACTOR)
+        for pp, xx in zip(*np.nonzero(accept_t)):
+            strategies[pp * 2, xx] = acs.DCT16X8
+            strategies[pp * 2 + 1, xx] = -1
     return strategies
