@@ -35,6 +35,7 @@ class DecodeResult:
     pixels: np.ndarray     # (H, W, C) uint8/uint16 or float32
     metadata: CodecMetadata
     lossless: bool
+    preview: np.ndarray | None = None   # decoded preview frame, if any
 
 
 @dataclasses.dataclass
@@ -47,7 +48,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
            progressive: bool = False, noise=None,
            resampling: int = 1, effort: int = 7,
-           dots: bool = False) -> bytes:
+           dots: bool = False, preview: bool = False) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -76,7 +77,19 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     meta.m.bit_depth = BitDepth.uint(bits)
     if has_alpha:
         meta.m.set_alpha_bits(bits)
-
+    pw_img = None
+    if preview and not lossless:
+        div = max(1, (max(h, w) + 127) // 128)
+        ph, pw_ = max(1, h // div), max(1, w // div)
+        meta.m.have_preview = True
+        meta.m.preview_size.div8 = False
+        meta.m.preview_size.ysize_raw = ph
+        meta.m.preview_size.ratio = 0
+        meta.m.preview_size.xsize_raw = pw_
+        pimg = image[:h - h % div or h, :w - w % div or w, :3]
+        hh, ww = (h // div) * div, (w // div) * div
+        pw_img = image[:hh, :ww, :min(3, image.shape[2])].astype(np.float32)
+        pw_img = pw_img.reshape(ph, div, pw_, div, -1).mean((1, 3))
     writer = BitWriter()
     if lossless:
         meta.m.xyb_encoded = False
@@ -120,6 +133,15 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling)
+        if pw_img is not None:
+            scale_p = 255.0 if bits == 8 else 65535.0
+            psrgb = pw_img / scale_p
+            if psrgb.shape[2] == 1:
+                psrgb = np.repeat(psrgb, 3, axis=2)
+            pxyb = linear_rgb_to_xyb(
+                srgb_to_linear(psrgb.astype(np.float32)).transpose(2, 0, 1))
+            encode_vardct_frame(pxyb, meta, writer, distance=max(
+                distance, 1.0), is_preview=True)
         if dots and resampling == 1:
             from libjxl_tpu.frame.dots import build_dot_sheet, detect_dots
             dot_list, cleaned = detect_dots(xyb, distance)
@@ -212,6 +234,14 @@ def decode(data: bytes) -> DecodeResult:
     # Frames start immediately (bit-unaligned); the TOC aligns internally.
     from libjxl_tpu.frame.frame_header import FrameType
     refs: list = [None] * 4
+    preview = None
+    if meta.m.have_preview:
+        pframe = decode_frame(r, meta, refs, is_preview=True)
+        pcolor, _ = _frame_to_float(pframe, meta)
+        bits_p = meta.m.bit_depth.bits_per_sample
+        pdtype = np.uint8 if bits_p <= 8 else np.uint16
+        pmax = (1 << bits_p) - 1
+        preview = np.clip(np.round(pcolor * pmax), 0, pmax).astype(pdtype)
     while True:
         frame = decode_frame(r, meta, refs)
         fh = frame.header
@@ -244,7 +274,8 @@ def decode(data: bytes) -> DecodeResult:
         arr = np.stack(frame.modular_channels, axis=-1)
         arr = np.clip(arr, 0, maxval).astype(dtype)
         arr = _apply_orientation(arr, meta.m.orientation)
-        return DecodeResult(pixels=arr, metadata=meta, lossless=True)
+        return DecodeResult(pixels=arr, metadata=meta, lossless=True,
+                            preview=preview)
 
     linear = xyb_to_linear_rgb(frame.xyb)
     srgb = linear_to_srgb(linear)
@@ -255,7 +286,8 @@ def decode(data: bytes) -> DecodeResult:
                         ).astype(dtype)[:, :, None]
         arr = np.concatenate([arr, alpha], axis=-1)
     arr = _apply_orientation(arr, meta.m.orientation)
-    return DecodeResult(pixels=arr, metadata=meta, lossless=False)
+    return DecodeResult(pixels=arr, metadata=meta, lossless=False,
+                        preview=preview)
 
 
 def _frame_to_float(frame, meta) -> tuple[np.ndarray, np.ndarray | None]:

@@ -47,12 +47,14 @@ class DecodedFrame:
 
 
 def decode_frame(r: BitReader, metadata: CodecMetadata,
-                 reference_frames: list | None = None) -> DecodedFrame:
+                 reference_frames: list | None = None,
+                 is_preview: bool = False) -> DecodedFrame:
     """Decode one frame from `r` (positioned after image headers).
 
     reference_frames: 4 slots of saved (3, H, W) XYB planes used by
     patches (dec_frame.cc reference_frames_)."""
     fh = FrameHeader(nonserialized_metadata=metadata)
+    fh.nonserialized_is_preview = is_preview
     bundle_read(r, fh)
     if fh.frame_type not in (FrameType.REGULAR, FrameType.REFERENCE_ONLY):
         raise UnsupportedError("DC/skip-progressive frames not supported yet")

@@ -75,7 +75,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         splines=None,
                         save_as_reference: int | None = None,
                         resampling: int = 1,
-                        qf_adjust: np.ndarray | None = None) -> None:
+                        qf_adjust: np.ndarray | None = None,
+                        is_preview: bool = False) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -95,6 +96,10 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
             .mean(axis=(2, 4))
     _, ysize, xsize = xyb.shape
     fh = FrameHeader(nonserialized_metadata=metadata)
+    fh.nonserialized_is_preview = is_preview
+    if is_preview:
+        fh.is_last = False
+        is_last = False
     fh.upsampling = resampling
     fh.encoding = FrameEncoding.VARDCT
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)

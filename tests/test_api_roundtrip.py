@@ -209,3 +209,23 @@ def test_noise_auto_estimation():
     d_clean = encode(clean, distance=1.0, noise="auto")
     d_clean_off = encode(clean, distance=1.0)
     assert len(d_clean) == len(d_clean_off)  # no grain detected
+
+
+def test_preview_frame():
+    img = _gradient_image(200, 280)
+    d = encode(img, distance=1.0, preview=True)
+    d0 = encode(img, distance=1.0)
+    assert len(d) > len(d0)
+    res = decode(d)
+    assert res.preview is not None
+    ph, pw = res.preview.shape[:2]
+    assert max(ph, pw) <= 128
+    # Preview approximates the box-downsampled original.
+    div = 280 // pw
+    small = img[:ph * div, :pw * div].reshape(ph, div, pw, div, 3) \
+        .mean((1, 3))
+    err = np.abs(res.preview.astype(float) - small).mean()
+    assert err < 12, err
+    # Main image unaffected.
+    assert np.abs(res.pixels.astype(int) - img.astype(int)).mean() < 3
+    assert decode(d0).preview is None
