@@ -63,6 +63,7 @@ class Decoder:
         self._codestream: bytes | None = None
         self._frame_bitpos = 0
         self._refs: list = [None] * 4
+        self._preview_done = False
         self._pending: list = []
 
     def set_input(self, data: bytes) -> None:
@@ -122,6 +123,10 @@ class Decoder:
         try:
             r = BitReader(self._codestream)
             r.seek_bits(self._frame_bitpos)
+            if self.metadata.m.have_preview and not self._preview_done:
+                decode_frame(r, self.metadata, self._refs, is_preview=True)
+                self._preview_done = True
+                self._frame_bitpos = r.bits_consumed
             frame = decode_frame(r, self.metadata, self._refs)
         except JxlError:
             if self._input_closed:

@@ -334,6 +334,8 @@ def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
     canvas_alpha = np.zeros((h, w), np.float32) if has_alpha else None
     results: list[FrameResult] = []
     refs: list = [None] * 4
+    if meta.m.have_preview:
+        decode_frame(r, meta, refs, is_preview=True)  # skip preview
     while True:
         frame = decode_frame(r, meta, refs)
         fh = frame.header
@@ -353,7 +355,8 @@ def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
                              ).astype(dtype)
                 shown = np.concatenate([shown, a8[:, :, None]], axis=-1)
             results.append(FrameResult(
-                pixels=shown, duration=fh.animation_frame.duration))
+                pixels=_apply_orientation(shown, meta.m.orientation),
+                duration=fh.animation_frame.duration))
         if fh.is_last:
             break
     return results, meta

@@ -103,7 +103,33 @@ def select_modular_transforms(channels: list, bitdepth: int,
             cost = sum(estimate_bits(_gradient_residual(c)) for c in cand)
             if best_cost is None or cost < best_cost:
                 best_type, best_cost = rct_type, cost
+        out = []
         if best_type:
-            return [Transform(id=TransformId.RCT, begin_c=0,
-                              rct_type=best_type)]
+            out.append(Transform(id=TransformId.RCT, begin_c=0,
+                                 rct_type=best_type))
+        # Try stacking squeeze (multi-scale residuals) on top; keep it
+        # when the proxy says the residual channels get cheaper.
+        # Skip on near-synthetic content (sub-1bpp proxy): the learned
+        # MA tree exploits such structure better than squeeze does.
+        try:
+            if best_cost > 1.0 * npix * 3:
+                sq_cost = _squeeze_cost(channels, best_type)
+                if sq_cost < best_cost * 0.995:
+                    out.append(Transform(id=TransformId.SQUEEZE))
+        except Exception:
+            pass
+        return out
     return []
+
+
+def _squeeze_cost(channels: list, rct_type: int) -> float:
+    from libjxl_tpu.modular import transforms as tx
+    from libjxl_tpu.modular.image import ModularImage
+
+    img = ModularImage.from_planes(
+        [c.astype(np.int32) for c in channels], 16)
+    if rct_type:
+        tx.fwd_rct(img, 0, rct_type)
+    tx.fwd_squeeze(img, [])
+    return sum(estimate_bits(_gradient_residual(ch.data))
+               for ch in img.channel if ch.w and ch.h)

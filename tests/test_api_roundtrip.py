@@ -229,3 +229,12 @@ def test_preview_frame():
     # Main image unaffected.
     assert np.abs(res.pixels.astype(int) - img.astype(int)).mean() < 3
     assert decode(d0).preview is None
+
+
+def test_lossless_squeeze_on_photographic():
+    rng = np.random.default_rng(5)
+    img = np.clip(_gradient_image(288, 288).astype(int)
+                  + rng.normal(0, 6, (288, 288, 3)).astype(int),
+                  0, 255).astype(np.uint8)
+    res = decode(encode(img, lossless=True))
+    np.testing.assert_array_equal(res.pixels, img)
