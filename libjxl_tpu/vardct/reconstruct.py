@@ -328,10 +328,19 @@ def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
     dc: (3, block_h, block_w) dequantized DC for this group's blocks.
     ytox/ytob_map: per-64px-tile factors (group-relative indices
     computed from absolute block coords)."""
-    # Vectorize the (dominant) DCT8X8 subset; only non-8x8 strategies
-    # take the per-block path.
+    # Vectorize the (dominant) DCT8X8 subset; plain rectangular DCTs
+    # batch per strategy; only the special 8x8-class transforms take
+    # the per-block path.
     dct8 = [b for b in blocks if b.strategy == acs.DCT8X8]
-    rest = [b for b in blocks if b.strategy != acs.DCT8X8]
+    plain: dict = {}
+    rest = []
+    for b in blocks:
+        if b.strategy == acs.DCT8X8:
+            continue
+        if b.strategy in _PLAIN_DCT_STRATEGIES:
+            plain.setdefault(b.strategy, []).append(b)
+        else:
+            rest.append(b)
     if dct8:
         out = reconstruct_group_dct8(
             dct8, block_w, block_h, quantizer, raw_quant, dc, cmap_base,
@@ -339,6 +348,10 @@ def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
             biases)
     else:
         out = np.zeros((3, block_h * 8, block_w * 8), np.float32)
+    for s, blks in plain.items():
+        _reconstruct_blocks_plain(
+            out, blks, s, quantizer, raw_quant, dc, cmap_base, ytox_map,
+            ytob_map, group_bx0, group_by0, x_qm_mul, b_qm_mul, biases)
     for blk in rest:
         cx, cy = acs.covered_blocks(blk.strategy)
         abx, aby = group_bx0 + blk.bx, group_by0 + blk.by
@@ -456,3 +469,74 @@ def _afv_from_pixels(pixels: np.ndarray, kind: int) -> np.ndarray:
     grid[0, 1] = (block00 - block01) * 0.5
     grid[1, 0] = (block00 + block01 - 2 * block10) * 0.25
     return grid
+
+
+_PLAIN_DCT_STRATEGIES = {
+    acs.DCT16X16, acs.DCT32X32, acs.DCT16X8, acs.DCT8X16, acs.DCT32X8,
+    acs.DCT8X32, acs.DCT32X16, acs.DCT16X32, acs.DCT64X64, acs.DCT64X32,
+    acs.DCT32X64, acs.DCT128X128, acs.DCT128X64, acs.DCT64X128,
+    acs.DCT256X256, acs.DCT256X128, acs.DCT128X256,
+}
+
+
+def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
+                              dc, cmap_base, ytox_map, ytob_map,
+                              group_bx0, group_by0, x_qm_mul, b_qm_mul,
+                              biases):
+    """Batched dequant + LLF + IDCT for one plain-DCT strategy."""
+    from libjxl_tpu.vardct.dct import resample_scales
+
+    cx, cy = acs.covered_blocks(strategy)
+    ly, lx = acs.coefficient_layout(cy, cx)
+    size = cx * cy * 64
+    n = len(blks)
+    coeffs = np.empty((n, 3, size), np.int32)
+    bxs = np.empty(n, np.int32)
+    bys = np.empty(n, np.int32)
+    dcs = np.empty((n, 3, cy, cx), np.float32)
+    for i, b in enumerate(blks):
+        coeffs[i] = b.coeffs
+        bxs[i] = b.bx
+        bys[i] = b.by
+        dcs[i] = dc[:, b.by:b.by + cy, b.bx:b.bx + cx]
+    table = quantizer.dequant.table(strategy).reshape(3, size)
+    rq = raw_quant[bys, bxs].astype(np.float32)
+    scale = quantizer.inv_global_scale / rq
+    qmul = np.array([x_qm_mul, 1.0, b_qm_mul], np.float32)
+    x = coeffs.astype(np.float32)
+    bias_c = np.asarray(biases[:3], np.float32).reshape(1, 3, 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        general = x - biases[3] / np.where(x == 0, 1, x)
+    biased = np.where(x == 0, 0.0,
+                      np.where(x == 1, bias_c,
+                               np.where(x == -1, -bias_c, general)))
+    dq = biased * table[None] * scale[:, None, None] * qmul[None, :, None]
+    tx_ = (group_bx0 + bxs) // 8
+    ty_ = (group_by0 + bys) // 8
+    fx = (cmap_base.base_correlation_x
+          + ytox_map[ty_, tx_] * cmap_base.color_scale).astype(np.float32)
+    fb = (cmap_base.base_correlation_b
+          + ytob_map[ty_, tx_] * cmap_base.color_scale).astype(np.float32)
+    dq[:, 0] += fx[:, None] * dq[:, 1]
+    dq[:, 2] += fb[:, None] * dq[:, 1]
+
+    # LLF from DC, batched: dct2d(dcs) * resample scales.
+    mcy = dct_matrix(cy) if cy > 1 else np.ones((1, 1))
+    mcx = dct_matrix(cx) if cx > 1 else np.ones((1, 1))
+    coefdc = np.einsum("ui,ncij,vj->ncuv", mcy, dcs.astype(np.float64),
+                       mcx, optimize=True)
+    sy = resample_scales(cy, cy * 8)
+    sx = resample_scales(cx, cx * 8)
+    llf = coefdc * sy[None, None, :, None] * sx[None, None, None, :]
+    grid = dq.reshape(n, 3, ly * 8, lx * 8).astype(np.float64)
+    if cy > cx:
+        llf = llf.transpose(0, 1, 3, 2)
+    grid[:, :, :ly, :lx] = llf
+    if cy > cx:
+        grid = grid.transpose(0, 1, 3, 2)
+    ih = idct_matrix(cy * 8)
+    iw = idct_matrix(cx * 8)
+    pix = np.einsum("yu,ncuv,wv->ncyw", ih, grid, iw,
+                    optimize=True).astype(np.float32)
+    for i, b in enumerate(blks):
+        out[:, b.by * 8:(b.by + cy) * 8, b.bx * 8:(b.bx + cx) * 8] = pix[i]
