@@ -223,62 +223,80 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     from libjxl_tpu.vardct.group_native import (
         native_decode_group, prepare_blocks)
     group_blocks: list = [None] * fd.num_groups
-    for p in range(num_passes):
+
+    def process_ac_group(p: int, g: int) -> None:
         shift = fh.passes.shift[p]
         min_s, max_s = fh.passes.downsampling_bracket(p)
         orders = pass_orders[p]
         ac_codes = pass_codes[p]
-        for g in range(fd.num_groups):
-            br = get(2 + fd.num_dc_groups + p * fd.num_groups + g) \
-                if not single else seq
-            brect = fd.block_group_rect(g)
-            cur_histogram = br.read(histo_bits) if histo_bits else 0
-            if cur_histogram >= num_histograms:
-                raise BitstreamError("invalid histogram selector")
-            ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
-            sl = brect.slices()
-            prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
-                                  orders)
-            native = native_decode_group(br.raw_data, br.bits_consumed,
-                                         ac_codes, brect.xsize, brect.ysize,
-                                         prep, ctx_map, ctx_offset)
-            if native is not None:
-                blocks, new_pos = native
-                br.seek_bits(new_pos)
-            else:
-                reader = SymbolReader(ac_codes, br)
-                blocks = decode_group_coeffs(
-                    reader, brect.xsize, brect.ysize, strategies[sl],
-                    raw_quant[sl], orders, ctx_map, ctx_offset)
-                if not reader.check_final_state():
-                    raise BitstreamError("bad ANS state in AC group")
-            # Modular stream of this AC group for this pass's shift
-            # bracket (dec_frame.cc:512-530).
-            mrect = fd.group_rect(g)
-            prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
-            mfd.decode_group(prect, br, min_s, max_s,
-                             stream_modular_ac(g, p, fd))
-            # Accumulate pass coefficients: coeff += decoded << shift
-            # (dec_group.cc DecodeACVarBlock shift param).
-            if group_blocks[g] is None:
-                if shift:
-                    for blk in blocks:
-                        np.left_shift(blk.coeffs, shift, out=blk.coeffs)
-                group_blocks[g] = blocks
-            else:
-                for acc, blk in zip(group_blocks[g], blocks):
-                    acc.coeffs += blk.coeffs << shift
+        br = get(2 + fd.num_dc_groups + p * fd.num_groups + g) \
+            if not single else seq
+        brect = fd.block_group_rect(g)
+        cur_histogram = br.read(histo_bits) if histo_bits else 0
+        if cur_histogram >= num_histograms:
+            raise BitstreamError("invalid histogram selector")
+        ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
+        sl = brect.slices()
+        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
+                              orders)
+        native = native_decode_group(br.raw_data, br.bits_consumed,
+                                     ac_codes, brect.xsize, brect.ysize,
+                                     prep, ctx_map, ctx_offset)
+        if native is not None:
+            blocks, new_pos = native
+            br.seek_bits(new_pos)
+        else:
+            reader = SymbolReader(ac_codes, br)
+            blocks = decode_group_coeffs(
+                reader, brect.xsize, brect.ysize, strategies[sl],
+                raw_quant[sl], orders, ctx_map, ctx_offset)
+            if not reader.check_final_state():
+                raise BitstreamError("bad ANS state in AC group")
+        # Modular stream of this AC group for this pass's shift
+        # bracket (dec_frame.cc:512-530).
+        mrect = fd.group_rect(g)
+        prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
+        mfd.decode_group(prect, br, min_s, max_s,
+                         stream_modular_ac(g, p, fd))
+        # Accumulate pass coefficients: coeff += decoded << shift
+        # (dec_group.cc DecodeACVarBlock shift param).
+        if group_blocks[g] is None:
+            if shift:
+                for blk in blocks:
+                    np.left_shift(blk.coeffs, shift, out=blk.coeffs)
+            group_blocks[g] = blocks
+        else:
+            for acc, blk in zip(group_blocks[g], blocks):
+                acc.coeffs += blk.coeffs << shift
 
-    for g in range(fd.num_groups):
+    def reconstruct_one(g: int) -> None:
         brect = fd.block_group_rect(g)
         sl = brect.slices()
-        blocks = group_blocks[g]
         pix = reconstruct_group(
-            blocks, brect.xsize, brect.ysize, quantizer, raw_quant[sl],
+            group_blocks[g], brect.xsize, brect.ysize, quantizer,
+            raw_quant[sl],
             dc_full[:, brect.y0:brect.y1, brect.x0:brect.x1], cmap,
             ytox_map, ytob_map, brect.x0, brect.y0, x_mul, b_mul)
         out[:, brect.y0 * 8:brect.y0 * 8 + brect.ysize * 8,
             brect.x0 * 8:brect.x0 * 8 + brect.xsize * 8] = pix
+
+    # AC group sections are independent (own TOC entries + ANS states):
+    # run them on a thread pool like the reference's ThreadPool::Run
+    # (base/data_parallel.h); the native decoder releases the GIL.
+    parallel = (not single) and fd.num_groups > 1
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor() as pool:
+            for p in range(num_passes):
+                list(pool.map(lambda g, p=p: process_ac_group(p, g),
+                              range(fd.num_groups)))
+            list(pool.map(reconstruct_one, range(fd.num_groups)))
+    else:
+        for p in range(num_passes):
+            for g in range(fd.num_groups):
+                process_ac_group(p, g)
+        for g in range(fd.num_groups):
+            reconstruct_one(g)
 
     # Loop filters (gaborish/EPF) — applied when enabled.
     lfp = fh.loop_filter
