@@ -56,15 +56,40 @@ def main(argv=None) -> int:
         a = m.animation
         print(f"animation: {a.tps_numerator}/{a.tps_denominator} tps, "
               f"loops={a.num_loops}")
-    fh = FrameHeader(nonserialized_metadata=meta)
+    if meta.icc_profile is not None:
+        print(f"icc profile: {len(meta.icc_profile)} bytes")
+    if m.have_preview:
+        print(f"preview: {m.preview_size.xsize}x{m.preview_size.ysize}")
+    # Walk all frames (header-only for the first; decoding for the rest
+    # would need full reconstruction, so sizes come from each TOC).
+    from libjxl_tpu.frame.decode_frame import decode_frame
     try:
-        bundle_read(r, fh)
-        enc = "VarDCT" if fh.encoding == FrameEncoding.VARDCT else "Modular"
-        print(f"frame: {enc}, passes={fh.passes.num_passes}, "
-              f"is_last={fh.is_last}, gab={fh.loop_filter.gab}, "
-              f"epf={fh.loop_filter.epf_iters}")
-    except Exception:
-        pass
+        idx = 0
+        if m.have_preview:
+            pf = decode_frame(r, meta, is_preview=True)
+            print("frame p: preview")
+        while True:
+            frame = decode_frame(r, meta)
+            fh = frame.header
+            enc = "VarDCT" if fh.encoding == FrameEncoding.VARDCT \
+                else "Modular"
+            extras = []
+            if fh.passes.num_passes > 1:
+                extras.append(f"passes={fh.passes.num_passes}")
+            if m.have_animation:
+                extras.append(f"duration={fh.animation_frame.duration}")
+            if fh.loop_filter.gab:
+                extras.append("gab")
+            if fh.loop_filter.epf_iters:
+                extras.append(f"epf={fh.loop_filter.epf_iters}")
+            print(f"frame {idx}: {enc} "
+                  f"{'(reference-only) ' if fh.frame_type == 2 else ''}"
+                  + (", ".join(extras)))
+            idx += 1
+            if fh.is_last:
+                break
+    except Exception as e:
+        print(f"(frame walk stopped: {type(e).__name__})")
     return 0
 
 

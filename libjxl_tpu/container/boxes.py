@@ -142,6 +142,7 @@ def pack_container(codestream: bytes, *, level: int = 5,
                    exif: bytes | None = None,
                    xml: list[bytes] | None = None,
                    jpeg_reconstruction: bytes | None = None,
+                   extra_boxes: list | None = None,
                    split: int = 0) -> bytes:
     """Wraps a bare codestream into a container file.
 
@@ -160,6 +161,9 @@ def pack_container(codestream: bytes, *, level: int = 5,
         out += _write_box(b"xml ", x)
     if jpeg_reconstruction is not None:
         out += _write_box(b"jbrd", jpeg_reconstruction)
+    for (btype, payload) in (extra_boxes or []):
+        # e.g. jhgm gain-map boxes, jumb JUMBF: carried verbatim.
+        out += _write_box(bytes(btype), payload)
     if split > 0:
         n = max(1, min(split, len(codestream)))
         chunk = (len(codestream) + n - 1) // n
