@@ -201,7 +201,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
 
     # ---- ACGlobal ----
     acg = get(1 + fd.num_dc_groups) if not single else seq
-    matrices.decode(acg)
+    matrices.decode(acg, mfd)
     num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
         if fd.num_groups > 1 else 0
     num_histograms = 1 + (acg.read(num_histo_bits) if num_histo_bits else 0)

@@ -288,15 +288,163 @@ class DequantMatrices:
             for c in range(3):
                 write_f16(self.dc_quant[c] * 128.0, w)
 
-    def decode(self, r: BitReader) -> None:
-        """DequantMatrices::Decode — all_default or per-table modes.
-        Only the all_default path is currently supported for custom
-        tables (custom table signaling raises)."""
+    def decode(self, r: BitReader, mfd=None) -> None:
+        """DequantMatrices::Decode (quant_weights.cc:388-498): per-table
+        quant encodings with all 8 modes, incl. RAW tables carried in
+        modular sub-streams."""
         all_default = r.read_bool()
-        if not all_default:
-            raise BitstreamError("custom dequant matrices not yet supported")
-        self.encodings = [QuantEncoding() for _ in range(acs.NUM_QUANT_TABLES)]
         self._tables.clear()
+        if all_default:
+            self.encodings = [QuantEncoding()
+                              for _ in range(acs.NUM_QUANT_TABLES)]
+            return
+        self.encodings = []
+        for idx in range(acs.NUM_QUANT_TABLES):
+            self.encodings.append(_decode_quant_encoding(r, idx, mfd))
 
-    def encode(self, w: BitWriter) -> None:
-        w.write_bool(True)  # all_default
+    def encode(self, w: BitWriter, mfe=None) -> None:
+        all_default = all(e.mode == MODE_LIBRARY and not e.predefined
+                          for e in self.encodings)
+        w.write_bool(all_default)
+        if all_default:
+            return
+        for idx, e in enumerate(self.encodings):
+            _encode_quant_encoding(e, idx, w)
+
+
+# -- quant encoding (de)serialization (quant_weights.cc:373-520) -----------
+#
+# Wire mode codes follow the reference enum order: 0=Library, 1=ID,
+# 2=DCT2, 3=DCT4X8, 4=DCT4, 5=AFV, 6=DCT, 7=RAW (quant_weights.h).
+
+_WIRE_TO_MODE = {0: MODE_LIBRARY, 1: MODE_ID, 2: MODE_DCT2, 3: MODE_DCT4X8,
+                 4: MODE_DCT4, 5: MODE_AFV, 6: MODE_DCT, 7: MODE_RAW}
+_MODE_TO_WIRE = {v: k for k, v in _WIRE_TO_MODE.items()}
+
+
+def table_required_blocks(idx: int) -> tuple[int, int]:
+    """(cols, rows) in 8x8 blocks of quant table `idx` (layout dims)."""
+    for s in range(acs.NUM_STRATEGIES):
+        if acs.STRATEGY_QUANT_TABLE[s] == idx:
+            cx, cy = acs.covered_blocks(s)
+            ly, lx = acs.coefficient_layout(cy, cx)
+            return lx, ly
+    raise ValueError(f"unknown quant table {idx}")
+
+
+def _read_dct_params(r: BitReader) -> list:
+    num = r.read(4) + 1
+    bands = []
+    for c in range(3):
+        row = [read_f16(r) for _ in range(num)]
+        row[0] *= 64.0
+        if row[0] < ALMOST_ZERO:
+            raise BitstreamError("distance band seed too small")
+        bands.append(row)
+    return bands
+
+
+def _write_dct_params(bands: list, w: BitWriter) -> None:
+    num = len(bands[0])
+    w.write(4, num - 1)
+    for c in range(3):
+        for i in range(num):
+            write_f16(bands[c][i] / (64.0 if i == 0 else 1.0), w)
+
+
+def _read_f16_list(r, n, scale=1.0, check=True):
+    out = []
+    for _ in range(n):
+        v = read_f16(r) * scale
+        if check and abs(v) < ALMOST_ZERO:
+            raise BitstreamError("quantizer weight too small")
+        out.append(v)
+    return out
+
+
+def _decode_quant_encoding(r: BitReader, idx: int, mfd=None) -> QuantEncoding:
+    lx, ly = table_required_blocks(idx)
+    mode = _WIRE_TO_MODE[r.read(3)]
+    e = QuantEncoding(mode=mode)
+    if mode == MODE_LIBRARY:
+        e.predefined = 0  # kCeilLog2NumPredefinedTables == 0: no bits
+    elif mode == MODE_ID:
+        e.idweights = [_read_f16_list(r, 3, 64.0) for _ in range(3)]
+    elif mode == MODE_DCT2:
+        e.dct2weights = [_read_f16_list(r, 6, 64.0) for _ in range(3)]
+    elif mode == MODE_DCT4X8:
+        e.dct4x8multipliers = [_read_f16_list(r, 1)[0] for _ in range(3)]
+        e.dct_params = _read_dct_params(r)
+    elif mode == MODE_DCT4:
+        e.dct4multipliers = [_read_f16_list(r, 2) for _ in range(3)]
+        e.dct_params = _read_dct_params(r)
+    elif mode == MODE_AFV:
+        e.afv_weights = []
+        for c in range(3):
+            row = _read_f16_list(r, 9, 1.0, check=False)
+            for i in range(6):
+                row[i] *= 64.0
+            e.afv_weights.append(row)
+        e.dct_params = _read_dct_params(r)
+        e.dct_params_afv_4x4 = _read_dct_params(r)
+    elif mode == MODE_DCT:
+        e.dct_params = _read_dct_params(r)
+    elif mode == MODE_RAW:
+        from libjxl_tpu.modular.codec import modular_decode
+        from libjxl_tpu.modular.image import ModularImage
+
+        e.qraw_den = read_f16(r)
+        if e.qraw_den < ALMOST_ZERO:
+            raise BitstreamError("invalid qtable_den")
+        img = ModularImage(lx * 8, ly * 8, 8, 3)
+        gt = getattr(mfd, "global_tree", None) if mfd else None
+        gc = getattr(mfd, "global_codes", None) if mfd else None
+        modular_decode(r, img, 0, global_tree=gt, global_codes=gc,
+                       undo_transforms=True)
+        table = np.stack([ch.data.ravel() for ch in img.channel])
+        if (table <= 0).any():
+            raise BitstreamError("raw quant table values must be positive")
+        e.qraw_table = table.astype(np.int64)
+    return e
+
+
+def _encode_quant_encoding(e: QuantEncoding, idx: int, w: BitWriter) -> None:
+    lx, ly = table_required_blocks(idx)
+    w.write(3, _MODE_TO_WIRE[e.mode])
+    if e.mode == MODE_LIBRARY:
+        pass  # zero predefined bits
+    elif e.mode == MODE_ID:
+        for c in range(3):
+            for i in range(3):
+                write_f16(e.idweights[c][i] / 64.0, w)
+    elif e.mode == MODE_DCT2:
+        for c in range(3):
+            for i in range(6):
+                write_f16(e.dct2weights[c][i] / 64.0, w)
+    elif e.mode == MODE_DCT4X8:
+        for c in range(3):
+            write_f16(e.dct4x8multipliers[c], w)
+        _write_dct_params(e.dct_params, w)
+    elif e.mode == MODE_DCT4:
+        for c in range(3):
+            for i in range(2):
+                write_f16(e.dct4multipliers[c][i], w)
+        _write_dct_params(e.dct_params, w)
+    elif e.mode == MODE_AFV:
+        for c in range(3):
+            for i in range(9):
+                v = e.afv_weights[c][i]
+                write_f16(v / 64.0 if i < 6 else v, w)
+        _write_dct_params(e.dct_params, w)
+        _write_dct_params(e.dct_params_afv_4x4, w)
+    elif e.mode == MODE_DCT:
+        _write_dct_params(e.dct_params, w)
+    elif e.mode == MODE_RAW:
+        from libjxl_tpu.modular.codec import modular_encode
+        from libjxl_tpu.modular.image import ModularImage
+
+        write_f16(e.qraw_den, w)
+        img = ModularImage.from_planes(
+            [e.qraw_table[c].reshape(ly * 8, lx * 8).astype(np.int32)
+             for c in range(3)], 8)
+        modular_encode(img, w, 0)
