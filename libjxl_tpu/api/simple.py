@@ -277,8 +277,15 @@ def decode(data: bytes) -> DecodeResult:
         return DecodeResult(pixels=arr, metadata=meta, lossless=True,
                             preview=preview)
 
-    linear = xyb_to_linear_rgb(frame.xyb)
-    srgb = linear_to_srgb(linear)
+    from libjxl_tpu.frame.frame_header import ColorTransform as _CT
+    if frame.header.color_transform == _CT.YCBCR:
+        # VarDCT YCbCr (JPEG transcode): planes are (Cb, Y-128, Cr)/255.
+        from libjxl_tpu.color.ycbcr import ycbcr_to_rgb
+        srgb = np.clip(ycbcr_to_rgb(frame.xyb[0], frame.xyb[1],
+                                    frame.xyb[2]), 0.0, 1.0)
+    else:
+        linear = xyb_to_linear_rgb(frame.xyb)
+        srgb = linear_to_srgb(linear)
     arr = np.clip(np.round(srgb * maxval), 0, maxval).astype(dtype)
     arr = arr.transpose(1, 2, 0)
     if frame.extra_channels:

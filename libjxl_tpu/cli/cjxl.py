@@ -56,6 +56,27 @@ def main(argv=None) -> int:
         distance = quality_to_distance(args.quality)
     lossless = args.lossless or distance == 0
 
+    if args.input.lower().endswith((".jpg", ".jpeg")) \
+            and not args.lossless and args.distance == 1.0:
+        # JPEG input: coefficient-preserving transcode (cjxl -j default)
+        from libjxl_tpu.extras.jpeg_transcode import transcode_jpeg
+        from libjxl_tpu.extras.jpeg_parser import JpegError
+        try:
+            with open(args.input, "rb") as f:
+                jdata = f.read()
+            t0 = time.time()
+            out = transcode_jpeg(jdata)
+            dt = time.time() - t0
+            with open(args.output, "wb") as f:
+                f.write(out)
+            print(f"Transcoded {len(jdata)} byte JPEG to {len(out)} "
+                  f"bytes ({len(out) / len(jdata):.2%}) in {dt:.2f}s",
+                  file=sys.stderr)
+            return 0
+        except JpegError as e:
+            print(f"coefficient transcode unavailable ({e}); "
+                  f"re-encoding pixels", file=sys.stderr)
+
     img = Image.open(args.input)
     if img.mode not in ("RGB", "L", "I;16"):
         img = img.convert("RGB")

@@ -1,0 +1,71 @@
+"""JPEG parsing + coefficient-preserving transcode
+(reference: lib/jxl/jpeg/*, cjxl -j)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from libjxl_tpu.api import decode
+from libjxl_tpu.extras.jpeg_parser import JpegError, parse_jpeg
+from libjxl_tpu.extras.jpeg_transcode import transcode_jpeg
+
+
+def _img(h=120, w=152):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.clip(np.stack([(128 + 90 * np.sin(x / 17)),
+                             (128 + 70 * np.cos(y / 13)),
+                             (120 + 60 * np.sin((x + y) / 23))], -1),
+                   0, 255).astype(np.uint8)
+
+
+def _jpeg(img, quality=85, subsampling=0):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=quality,
+                              subsampling=subsampling)
+    return buf.getvalue()
+
+
+def test_parse_jpeg_structure():
+    jd = parse_jpeg(_jpeg(_img()))
+    assert (jd.width, jd.height) == (152, 120)
+    assert len(jd.components) == 3
+    assert jd.components[0].coeffs is not None
+    assert 0 in jd.quant_tables
+
+
+def test_parse_jpeg_420():
+    jd = parse_jpeg(_jpeg(_img(), subsampling=2))
+    assert jd.components[0].h_samp == 2 and jd.components[0].v_samp == 2
+
+
+def test_transcode_shrinks_and_preserves_pixels():
+    data = _jpeg(_img())
+    jxl = transcode_jpeg(data)
+    assert len(jxl) < len(data)          # recompression must shrink
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    out = decode(jxl).pixels
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 3 and err.mean() < 1.0, (err.mean(), err.max())
+
+
+def test_transcode_quality_sweep():
+    for q in (60, 92):
+        data = _jpeg(_img(96, 96), quality=q)
+        jxl = transcode_jpeg(data)
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        out = decode(jxl).pixels
+        assert np.abs(out.astype(int) - ref.astype(int)).mean() < 1.0
+
+
+def test_transcode_rejects_subsampled():
+    with pytest.raises(JpegError):
+        transcode_jpeg(_jpeg(_img(), subsampling=2))
+
+
+def test_parse_garbage_raises():
+    with pytest.raises(JpegError):
+        parse_jpeg(b"\x00" * 100)
+    with pytest.raises(JpegError):
+        parse_jpeg(b"\xff\xd8" + b"\x12" * 50)
