@@ -61,10 +61,19 @@ def transcode_jpeg(data: bytes) -> bytes:
     from libjxl_tpu.vardct.quantizer import Quantizer
 
     jd = parse_jpeg(data)
-    if len(jd.components) != 3:
-        raise JpegError("only 3-component YCbCr JPEGs supported")
+    if len(jd.components) not in (1, 3):
+        raise JpegError("only YCbCr / grayscale JPEGs supported")
     if any(c.h_samp != 1 or c.v_samp != 1 for c in jd.components):
         raise JpegError("only 4:4:4 JPEGs take the coefficient path")
+    if len(jd.components) == 1:
+        # Grayscale: synthesize empty chroma components sharing the
+        # luma quant table (all-zero coefficients cost almost nothing).
+        import dataclasses as _dc
+        luma = jd.components[0]
+        for _ in range(2):
+            c = _dc.replace(luma)
+            c.coeffs = np.zeros_like(luma.coeffs)
+            jd.components.append(c)
 
     meta = CodecMetadata()
     meta.size.set(jd.width, jd.height)

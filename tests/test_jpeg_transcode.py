@@ -69,3 +69,17 @@ def test_parse_garbage_raises():
         parse_jpeg(b"\x00" * 100)
     with pytest.raises(JpegError):
         parse_jpeg(b"\xff\xd8" + b"\x12" * 50)
+
+
+def test_transcode_grayscale():
+    y, x = np.mgrid[0:240, 0:320]
+    gray = np.clip(128 + 90 * np.sin(x / 17) * np.cos(y / 13),
+                   0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "JPEG", quality=85)
+    data = buf.getvalue()
+    jxl = transcode_jpeg(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    out = decode(jxl).pixels
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 3 and err.mean() < 0.5
