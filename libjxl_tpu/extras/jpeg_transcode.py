@@ -39,22 +39,49 @@ def _jxl_from_jpeg_scale() -> np.ndarray:
     return s
 
 
+def _channel_modes(components) -> list:
+    """JPEG sampling factors -> YCbCrChromaSubsampling channel_mode
+    triple for (Cb, Y, Cr) VarDCT planes (frame_header.h kHShift/
+    kVShift: mode0=(0,0), 1=(1,1), 2=(1,0), 3=(0,1))."""
+    hmax = max(c.h_samp for c in components)
+    vmax = max(c.v_samp for c in components)
+    hv_to_mode = {(0, 0): 0, (1, 1): 1, (1, 0): 2, (0, 1): 3}
+    modes = []
+    for comp in (components[1], components[0], components[2]):
+        hs = (hmax // comp.h_samp).bit_length() - 1
+        vs = (vmax // comp.v_samp).bit_length() - 1
+        need_h = (hmax.bit_length() - 1) - hs
+        need_v = (vmax.bit_length() - 1) - vs
+        mode = hv_to_mode.get((need_h, need_v))
+        if mode is None:
+            raise JpegError(f"unsupported sampling {comp.h_samp}x"
+                            f"{comp.v_samp}")
+        modes.append(mode)
+    return modes
+
+
 def transcode_jpeg(data: bytes) -> bytes:
-    """Baseline 4:4:4 JPEG bytes -> JXL codestream bytes."""
+    """Baseline JPEG bytes (4:4:4 / 4:2:0 / 4:2:2 / gray) -> JXL
+    codestream bytes."""
     from libjxl_tpu.api.simple import CodecMetadata
     from libjxl_tpu.bitstream.bit_io import BitWriter
     from libjxl_tpu.color.color_encoding import ColorEncoding
-    from libjxl_tpu.frame.encode_frame import _write_vardct_sections
+    from libjxl_tpu.entropy.codes import (
+        build_and_encode_histograms, write_tokens,
+    )
+    from libjxl_tpu.frame.encode_frame import _emit_sections
     from libjxl_tpu.frame.frame_header import (
         ColorTransform, FrameEncoding, FrameFlags, FrameHeader,
     )
     from libjxl_tpu.frame.headers import (
         BitDepth, write_codestream_headers,
     )
+    from libjxl_tpu.frame.modular_frame import ModularFrameEncoder
     from libjxl_tpu.vardct import ac_strategy as acs
     from libjxl_tpu.vardct.ac_context import BlockCtxMap
     from libjxl_tpu.vardct.cfl import ColorCorrelation
-    from libjxl_tpu.vardct.group import CoeffBlock
+    from libjxl_tpu.vardct.coeff_order import write_used_orders
+    from libjxl_tpu.vardct.group import tokenize_group_coeffs_subsampled
     from libjxl_tpu.vardct.quant_weights import (
         MODE_RAW, DequantMatrices, QuantEncoding,
     )
@@ -63,17 +90,18 @@ def transcode_jpeg(data: bytes) -> bytes:
     jd = parse_jpeg(data)
     if len(jd.components) not in (1, 3):
         raise JpegError("only YCbCr / grayscale JPEGs supported")
-    if any(c.h_samp != 1 or c.v_samp != 1 for c in jd.components):
-        raise JpegError("only 4:4:4 JPEGs take the coefficient path")
+    if any(c.h_samp > 2 or c.v_samp > 2 for c in jd.components):
+        raise JpegError("sampling factors above 2 unsupported")
     if len(jd.components) == 1:
-        # Grayscale: synthesize empty chroma components sharing the
-        # luma quant table (all-zero coefficients cost almost nothing).
         import dataclasses as _dc
         luma = jd.components[0]
         for _ in range(2):
             c = _dc.replace(luma)
             c.coeffs = np.zeros_like(luma.coeffs)
             jd.components.append(c)
+
+    modes = _channel_modes(jd.components)
+    is_444 = all(m == 0 for m in modes) or len(set(modes)) == 1
 
     meta = CodecMetadata()
     meta.size.set(jd.width, jd.height)
@@ -86,11 +114,15 @@ def transcode_jpeg(data: bytes) -> bytes:
     fh = FrameHeader(nonserialized_metadata=meta)
     fh.encoding = FrameEncoding.VARDCT
     fh.color_transform = ColorTransform.YCBCR
+    if not is_444:
+        fh.chroma_subsampling.channel_mode = modes
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
     fh.loop_filter.all_default = False
     fh.loop_filter.gab = False
     fh.loop_filter.epf_iters = 0
     fd = fh.to_frame_dimensions()
+    cs = fh.chroma_subsampling
+    shifts = [(cs.hshift(c), cs.vshift(c)) for c in range(3)]
 
     s = _jxl_from_jpeg_scale()
     den = 1.0 / (64.0 * 255.0)
@@ -118,33 +150,89 @@ def transcode_jpeg(data: bytes) -> bytes:
     by, bx = fd.ysize_blocks, fd.xsize_blocks
     strategies = np.zeros((by, bx), np.int32)
     raw_quant = np.ones((by, bx), np.int32)
-    qdc = np.zeros((3, by, bx), np.int32)
+    # Per-plane coefficient arrays at each channel's coded block dims.
     coeff_planes = []
+    dc_planes = []
     for p, comp in enumerate(comp_for_plane):
-        cc = np.zeros((by, bx, 64), np.int32)
-        cb, cw = comp.coeffs.shape[:2]
-        cc[:min(by, cb), :min(bx, cw)] = \
-            comp.coeffs[:min(by, cb), :min(bx, cw)]
-        qdc[p] = cc[:, :, 0]
+        h, v = shifts[p]
+        cw = -(-bx // (1 << h))
+        chh = -(-by // (1 << v))
+        cc = np.zeros((chh, cw, 64), np.int32)
+        cbh, cbw = comp.coeffs.shape[:2]
+        cc[:min(chh, cbh), :min(cw, cbw)] = \
+            comp.coeffs[:min(chh, cbh), :min(cw, cbw)]
+        dc_planes.append(cc[:, :, 0].copy())
+        cc[:, :, 0] = 0  # DC rides the DC stream
         coeff_planes.append(cc)
 
-    blocks_per_group: dict = {}
+    orders = {}
+    ord_b = acs.STRATEGY_ORDER[acs.DCT8X8]
+    for c in range(3):
+        orders[(ord_b, c)] = acs.natural_coeff_order(acs.DCT8X8)
+    group_tokens = []
     for g in range(fd.num_groups):
         brect = fd.block_group_rect(g)
-        blist = []
-        for yy in range(brect.ysize):
-            for xx in range(brect.xsize):
-                aby, abx = brect.y0 + yy, brect.x0 + xx
-                c3 = np.stack([coeff_planes[p][aby, abx]
-                               for p in range(3)])
-                c3[:, 0] = 0  # DC rides the DC stream
-                blist.append(CoeffBlock(xx, yy, acs.DCT8X8, c3))
-        blocks_per_group[g] = blist
+        sl = brect.slices()
+        gcoeffs = []
+        for p in range(3):
+            h, v = shifts[p]
+            gcoeffs.append(coeff_planes[p][brect.y0 >> v:, brect.x0 >> h:])
+        tokens = []
+        tokenize_group_coeffs_subsampled(
+            gcoeffs, brect.xsize, brect.ysize, raw_quant[sl], orders,
+            ctx_map, tokens, shifts)
+        group_tokens.append(tokens)
 
-    tiles_y, tiles_x = (by + 7) // 8, (bx + 7) // 8
-    zeros = np.zeros((tiles_y, tiles_x), np.int32)
-    _write_vardct_sections(w, fh, fd, meta, quantizer, ctx_map, cmap,
-                           qdc, raw_quant, strategies, blocks_per_group,
-                           zeros, zeros, None, None)
+    mfe = ModularFrameEncoder(fd)
+    holder = {}
+
+    def write_lf_global(sw):
+        matrices.encode_dc(sw)
+        quantizer.encode(sw)
+        ctx_map.encode(sw)
+        cmap.encode_dc(sw)
+        mfe.encode_global_info(sw)
+
+    def write_dc_group(sw, g):
+        rect = fd.dc_group_rect(g)
+        qdc_g = []
+        for p in range(3):
+            h, v = shifts[p]
+            y0, x0 = rect.y0 >> v, rect.x0 >> h
+            hh = -(-rect.ysize // (1 << v))
+            ww = -(-rect.xsize // (1 << h))
+            qdc_g.append(dc_planes[p][y0:y0 + hh, x0:x0 + ww])
+        if is_444:
+            mfe.encode_vardct_dc(sw, np.stack(qdc_g), 8)
+        else:
+            mfe.encode_vardct_dc(sw, qdc_g, 8, shifts=shifts)
+        sl = rect.slices()
+        cr_w = (rect.xsize + 7) >> 3
+        cr_h = (rect.ysize + 7) >> 3
+        zeros = np.zeros((cr_h, cr_w), np.int32)
+        epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
+        mfe.encode_ac_metadata(sw, rect, zeros, zeros, strategies[sl],
+                               raw_quant[sl], epf, 8)
+
+    def write_ac_global(sw):
+        matrices.encode(sw)
+        num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
+            if fd.num_groups > 1 else 0
+        if num_histo_bits:
+            sw.write(num_histo_bits, 0)
+        write_used_orders(0, sw)
+        holder["codes"] = build_and_encode_histograms(
+            ctx_map.num_ac_contexts(), group_tokens, sw)
+
+    def write_ac_group(sw, g):
+        write_tokens(group_tokens[g], holder["codes"], sw)
+
+    parts = [write_lf_global]
+    parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)
+              for g in range(fd.num_dc_groups)]
+    parts += [write_ac_global]
+    parts += [(lambda g: (lambda sw: write_ac_group(sw, g)))(g)
+              for g in range(fd.num_groups)]
+    _emit_sections(w, fh, fd, parts)
     w.align_to_byte()
     return w.get_bytes()

@@ -94,6 +94,15 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
 
     mfd = ModularFrameDecoder(fd)
     is_vardct = fh.encoding == FrameEncoding.VARDCT
+    cs = fh.chroma_subsampling
+    sub_shifts = None
+    if is_vardct and not cs.is_444():
+        sub_shifts = [(cs.hshift(c), cs.vshift(c)) for c in range(3)]
+        if num_passes != 1 or fh.loop_filter.gab \
+                or fh.loop_filter.epf_iters:
+            raise UnsupportedError(
+                "subsampled chroma only supports single-pass, no loop "
+                "filters (JPEG transcode profile)")
 
     # ---- LfGlobal (section 0) ----
     lf = get(0)
@@ -130,7 +139,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         br = get(1 + g) if not single else seq
         if is_vardct:
             qdc, extra_precision = mfd.decode_vardct_dc(
-                g, br, metadata.m.bit_depth.bits_per_sample)
+                g, br, metadata.m.bit_depth.bits_per_sample,
+                shifts=sub_shifts)
             dc_data[g] = (qdc, extra_precision)
         rect = fd.dc_group_rect(g)
         mrect = Rect(rect.x0 * 8, rect.y0 * 8, fd.dc_group_dim,
@@ -156,25 +166,29 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                             modular_channels=[c.data for c in gi.channel])
 
     # ---- Dequantize DC, assemble full maps ----
-    dc_full = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks), np.float32)
-    quant_dc_full = np.zeros((fd.ysize_blocks, fd.xsize_blocks), np.int32)
     mul_dc = quantizer.mul_dc()
     cfl_fac = cmap.dc_factors()
-    for g, (qdc, extra_precision) in dc_data.items():
-        rect = fd.dc_group_rect(g)
-        mul = 1.0 / (1 << extra_precision)
-        y = qdc[1] * (mul_dc[1] * mul)
-        x = qdc[0] * (mul_dc[0] * mul) + cfl_fac[0] * y
-        b = qdc[2] * (mul_dc[2] * mul) + cfl_fac[2] * y
-        sl = rect.slices()
-        dc_full[0][sl] = x
-        dc_full[1][sl] = y
-        dc_full[2][sl] = b
-        quant_dc_full[sl] = qdc[1]
+    if sub_shifts is None:
+        dc_full = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks),
+                           np.float32)
+        quant_dc_full = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
+                                 np.int32)
+        for g, (qdc, extra_precision) in dc_data.items():
+            rect = fd.dc_group_rect(g)
+            mul = 1.0 / (1 << extra_precision)
+            y = qdc[1] * (mul_dc[1] * mul)
+            x = qdc[0] * (mul_dc[0] * mul) + cfl_fac[0] * y
+            b = qdc[2] * (mul_dc[2] * mul) + cfl_fac[2] * y
+            sl = rect.slices()
+            dc_full[0][sl] = x
+            dc_full[1][sl] = y
+            dc_full[2][sl] = b
+            quant_dc_full[sl] = qdc[1]
 
-    if not (fh.flags & FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING):
-        from libjxl_tpu.vardct.dc_smoothing import adaptive_dc_smoothing
-        dc_full = adaptive_dc_smoothing(dc_full, mul_dc)
+        if not (fh.flags & FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING):
+            from libjxl_tpu.vardct.dc_smoothing import \
+                adaptive_dc_smoothing
+            dc_full = adaptive_dc_smoothing(dc_full, mul_dc)
 
     # Assemble strategy/qf/cmap maps.
     strategies = np.full((fd.ysize_blocks, fd.xsize_blocks), -1, np.int32)
@@ -213,6 +227,15 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         used_orders = read_used_orders(acg)
         pass_orders.append(decode_coeff_orders(used_orders, used_acs, acg))
         pass_codes.append(decode_histograms(acg, num_contexts))
+
+    if sub_shifts is not None:
+        out = _decode_ac_subsampled(
+            fh, fd, get, quantizer, ctx_map, pass_orders[0],
+            pass_codes[0], num_histograms, dc_data, raw_quant,
+            sub_shifts)
+        out = out[:, :fd.ysize, :fd.xsize]
+        r.seek_bits(frame_end_bits)
+        return DecodedFrame(header=fh, xyb=out)
 
     # ---- AC groups ----
     x_mul = x_qm_multiplier(fh.x_qm_scale)
@@ -333,3 +356,93 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     out = out[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
     r.seek_bits(frame_end_bits)
     return DecodedFrame(header=fh, xyb=out, extra_channels=extra)
+
+
+def _decode_ac_subsampled(fh, fd, get, quantizer, ctx_map, orders,
+                          ac_codes, num_histograms, dc_data, raw_quant,
+                          shifts):
+    """Chroma-subsampled VarDCT decode (JPEG transcode profile): all
+    DCT8X8, per-channel planes reconstructed at coded resolution, then
+    triangle-upsampled (stage_chroma_upsampling.cc)."""
+    from libjxl_tpu.color.ycbcr import chroma_upsample
+    from libjxl_tpu.entropy.codes import SymbolReader
+    from libjxl_tpu.vardct.dct import idct_matrix
+    from libjxl_tpu.vardct.group import decode_group_coeffs_subsampled
+    from libjxl_tpu.vardct.quantizer import adjust_quant_bias
+
+    histo_bits = (num_histograms - 1).bit_length() \
+        if num_histograms > 1 else 0
+    mul_dc = quantizer.mul_dc()
+    table8 = quantizer.dequant.table(0)  # (3, 8, 8) DCT8X8
+
+    # Per-channel coded-resolution pixel planes + DC planes.
+    planes = []
+    dcs = []
+    for c in range(3):
+        h, v = shifts[c]
+        cw = -(-fd.xsize_blocks // (1 << h))
+        ch = -(-fd.ysize_blocks // (1 << v))
+        planes.append(np.zeros((ch * 8, cw * 8), np.float32))
+        dcs.append(np.zeros((ch, cw), np.float32))
+    for g, (qdc, extra_precision) in dc_data.items():
+        rect = fd.dc_group_rect(g)
+        mul = 1.0 / (1 << extra_precision)
+        for c in range(3):
+            h, v = shifts[c]
+            y0, x0 = rect.y0 >> v, rect.x0 >> h
+            arr = qdc[c] * (mul_dc[c] * mul)
+            dcs[c][y0:y0 + arr.shape[0], x0:x0 + arr.shape[1]] = arr
+
+    i8 = idct_matrix(8).astype(np.float32)
+    for g in range(fd.num_groups):
+        br = get(2 + fd.num_dc_groups + g)
+        brect = fd.block_group_rect(g)
+        cur_histogram = br.read(histo_bits) if histo_bits else 0
+        if cur_histogram >= num_histograms:
+            raise BitstreamError("invalid histogram selector")
+        ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
+        reader = SymbolReader(ac_codes, br)
+        sl = brect.slices()
+        coeffs = decode_group_coeffs_subsampled(
+            reader, brect.xsize, brect.ysize, raw_quant[sl], orders,
+            ctx_map, ctx_offset, shifts)
+        if not reader.check_final_state():
+            raise BitstreamError("bad ANS state in AC group")
+        for c in range(3):
+            h, v = shifts[c]
+            cc = coeffs[c]
+            sbh, sbw, _ = cc.shape
+            # Dequant: bias + table + per-block scale (luma-position qf).
+            sby = np.arange(sbh)
+            sbx = np.arange(sbw)
+            rq = raw_quant[sl][np.minimum((sby << v)[:, None],
+                                          brect.ysize - 1),
+                               np.minimum((sbx << h)[None, :],
+                                          brect.xsize - 1)]
+            scale = (quantizer.inv_global_scale
+                     / rq.astype(np.float32))[..., None]
+            x = cc.reshape(sbh, sbw, 64).astype(np.float32)
+            stacked = np.broadcast_to(x, (1,) + x.shape)
+            biased = adjust_quant_bias(
+                x[None].repeat(3, 0))[c]
+            dq = biased * table8[c].ravel()[None, None, :] * scale
+            gy0, gx0 = brect.y0 >> v, brect.x0 >> h
+            dq = dq.reshape(sbh, sbw, 8, 8)
+            dq[:, :, 0, 0] = dcs[c][gy0:gy0 + sbh, gx0:gx0 + sbw]
+            pix = np.einsum("yu,abuv,wv->aybw", i8, dq, i8,
+                            optimize=True).reshape(sbh * 8, sbw * 8)
+            planes[c][gy0 * 8:gy0 * 8 + sbh * 8,
+                      gx0 * 8:gx0 * 8 + sbw * 8] = pix
+
+    h_img, w_img = fd.ysize, fd.xsize
+    out = np.zeros((3, h_img, w_img), np.float32)
+    for c in range(3):
+        h, v = shifts[c]
+        if h or v:
+            cw = -(-w_img // (1 << h))
+            chh = -(-h_img // (1 << v))
+            out[c] = chroma_upsample(planes[c][:chh, :cw], h, v,
+                                     w_img, h_img)
+        else:
+            out[c] = planes[c][:h_img, :w_img]
+    return out

@@ -165,18 +165,30 @@ class ModularFrameDecoder:
     # -- VarDCT auxiliary streams ----------------------------------------
 
     def decode_vardct_dc(self, group_id: int, r: BitReader,
-                         bitdepth: int = 8) -> tuple[np.ndarray, int]:
-        """dec_modular.cc:427-465: returns (quantized dc (3,h,w), extra
-        precision). 444 only."""
+                         bitdepth: int = 8, shifts=None):
+        """dec_modular.cc:427-465: returns (quantized dc (3,h,w) or
+        per-channel list when chroma-subsampled, extra precision).
+
+        shifts: optional [(h, v)] per channel (X, Y, B) for subsampled
+        chroma; channels then have subsampled dims."""
         fd = self.frame_dim
         rect = fd.dc_group_rect(group_id)
         extra_precision = r.read(2)
         img = ModularImage(rect.xsize, rect.ysize, bitdepth, 3)
+        if shifts is not None:
+            for stream_c, c in enumerate((1, 0, 2)):
+                h, v = shifts[c]
+                w_ = -(-rect.xsize // (1 << h))
+                h_ = -(-rect.ysize // (1 << v))
+                img.channel[stream_c] = Channel.create(w_, h_, h, v)
         modular_decode(r, img, stream_vardct_dc(group_id, fd),
                        global_tree=self.global_tree,
                        global_codes=self.global_codes,
                        undo_transforms=True)
         # channel order in stream: Y, X, B (c<2 ? c^1 : c)
+        if shifts is not None:
+            return [img.channel[1].data, img.channel[0].data,
+                    img.channel[2].data], extra_precision
         dc = np.stack([img.channel[1].data, img.channel[0].data,
                        img.channel[2].data])
         return dc, extra_precision
@@ -471,15 +483,24 @@ class ModularFrameEncoder:
 
     # -- VarDCT auxiliary streams ----------------------------------------
 
-    def encode_vardct_dc(self, w: BitWriter, qdc: np.ndarray,
-                         bitdepth: int = 8) -> None:
-        """qdc: (3, h, w) quantized DC in X,Y,B order."""
+    def encode_vardct_dc(self, w: BitWriter, qdc,
+                         bitdepth: int = 8, shifts=None) -> None:
+        """qdc: (3, h, w) quantized DC in X,Y,B order, or a 3-list of
+        per-channel arrays when chroma-subsampled (with `shifts`)."""
         w.write(2, 0)  # extra_precision = 0
-        img = ModularImage(qdc.shape[2], qdc.shape[1], bitdepth, 3)
-        # stream channel order: Y, X, B
-        img.channel[0] = Channel(qdc[1].astype(np.int32))
-        img.channel[1] = Channel(qdc[0].astype(np.int32))
-        img.channel[2] = Channel(qdc[2].astype(np.int32))
+        if shifts is not None:
+            img = ModularImage(qdc[1].shape[1], qdc[1].shape[0],
+                               bitdepth, 3)
+            for stream_c, c in enumerate((1, 0, 2)):
+                h, v = shifts[c]
+                img.channel[stream_c] = Channel(
+                    qdc[c].astype(np.int32), h, v)
+        else:
+            img = ModularImage(qdc.shape[2], qdc.shape[1], bitdepth, 3)
+            # stream channel order: Y, X, B
+            img.channel[0] = Channel(qdc[1].astype(np.int32))
+            img.channel[1] = Channel(qdc[0].astype(np.int32))
+            img.channel[2] = Channel(qdc[2].astype(np.int32))
         self._encode_stream_image(w, img, P_GRADIENT)
 
     def encode_ac_metadata(self, w: BitWriter, rect: Rect,

@@ -141,3 +141,111 @@ def tokenize_group_coeffs(blocks: list[CoeffBlock], block_rect_w: int,
                 prev = 1 if u != 0 else 0
                 nzeros -= prev
                 k += 1
+
+
+def _sub_dims(bw: int, bh: int, h: int, v: int) -> tuple[int, int]:
+    return (bw + (1 << h) - 1) >> h, (bh + (1 << v) - 1) >> v
+
+
+def decode_group_coeffs_subsampled(reader, block_rect_w: int,
+                                   block_rect_h: int,
+                                   raw_quant: np.ndarray, orders: dict,
+                                   ctx_map: BlockCtxMap, ctx_offset: int,
+                                   shifts: list) -> list:
+    """Chroma-subsampled group AC decode (dec_group.cc LoadBlock with
+    per-channel hshift/vshift; all blocks DCT8X8, as produced by JPEG
+    transcoding). shifts: [(h, v)] per channel (X, Y, B order).
+    Returns per-channel (sbh, sbw, 64) int32 coefficient arrays."""
+    coeffs = []
+    nzeros_rows = []
+    for c in range(3):
+        h, v = shifts[c]
+        sbw, sbh = _sub_dims(block_rect_w, block_rect_h, h, v)
+        coeffs.append(np.zeros((sbh, sbw, 64), np.int32))
+        nzeros_rows.append(np.zeros((sbh, sbw), np.int32))
+    ord_b = acs.STRATEGY_ORDER[acs.DCT8X8]
+    for by in range(block_rect_h):
+        for bx in range(block_rect_w):
+            for c in (1, 0, 2):
+                h, v = shifts[c]
+                sbx, sby = bx >> h, by >> v
+                if (sbx << h) != bx or (sby << v) != by:
+                    continue
+                order = orders[(ord_b, c)]
+                nz_row = nzeros_rows[c]
+                row_top = nz_row[sby - 1] if sby > 0 else None
+                predicted = predict_from_top_and_left(
+                    row_top, nz_row[sby], sbx, 32)
+                block_ctx = ctx_map.context(0, int(raw_quant[by, bx]),
+                                            ord_b, c)
+                nzero_ctx = ctx_map.nonzero_context(predicted, block_ctx) \
+                    + ctx_offset
+                nzeros = reader.read(nzero_ctx)
+                if nzeros > 63:
+                    raise BitstreamError("too many nonzeros")
+                nz_row[sby, sbx] = nzeros
+                histo_offset = ctx_offset + \
+                    ctx_map.zero_density_offset(block_ctx)
+                prev = 0 if nzeros > 4 else 1
+                k = 1
+                block = coeffs[c][sby, sbx]
+                while k < 64 and nzeros != 0:
+                    ctx = histo_offset + zero_density_context(
+                        nzeros, k, 1, 0, prev)
+                    u = reader.read(ctx)
+                    coeff = unpack_signed(u)
+                    block[order[k]] += coeff
+                    prev = 1 if u != 0 else 0
+                    nzeros -= prev
+                    k += 1
+                if nzeros != 0:
+                    raise BitstreamError("nzeros mismatch (subsampled)")
+    return coeffs
+
+
+def tokenize_group_coeffs_subsampled(coeffs: list, block_rect_w: int,
+                                     block_rect_h: int,
+                                     raw_quant: np.ndarray, orders: dict,
+                                     ctx_map: BlockCtxMap, tokens: list,
+                                     shifts: list) -> None:
+    """Encoder mirror of decode_group_coeffs_subsampled."""
+    from libjxl_tpu.entropy.codes import Token
+
+    nzeros_rows = []
+    for c in range(3):
+        h, v = shifts[c]
+        sbw, sbh = _sub_dims(block_rect_w, block_rect_h, h, v)
+        nzeros_rows.append(np.zeros((sbh, sbw), np.int32))
+    ord_b = acs.STRATEGY_ORDER[acs.DCT8X8]
+    for by in range(block_rect_h):
+        for bx in range(block_rect_w):
+            for c in (1, 0, 2):
+                h, v = shifts[c]
+                sbx, sby = bx >> h, by >> v
+                if (sbx << h) != bx or (sby << v) != by:
+                    continue
+                order = orders[(ord_b, c)]
+                block = coeffs[c][sby, sbx]
+                vals = block[order[1:]]
+                nzeros = int(np.count_nonzero(vals))
+                nz_row = nzeros_rows[c]
+                row_top = nz_row[sby - 1] if sby > 0 else None
+                predicted = predict_from_top_and_left(
+                    row_top, nz_row[sby], sbx, 32)
+                block_ctx = ctx_map.context(0, int(raw_quant[by, bx]),
+                                            ord_b, c)
+                nzero_ctx = ctx_map.nonzero_context(predicted, block_ctx)
+                tokens.append(Token(nzero_ctx, nzeros))
+                nz_row[sby, sbx] = nzeros
+                histo_offset = ctx_map.zero_density_offset(block_ctx)
+                prev = 0 if nzeros > 4 else 1
+                k = 1
+                left = nzeros
+                while k < 64 and left != 0:
+                    ctx = histo_offset + zero_density_context(
+                        left, k, 1, 0, prev)
+                    v_ = int(block[order[k]])
+                    tokens.append(Token(ctx, pack_signed(v_)))
+                    prev = 1 if v_ != 0 else 0
+                    left -= prev
+                    k += 1

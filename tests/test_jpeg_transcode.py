@@ -59,9 +59,30 @@ def test_transcode_quality_sweep():
         assert np.abs(out.astype(int) - ref.astype(int)).mean() < 1.0
 
 
-def test_transcode_rejects_subsampled():
-    with pytest.raises(JpegError):
-        transcode_jpeg(_jpeg(_img(), subsampling=2))
+@pytest.mark.parametrize("sub,name", [(1, "422"), (2, "420")])
+def test_transcode_subsampled(sub, name):
+    data = _jpeg(_img(), subsampling=sub)
+    jxl = transcode_jpeg(data)
+    assert len(jxl) < len(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    out = decode(jxl).pixels
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0, (err.mean(), err.max())
+
+
+def test_transcode_420_multigroup():
+    y, x = np.mgrid[0:300, 0:360]
+    img = np.clip(np.stack([(128 + 90 * np.sin(x / 29)),
+                            (128 + 70 * np.cos(y / 31)),
+                            (120 + 60 * np.sin((x + y) / 37))], -1),
+                  0, 255).astype(np.uint8)
+    data = _jpeg(img, quality=80, subsampling=2)
+    jxl = transcode_jpeg(data)
+    assert len(jxl) < len(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    out = decode(jxl).pixels
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0, (err.mean(), err.max())
 
 
 def test_parse_garbage_raises():
