@@ -183,9 +183,15 @@ def parse_jpeg(data: bytes) -> JpegData:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 jd.components.append(JpegComponent(
                     cid, hv >> 4, hv & 15, tq))
-        elif marker == 0xC2:
+        elif marker == 0xC2:  # SOF2 progressive
             jd.progressive = True
-            raise JpegError("progressive JPEG not supported yet")
+            jd.height = (seg[1] << 8) | seg[2]
+            jd.width = (seg[3] << 8) | seg[4]
+            ncomp = seg[5]
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                jd.components.append(JpegComponent(
+                    cid, hv >> 4, hv & 15, tq))
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -208,9 +214,18 @@ def parse_jpeg(data: bytes) -> JpegData:
                 comp.dc_table = tt >> 4
                 comp.ac_table = tt & 15
                 comp_order.append(comp)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             pos = pos + seglen
-            pos = _decode_scan(data, pos, jd, comp_order, dc_tables,
-                               ac_tables)
+            if jd.progressive:
+                pos = _decode_progressive_scan(
+                    data, pos, jd, comp_order, dc_tables, ac_tables,
+                    ss, se, ah, al)
+            else:
+                pos = _decode_scan(data, pos, jd, comp_order, dc_tables,
+                                   ac_tables)
             continue
         pos += seglen
     if not jd.components or jd.components[0].coeffs is None:
@@ -268,3 +283,151 @@ def _decode_scan(data, pos, jd, comps, dc_tables, ac_tables) -> int:
                                      and not (0xD0 <= data[p + 1] <= 0xD7)):
         p += 1
     return p
+
+
+def _alloc_coeffs(jd):
+    hmax = max(c.h_samp for c in jd.components)
+    vmax = max(c.v_samp for c in jd.components)
+    mcux = -(-jd.width // (8 * hmax))
+    mcuy = -(-jd.height // (8 * vmax))
+    for c in jd.components:
+        if c.coeffs is None:
+            c.coeffs = np.zeros((mcuy * c.v_samp, mcux * c.h_samp, 64),
+                                np.int32)
+    return mcux, mcuy
+
+
+def _comp_block_dims(jd, c):
+    """Nominal (non-interleaved) block dims of a component (T.81 A.2.4)."""
+    hmax = max(cc.h_samp for cc in jd.components)
+    vmax = max(cc.v_samp for cc in jd.components)
+    w = -(-jd.width * c.h_samp // hmax)
+    h = -(-jd.height * c.v_samp // vmax)
+    return -(-w // 8), -(-h // 8)
+
+
+def _skip_to_next_marker(data, pos):
+    while pos + 1 < len(data) and not (
+            data[pos] == 0xFF and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)):
+        pos += 1
+    return pos
+
+
+def _decode_progressive_scan(data, pos, jd, comps, dc_tables, ac_tables,
+                             ss, se, ah, al) -> int:
+    """One progressive scan (T.81 G.2): DC first/refine, AC first/refine
+    with EOB runs."""
+    _alloc_coeffs(jd)
+    br = _BitReaderMSB(data, pos)
+    ri = jd.restart_interval
+
+    if ss == 0:
+        # DC scan (interleaved over all scan components).
+        hmax = max(c.h_samp for c in jd.components)
+        vmax = max(c.v_samp for c in jd.components)
+        mcux = -(-jd.width // (8 * hmax))
+        mcuy = -(-jd.height // (8 * vmax))
+        preds = {c.component_id: 0 for c in comps}
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and n and n % ri == 0:
+                    br.align_restart()
+                    preds = {c.component_id: 0 for c in comps}
+                for c in comps:
+                    for by in range(c.v_samp):
+                        for bx in range(c.h_samp):
+                            blk = c.coeffs[my * c.v_samp + by,
+                                           mx * c.h_samp + bx]
+                            if ah == 0:
+                                s_ = br.read_huffman(
+                                    dc_tables[c.dc_table])
+                                diff = _extend(br.read(s_), s_)
+                                preds[c.component_id] += diff
+                                blk[0] = preds[c.component_id] << al
+                            else:
+                                if br.read(1):
+                                    blk[0] |= (1 << al)
+                n += 1
+        return _skip_to_next_marker(data, br.pos)
+
+    # AC scan: single component, non-interleaved.
+    c = comps[0]
+    bw, bh = _comp_block_dims(jd, c)
+    table = ac_tables[c.ac_table]
+    eobrun = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and n and n % ri == 0:
+                br.align_restart()
+                eobrun = 0
+            n += 1
+            blk = c.coeffs[by, bx]
+            if ah == 0:
+                # First AC scan for this band.
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.read_huffman(table)
+                    r, s_ = rs >> 4, rs & 15
+                    if s_ == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise JpegError("AC band overflow")
+                    blk[ZIGZAG[k]] = _extend(br.read(s_), s_) << al
+                    k += 1
+            else:
+                # Refinement scan (T.81 G.2.2.3).
+                p1 = 1 << al
+                m1 = -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.read_huffman(table)
+                        r, s_ = rs >> 4, rs & 15
+                        if s_ == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            # r == 15: skip 16 zero-history coeffs
+                            newval = 0
+                        else:
+                            newval = p1 if br.read(1) else m1
+                        # Advance past r zero-history coefficients,
+                        # applying correction bits to nonzero ones.
+                        while k <= se:
+                            z = ZIGZAG[k]
+                            if blk[z] != 0:
+                                if br.read(1) and (blk[z] & p1) == 0:
+                                    blk[z] += p1 if blk[z] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if s_ != 0:
+                                        blk[z] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # Correction bits for the remainder of the band.
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if blk[z] != 0:
+                            if br.read(1) and (blk[z] & p1) == 0:
+                                blk[z] += p1 if blk[z] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return _skip_to_next_marker(data, br.pos)

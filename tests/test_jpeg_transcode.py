@@ -104,3 +104,22 @@ def test_transcode_grayscale():
     out = decode(jxl).pixels
     err = np.abs(out.astype(int) - ref.astype(int))
     assert err.max() <= 3 and err.mean() < 0.5
+
+
+@pytest.mark.parametrize("sub", [0, 2])
+def test_transcode_progressive(sub):
+    data = _jpeg(_img(), subsampling=sub)
+    buf = io.BytesIO()
+    Image.fromarray(_img()).save(buf, "JPEG", quality=85,
+                                 subsampling=sub, progressive=True)
+    pdata = buf.getvalue()
+    jd_seq = parse_jpeg(data)
+    jd_prog = parse_jpeg(pdata)
+    assert jd_prog.progressive
+    # Progressive scans must reassemble the exact same coefficients.
+    for cs, cp in zip(jd_seq.components, jd_prog.components):
+        np.testing.assert_array_equal(cs.coeffs, cp.coeffs)
+    ref = np.asarray(Image.open(io.BytesIO(pdata)).convert("RGB"))
+    out = decode(transcode_jpeg(pdata)).pixels
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
