@@ -25,6 +25,16 @@ def main(argv=None) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
+    if args.output.lower().endswith((".jpg", ".jpeg")):
+        # JPEG reconstruction from a transcoded JXL (djxl --jpeg).
+        from libjxl_tpu.extras.jpeg_transcode import transcode_jxl_to_jpeg
+        t0 = time.time()
+        out = transcode_jxl_to_jpeg(data)
+        with open(args.output, "wb") as f:
+            f.write(out)
+        print(f"Reconstructed {len(out)} byte JPEG in "
+              f"{time.time() - t0:.2f}s", file=sys.stderr)
+        return 0
     t0 = time.time()
     res = decode(data)
     dt = time.time() - t0

@@ -236,3 +236,169 @@ def transcode_jpeg(data: bytes) -> bytes:
     _emit_sections(w, fh, fd, parts)
     w.align_to_byte()
     return w.get_bytes()
+
+
+def transcode_jxl_to_jpeg(data: bytes) -> bytes:
+    """JXL codestream (JPEG-transcode profile: VarDCT YCbCr, RAW quant
+    table) -> baseline JPEG with the original DCT coefficients.
+
+    jpg -> jxl -> jpg round-trips carry coefficients verbatim, so the
+    regenerated JPEG decodes to the same pixels as the original (the
+    bytes differ: standard Huffman tables are used; byte-exactness
+    needs jbrd metadata)."""
+    from libjxl_tpu.base.errors import BitstreamError
+    from libjxl_tpu.bitstream.bit_io import BitReader
+    from libjxl_tpu.bitstream.fields import bundle_read
+    from libjxl_tpu.bitstream.toc import num_toc_entries, read_toc
+    from libjxl_tpu.container.boxes import is_container, unpack_container
+    from libjxl_tpu.entropy.codes import SymbolReader, decode_histograms
+    from libjxl_tpu.extras.jpeg_parser import JpegComponent, JpegData
+    from libjxl_tpu.extras.jpeg_writer import write_jpeg
+    from libjxl_tpu.frame.decode_frame import ModularFrameDecoder
+    from libjxl_tpu.frame.frame_header import (
+        ColorTransform, FrameEncoding, FrameHeader,
+    )
+    from libjxl_tpu.frame.headers import read_codestream_headers
+    from libjxl_tpu.frame.modular_frame import (
+        stream_modular_ac, stream_modular_dc,
+    )
+    from libjxl_tpu.vardct import ac_strategy as acs
+    from libjxl_tpu.vardct.ac_context import BlockCtxMap
+    from libjxl_tpu.vardct.cfl import ColorCorrelation
+    from libjxl_tpu.vardct.coeff_order import (
+        decode_coeff_orders, read_used_orders,
+    )
+    from libjxl_tpu.vardct.group import decode_group_coeffs_subsampled
+    from libjxl_tpu.vardct.quant_weights import MODE_RAW, DequantMatrices
+    from libjxl_tpu.vardct.quantizer import Quantizer
+
+    if is_container(data):
+        data = unpack_container(data).codestream
+    r = BitReader(data)
+    meta = read_codestream_headers(r)
+    fh = FrameHeader(nonserialized_metadata=meta)
+    bundle_read(r, fh)
+    if fh.encoding != FrameEncoding.VARDCT or \
+            fh.color_transform != ColorTransform.YCBCR:
+        raise JpegError("not a JPEG-transcoded JXL (need VarDCT YCbCr)")
+    fd = fh.to_frame_dimensions()
+    cs = fh.chroma_subsampling
+    shifts = [(cs.hshift(c), cs.vshift(c)) for c in range(3)]
+    is_444 = cs.is_444()
+
+    toc_entries = num_toc_entries(fd.num_groups, fd.num_dc_groups, 1)
+    sizes, offsets = read_toc(toc_entries, r)
+    r.align_to_byte()
+    base = r.bits_consumed // 8
+
+    single = (toc_entries == 1)
+    seq = BitReader(data[base + offsets[0]:base + offsets[0] + sizes[0]]) \
+        if single else None
+
+    def get(idx):
+        if single:
+            return seq
+        start = base + offsets[idx]
+        return BitReader(data[start:start + sizes[idx]])
+
+    mfd = ModularFrameDecoder(fd)
+    lf = get(0)
+    matrices = DequantMatrices()
+    matrices.decode_dc(lf)
+    quantizer = Quantizer(matrices)
+    quantizer.decode(lf)
+    ctx_map = BlockCtxMap()
+    ctx_map.decode(lf)
+    cmap = ColorCorrelation()
+    cmap.decode_dc(lf)
+    mfd.decode_global_info(lf, fh, meta)
+
+    from libjxl_tpu.base.rect import Rect
+    dc_data = {}
+    raw_quant = np.ones((fd.ysize_blocks, fd.xsize_blocks), np.int32)
+    for g in range(fd.num_dc_groups):
+        br = get(1 + g)
+        qdc, _ep = mfd.decode_vardct_dc(
+            g, br, meta.m.bit_depth.bits_per_sample,
+            shifts=None if is_444 else shifts)
+        dc_data[g] = qdc
+        rect = fd.dc_group_rect(g)
+        mrect = Rect(rect.x0 * 8, rect.y0 * 8, fd.dc_group_dim,
+                     fd.dc_group_dim)
+        mfd.decode_group(mrect, br, 3, 1000, stream_modular_dc(g, fd))
+        m = mfd.decode_ac_metadata(g, br,
+                                   meta.m.bit_depth.bits_per_sample)
+        raw_quant[rect.slices()] = m["raw_quant"]
+
+    acg = get(1 + fd.num_dc_groups)
+    matrices.decode(acg, mfd)
+    enc0 = matrices.encodings[0]
+    if enc0.mode != MODE_RAW:
+        raise JpegError("JXL does not carry RAW (JPEG) quant tables")
+    num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
+        if fd.num_groups > 1 else 0
+    num_histograms = 1 + (acg.read(num_histo_bits) if num_histo_bits
+                          else 0)
+    used_orders = read_used_orders(acg)
+    orders = decode_coeff_orders(used_orders, 1, acg)
+    codes = decode_histograms(acg,
+                              num_histograms * ctx_map.num_ac_contexts())
+    histo_bits = (num_histograms - 1).bit_length() \
+        if num_histograms > 1 else 0
+
+    planes = []
+    for c in range(3):
+        h, v = shifts[c]
+        cw = -(-fd.xsize_blocks // (1 << h))
+        ch = -(-fd.ysize_blocks // (1 << v))
+        planes.append(np.zeros((ch, cw, 64), np.int32))
+    for g in range(fd.num_groups):
+        br = get(2 + fd.num_dc_groups + g)
+        brect = fd.block_group_rect(g)
+        cur = br.read(histo_bits) if histo_bits else 0
+        ctx_offset = cur * ctx_map.num_ac_contexts()
+        reader = SymbolReader(codes, br)
+        gcoeffs = decode_group_coeffs_subsampled(
+            reader, brect.xsize, brect.ysize, raw_quant[brect.slices()],
+            orders, ctx_map, ctx_offset, shifts)
+        if not reader.check_final_state():
+            raise BitstreamError("bad ANS state in AC group")
+        for c in range(3):
+            h, v = shifts[c]
+            gy0, gx0 = brect.y0 >> v, brect.x0 >> h
+            sbh, sbw, _ = gcoeffs[c].shape
+            planes[c][gy0:gy0 + sbh, gx0:gx0 + sbw] = gcoeffs[c]
+    for g, qdc in dc_data.items():
+        rect = fd.dc_group_rect(g)
+        for c in range(3):
+            h, v = shifts[c]
+            y0, x0 = rect.y0 >> v, rect.x0 >> h
+            arr = qdc[c] if not is_444 else qdc[c]
+            planes[c][y0:y0 + arr.shape[0], x0:x0 + arr.shape[1], 0] = arr
+
+    # Recover the JPEG quant tables from the RAW encoding.
+    s = _jxl_from_jpeg_scale().ravel()
+    den = enc0.qraw_den
+    qtabs = []
+    for c in range(3):
+        q = np.round(enc0.qraw_table[c] * den * 255.0 / s) \
+            .astype(np.int32)
+        q[0] = int(round(matrices.dc_quant[c] * 255.0 / s[0]))
+        qtabs.append(np.maximum(1, q))
+
+    hmax = 1 << max(h for h, _ in shifts)
+    vmax = 1 << max(v for _, v in shifts)
+    jd = JpegData(width=meta.xsize, height=meta.ysize)
+    # JPEG component order Y, Cb, Cr = planes 1, 0, 2.
+    plane_order = (1, 0, 2)
+    uniq = {}
+    for ci, p in enumerate(plane_order):
+        key = qtabs[p].tobytes()
+        if key not in uniq:
+            uniq[key] = len(uniq)
+            jd.quant_tables[uniq[key]] = qtabs[p]
+        h, v = shifts[p]
+        comp = JpegComponent(ci + 1, hmax >> h, vmax >> v, uniq[key])
+        comp.coeffs = planes[p]
+        jd.components.append(comp)
+    return write_jpeg(jd)

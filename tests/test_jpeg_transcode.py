@@ -123,3 +123,24 @@ def test_transcode_progressive(sub):
     out = decode(transcode_jpeg(pdata)).pixels
     err = np.abs(out.astype(int) - ref.astype(int))
     assert err.max() <= 4 and err.mean() < 1.0
+
+
+@pytest.mark.parametrize("sub", [0, 2])
+def test_jxl_to_jpeg_round_trip_pixel_exact(sub):
+    from libjxl_tpu.extras.jpeg_transcode import transcode_jxl_to_jpeg
+    data = _jpeg(_img(), subsampling=sub)
+    jxl = transcode_jpeg(data)
+    back = transcode_jxl_to_jpeg(jxl)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rec = np.asarray(Image.open(io.BytesIO(back)).convert("RGB"))
+    # Coefficients ride both directions verbatim: decoded pixels match.
+    np.testing.assert_array_equal(ref, rec)
+
+
+def test_jpeg_writer_coefficients_exact():
+    from libjxl_tpu.extras.jpeg_writer import write_jpeg
+    data = _jpeg(_img(), subsampling=2)
+    jd = parse_jpeg(data)
+    jd2 = parse_jpeg(write_jpeg(jd))
+    for a, b in zip(jd.components, jd2.components):
+        np.testing.assert_array_equal(a.coeffs, b.coeffs)
