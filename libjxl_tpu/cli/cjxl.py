@@ -59,13 +59,14 @@ def main(argv=None) -> int:
     if args.input.lower().endswith((".jpg", ".jpeg")) \
             and not args.lossless and args.distance == 1.0:
         # JPEG input: coefficient-preserving transcode (cjxl -j default)
-        from libjxl_tpu.extras.jpeg_transcode import transcode_jpeg
+        from libjxl_tpu.extras.jpeg_transcode import (
+            transcode_jpeg_container)
         from libjxl_tpu.extras.jpeg_parser import JpegError
         try:
             with open(args.input, "rb") as f:
                 jdata = f.read()
             t0 = time.time()
-            out = transcode_jpeg(jdata)
+            out = transcode_jpeg_container(jdata)
             dt = time.time() - t0
             with open(args.output, "wb") as f:
                 f.write(out)

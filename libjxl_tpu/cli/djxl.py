@@ -27,9 +27,12 @@ def main(argv=None) -> int:
         data = f.read()
     if args.output.lower().endswith((".jpg", ".jpeg")):
         # JPEG reconstruction from a transcoded JXL (djxl --jpeg).
-        from libjxl_tpu.extras.jpeg_transcode import transcode_jxl_to_jpeg
+        from libjxl_tpu.container.boxes import is_container
+        from libjxl_tpu.extras.jpeg_transcode import (
+            reconstruct_jpeg, transcode_jxl_to_jpeg)
         t0 = time.time()
-        out = transcode_jxl_to_jpeg(data)
+        out = reconstruct_jpeg(data) if is_container(data) \
+            else transcode_jxl_to_jpeg(data)
         with open(args.output, "wb") as f:
             f.write(out)
         print(f"Reconstructed {len(out)} byte JPEG in "

@@ -48,6 +48,15 @@ class JpegData:
     components: list = dataclasses.field(default_factory=list)
     restart_interval: int = 0
     progressive: bool = False
+    # Byte-exact reconstruction support (single-scan baseline): the
+    # original bytes up to the start of the entropy-coded data, the
+    # bytes after it (EOI + trailers), and the raw Huffman table
+    # definitions in force for the scan.
+    header_blob: bytes | None = None
+    trailer_blob: bytes | None = None
+    dc_specs: dict = dataclasses.field(default_factory=dict)
+    ac_specs: dict = dataclasses.field(default_factory=dict)
+    num_scans: int = 0
 
 
 class _HuffTable:
@@ -201,6 +210,8 @@ def parse_jpeg(data: bytes) -> JpegData:
                 values = list(seg[p + 17:p + 17 + total])
                 table = _HuffTable(counts, values)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
+                (jd.dc_specs if tc == 0 else jd.ac_specs)[th] = \
+                    (counts, values)
                 p += 17 + total
         elif marker == 0xDD:  # DRI
             jd.restart_interval = (seg[0] << 8) | seg[1]
@@ -219,6 +230,9 @@ def parse_jpeg(data: bytes) -> JpegData:
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             pos = pos + seglen
+            jd.num_scans += 1
+            if jd.num_scans == 1:
+                jd.header_blob = bytes(data[:pos])
             if jd.progressive:
                 pos = _decode_progressive_scan(
                     data, pos, jd, comp_order, dc_tables, ac_tables,
@@ -231,6 +245,16 @@ def parse_jpeg(data: bytes) -> JpegData:
     if not jd.components or jd.components[0].coeffs is None:
         raise JpegError("no image data decoded")
     return jd
+
+
+def find_entropy_end(data: bytes, start: int) -> int:
+    """Position of the first real marker after an entropy segment."""
+    p = start
+    while p + 1 < len(data) and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)):
+        p += 1
+    return p
 
 
 def _decode_scan(data, pos, jd, comps, dc_tables, ac_tables) -> int:
@@ -431,3 +455,65 @@ def _decode_progressive_scan(data, pos, jd, comps, dc_tables, ac_tables,
                         k += 1
                     eobrun -= 1
     return _skip_to_next_marker(data, br.pos)
+
+
+def parse_jpeg_header(blob: bytes) -> JpegData:
+    """Parses marker segments only (no entropy decode) — used to
+    re-instantiate the original file structure from jbrd metadata.
+    `blob` must end right after an SOS segment."""
+    if blob[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG header blob")
+    jd = JpegData()
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise JpegError("marker expected")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = (blob[pos] << 8) | blob[pos + 1]
+        seg = blob[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[p:p + n]
+                vals = np.frombuffer(raw, ">u2" if pq else np.uint8) \
+                    .astype(np.int32)
+                table = np.zeros(64, np.int32)
+                table[ZIGZAG] = vals
+                jd.quant_tables[tq] = table
+                p += n
+        elif marker in (0xC0, 0xC1):
+            jd.height = (seg[1] << 8) | seg[2]
+            jd.width = (seg[3] << 8) | seg[4]
+            for i in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                jd.components.append(JpegComponent(
+                    cid, hv >> 4, hv & 15, tq))
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                total = sum(counts)
+                values = list(seg[p + 17:p + 17 + total])
+                (jd.dc_specs if tc == 0 else jd.ac_specs)[th] = \
+                    (counts, values)
+                p += 17 + total
+        elif marker == 0xDD:
+            jd.restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:
+            ns = seg[0]
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in jd.components
+                            if c.component_id == cid)
+                comp.dc_table = tt >> 4
+                comp.ac_table = tt & 15
+            return jd
+        pos += seglen
+    raise JpegError("no SOS in header blob")

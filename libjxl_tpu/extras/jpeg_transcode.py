@@ -402,3 +402,94 @@ def transcode_jxl_to_jpeg(data: bytes) -> bytes:
         comp.coeffs = planes[p]
         jd.components.append(comp)
     return write_jpeg(jd)
+
+
+def _make_jbrd(jd) -> bytes | None:
+    """Reconstruction payload: header blob + trailer (single-scan
+    baseline only; None when byte-exact reemission isn't possible)."""
+    from libjxl_tpu.extras.jpeg_parser import find_entropy_end
+
+    if jd.progressive or jd.num_scans != 1 or jd.header_blob is None:
+        return None
+    header = jd.header_blob
+    trailer = jd.trailer_blob if jd.trailer_blob is not None else \
+        b"\\xff\\xd9"
+    out = bytearray(b"JBR1")
+    out += len(header).to_bytes(4, "big") + header
+    out += len(trailer).to_bytes(4, "big") + trailer
+    return bytes(out)
+
+
+def transcode_jpeg_container(data: bytes) -> bytes:
+    """JPEG -> JXL container; when the input is a single-scan baseline
+    JPEG, a reconstruction (`jbrd`) box is attached so the EXACT
+    original bytes can be regenerated."""
+    from libjxl_tpu.container.boxes import pack_container
+    from libjxl_tpu.extras.jpeg_parser import find_entropy_end, parse_jpeg
+
+    codestream = transcode_jpeg(data)
+    jd = parse_jpeg(data)
+    jbrd = None
+    if not jd.progressive and jd.num_scans == 1 \
+            and jd.header_blob is not None:
+        start = len(jd.header_blob)
+        end = find_entropy_end(data, start)
+        jd.trailer_blob = data[end:]
+        jbrd = _make_jbrd(jd)
+    return pack_container(codestream, jpeg_reconstruction=jbrd)
+
+
+def reconstruct_jpeg(container: bytes) -> bytes:
+    """JXL container with a jbrd box -> byte-exact original JPEG."""
+    from libjxl_tpu.container.boxes import unpack_container
+    from libjxl_tpu.extras.jpeg_parser import parse_jpeg_header
+    from libjxl_tpu.extras.jpeg_writer import write_entropy_baseline
+
+    content = unpack_container(container)
+    if content.jpeg_reconstruction is None:
+        # No reconstruction data: fall back to standard-table output.
+        return transcode_jxl_to_jpeg(content.codestream)
+    payload = content.jpeg_reconstruction
+    if payload[:4] != b"JBR1":
+        raise JpegError("unknown jbrd payload version")
+    hlen = int.from_bytes(payload[4:8], "big")
+    header = payload[8:8 + hlen]
+    tpos = 8 + hlen
+    tlen = int.from_bytes(payload[tpos:tpos + 4], "big")
+    trailer = payload[tpos + 4:tpos + 4 + tlen]
+
+    # Original structure from the header blob; coefficients from the
+    # codestream.
+    jd = parse_jpeg_header(header)
+    tmp = parse_jpeg_header(header)  # fresh copy for coeff attach
+    planes = _extract_planes(content.codestream)
+    order = [1, 0, 2]  # JPEG comp order Y,Cb,Cr <- planes (Cb,Y,Cr)
+    hmax = max(c.h_samp for c in jd.components)
+    vmax = max(c.v_samp for c in jd.components)
+    mcux = -(-jd.width // (8 * hmax))
+    mcuy = -(-jd.height // (8 * vmax))
+    for i, comp in enumerate(jd.components):
+        p = order[i] if len(jd.components) == 3 else 1
+        plane = planes[p]
+        bh, bw = mcuy * comp.v_samp, mcux * comp.h_samp
+        cc = np.zeros((bh, bw, 64), np.int32)
+        cc[:min(bh, plane.shape[0]), :min(bw, plane.shape[1])] = \
+            plane[:min(bh, plane.shape[0]), :min(bw, plane.shape[1])]
+        comp.coeffs = cc
+    entropy = write_entropy_baseline(jd, jd.dc_specs, jd.ac_specs)
+    return header + entropy + trailer
+
+
+def _extract_planes(codestream: bytes) -> list:
+    """Quantized coefficient planes (Cb, Y, Cr) from a JPEG-transcoded
+    JXL codestream (shared core of transcode_jxl_to_jpeg)."""
+    import io as _io
+    # Reuse transcode_jxl_to_jpeg's plumbing by parsing to JpegData.
+    jpeg = transcode_jxl_to_jpeg(codestream)
+    jd = parse_jpeg(jpeg)
+    if len(jd.components) == 3:
+        return [jd.components[1].coeffs[..., :],
+                jd.components[0].coeffs[..., :],
+                jd.components[2].coeffs[..., :]]
+    c = jd.components[0].coeffs
+    return [np.zeros_like(c), c, np.zeros_like(c)]

@@ -180,3 +180,63 @@ def write_jpeg(jd: JpegData) -> bytes:
     out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def write_entropy_baseline(jd: JpegData, dc_specs: dict, ac_specs: dict,
+                           ) -> bytes:
+    """Re-encodes the (single, interleaved) baseline scan's entropy
+    data with the ORIGINAL Huffman tables — byte-identical to standard
+    encoders' output for the same coefficients."""
+    dc_codes = {k: _build_codes(*v) for k, v in dc_specs.items()}
+    ac_codes = {k: _build_codes(*v) for k, v in ac_specs.items()}
+    bw = _BitWriterMSB()
+    hmax = max(c.h_samp for c in jd.components)
+    vmax = max(c.v_samp for c in jd.components)
+    mcux = -(-jd.width // (8 * hmax))
+    mcuy = -(-jd.height // (8 * vmax))
+    preds = [0] * len(jd.components)
+    ri = jd.restart_interval
+    n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and n and n % ri == 0:
+                bw.flush()
+                bw.out.extend(b"\xff" + bytes([0xD0 + (rst & 7)]))
+                rst += 1
+                preds = [0] * len(jd.components)
+            n += 1
+            for ci, c in enumerate(jd.components):
+                dct = dc_codes[c.dc_table]
+                act = ac_codes[c.ac_table]
+                for by in range(c.v_samp):
+                    for bx in range(c.h_samp):
+                        blk = c.coeffs[my * c.v_samp + by,
+                                       mx * c.h_samp + bx]
+                        dc = int(blk[0])
+                        nb, raw = _magnitude(dc - preds[ci])
+                        preds[ci] = dc
+                        code, length = dct[nb]
+                        bw.write(code, length)
+                        if nb:
+                            bw.write(raw, nb)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(blk[ZIGZAG[k]])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = act[0xF0]
+                                bw.write(code, length)
+                                run -= 16
+                            nb, raw = _magnitude(v)
+                            code, length = act[(run << 4) | nb]
+                            bw.write(code, length)
+                            bw.write(raw, nb)
+                            run = 0
+                        if run:
+                            code, length = act[0x00]
+                            bw.write(code, length)
+    bw.flush()
+    return bytes(bw.out)
