@@ -1,0 +1,68 @@
+"""Generates a conformance corpus: one .jxl + golden .npy per feature
+(reference: tools/conformance/generator.py). Run from the repo root:
+
+    python tools/conformance/generate_corpus.py corpus_dir
+    python tools/conformance/run_corpus.py corpus_dir
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _gradient(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(128 + 100 * np.sin(x / 23) * np.cos(y / 17)),
+                    (128 + 90 * np.cos(x / 19)),
+                    (120 + 80 * np.sin((x + y) / 29))], -1)
+    return np.clip(img + rng.normal(0, 4, img.shape), 0, 255) \
+        .astype(np.uint8)
+
+
+def main(out_dir: str) -> int:
+    from libjxl_tpu.api import decode, encode, encode_animation
+
+    os.makedirs(out_dir, exist_ok=True)
+    cases = {}
+
+    def emit(name, data, tolerance=0.0):
+        with open(os.path.join(out_dir, name + ".jxl"), "wb") as f:
+            f.write(data)
+        res = decode(data)
+        arr = res.pixels
+        maxval = 255 if arr.dtype == np.uint8 else 65535
+        np.save(os.path.join(out_dir, name + ".npy"),
+                arr.astype(np.float32) / maxval)
+        cases[name] = {"rmse": tolerance, "peak": tolerance * 4 + 1e-6}
+
+    img = _gradient(128, 160)
+    emit("lossless_rgb", encode(img, lossless=True))
+    emit("lossless_16bit", encode(
+        (img.astype(np.uint16) * 257), lossless=True))
+    emit("lossless_gray", encode(img[:, :, 0], lossless=True))
+    rgba = np.dstack([img, np.full(img.shape[:2], 200, np.uint8)])
+    emit("lossless_rgba", encode(rgba, lossless=True))
+    emit("vardct_d1", encode(img, distance=1.0))
+    emit("vardct_d4", encode(img, distance=4.0))
+    emit("progressive", encode(img, distance=1.0, progressive=True))
+    emit("resampling2", encode(img, distance=1.0, resampling=2))
+    emit("noise", encode(img, distance=1.0, noise=0.05))
+    emit("container", encode(img, lossless=True, container=True))
+    emit("preview", encode(_gradient(200, 260, 1), distance=1.0,
+                           preview=True))
+    emit("effort8", encode(img, distance=1.0, effort=8))
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(cases, f, indent=1)
+    print(f"wrote {len(cases)} cases to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "conformance_corpus"))
