@@ -332,8 +332,20 @@ def build_and_encode_histograms(
     for c in range(num_contexts):
         histograms[c] += hist2d[c]
 
+    return _finish_histograms(histograms, num_contexts, w,
+                              use_prefix_code, uint_config, max_token,
+                              lz77, max_clusters)
+
+
+def _finish_histograms(histograms, num_contexts, w, use_prefix_code,
+                       uint_config, max_token, lz77,
+                       max_clusters=64):
+    from libjxl_tpu.entropy.cluster import cluster_histograms
+    from libjxl_tpu.entropy.context_map import encode_context_map
+
     if num_contexts > 1:
-        context_map, clustered = cluster_histograms(histograms, max_clusters)
+        context_map, clustered = cluster_histograms(histograms,
+                                                    max_clusters)
         encode_context_map(context_map, len(clustered), w)
     else:
         context_map = [0]
@@ -470,3 +482,171 @@ def _native_write_tokens(ctx, val, codes: EntropyCodes, w: BitWriter) -> bool:
     # Append bit-exact: stream bits produced LSB-first in out.
     w.append_bits_lsb(out, used.value)
     return True
+
+
+# ---------------------------------------------------------------------------
+# LZ77 encoder (enc_ans.cc ApplyLZ77 + HybridUintConfig length coding)
+
+
+def lz77_worth_trying(val: np.ndarray) -> bool:
+    """Cheap vectorized repetition probe: distinct 4-gram ratio."""
+    n = len(val)
+    if n < 256:
+        return False
+    v = np.asarray(val, np.int64)
+    h = (v[:-3] * 1000003 + v[1:-2] * 8191 + v[2:-1] * 131 + v[3:])
+    uniq = len(np.unique(h))
+    return uniq < 0.6 * len(h)
+
+
+def apply_lz77(ctx: np.ndarray, val: np.ndarray,
+               distance_multiplier: int = 0, min_length: int = 3,
+               match_min: int = 4) -> tuple | None:
+    """Greedy hash-chain matcher over token VALUES. Returns
+    (ctx, val, is_len) arrays with matches replaced by length tokens
+    (value = copy length) followed by a distance token in the virtual
+    distance context (ctx = -1), or None when no worthwhile matches."""
+    n = len(val)
+    if n < 32:
+        return None
+    v = np.asarray(val, np.int64)
+    num_special = NUM_SPECIAL_DISTANCES if distance_multiplier else 0
+    special_lut = {}
+    if num_special:
+        for i in range(NUM_SPECIAL_DISTANCES):
+            d = special_distance(i, distance_multiplier)
+            special_lut.setdefault(d, i)
+
+    out_ctx: list = []
+    out_val: list = []
+    out_len: list = []
+    heads: dict = {}
+    prev = np.full(n, -1, np.int64)
+
+    def key(i):
+        return (int(v[i]), int(v[i + 1]), int(v[i + 2]))
+
+    i = 0
+    matched = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 3 <= n:
+            cand = heads.get(key(i), -1)
+            tries = 0
+            while cand >= 0 and tries < 16:
+                # extend match
+                length = 0
+                limit = n - i
+                while length < limit and v[cand + length] == v[i + length] \
+                        and length < 65536:
+                    # allow overlapping copies (cand+length may reach i)
+                    length += 1
+                if length > best_len:
+                    best_len = length
+                    best_dist = i - cand
+                cand = int(prev[cand])
+                tries += 1
+        if best_len >= max(min_length, match_min):
+            out_ctx.append(int(ctx[i]))
+            out_val.append(best_len)
+            out_len.append(1)
+            raw = special_lut.get(best_dist)
+            if raw is None:
+                raw = best_dist - 1 + num_special
+            out_ctx.append(-1)
+            out_val.append(raw)
+            out_len.append(0)
+            end = i + best_len
+            while i < end:
+                if i + 3 <= n:
+                    k = key(i)
+                    prev[i] = heads.get(k, -1)
+                    heads[k] = i
+                i += 1
+            matched += best_len
+        else:
+            out_ctx.append(int(ctx[i]))
+            out_val.append(int(v[i]))
+            out_len.append(0)
+            if i + 3 <= n:
+                k = key(i)
+                prev[i] = heads.get(k, -1)
+                heads[k] = i
+            i += 1
+    if matched < n // 20:  # <5% coverage: not worth the histogram cost
+        return None
+    return (np.array(out_ctx, np.int64), np.array(out_val, np.int64),
+            np.array(out_len, np.uint8))
+
+
+def build_and_encode_histograms_lz77(
+        num_contexts: int, lz_streams: list, w: BitWriter, *,
+        uint_config: HybridUintConfig | None = None,
+        max_clusters: int = 64) -> EntropyCodes:
+    """Histogram build/encode for streams produced by apply_lz77.
+
+    lz_streams: list of (ctx, val, is_len) triples; distance tokens use
+    ctx == -1 (mapped to the extra distance context)."""
+    uint_config = uint_config or HybridUintConfig(4, 2, 0)
+    lz77 = LZ77Params(enabled=True)
+    lz77.length_uint_config = HybridUintConfig(1, 0, 0)
+    lz77.write(w)
+    write_uint_config(lz77.length_uint_config, w, 8)
+
+    total = num_contexts + 1  # + distance context
+    histograms = [np.zeros(ANS_MAX_ALPHABET_SIZE, np.int64)
+                  for _ in range(total)]
+    max_token = 0
+    for (ctx, val, is_len) in lz_streams:
+        ctx = np.where(ctx < 0, num_contexts, ctx)
+        plain = is_len == 0
+        if plain.any():
+            toks, _, _ = uint_config.encode_np(val[plain])
+            if toks.max() >= lz77.min_symbol:
+                raise BitstreamError("plain token collides with LZ77")
+            h2 = np.zeros((total, ANS_MAX_ALPHABET_SIZE), np.int64)
+            np.add.at(h2, (ctx[plain], toks.astype(np.int64)), 1)
+            for c in range(total):
+                histograms[c] += h2[c]
+            max_token = max(max_token, int(toks.max()))
+        for j in np.nonzero(is_len)[0]:
+            ltok, _, _ = lz77.length_uint_config.encode(
+                int(val[j]) - lz77.min_length)
+            sym = lz77.min_symbol + ltok
+            if sym >= ANS_MAX_ALPHABET_SIZE:
+                raise BitstreamError("LZ77 length token too large")
+            histograms[int(ctx[j])][sym] += 1
+            max_token = max(max_token, sym)
+    return _finish_histograms(histograms, total, w, False, uint_config,
+                              max_token, lz77, max_clusters)
+
+
+def write_tokens_lz77(lz_stream: tuple, codes: EntropyCodes,
+                      w: BitWriter) -> None:
+    """write_tokens for an apply_lz77 stream (pure-python ANS path)."""
+    ctx, val, is_len = lz_stream
+    num_contexts = len(codes.context_map) - 1
+    chunks: list[tuple[int, int]] = []
+    enc = AnsEncoder()
+    lcfg = codes.lz77.length_uint_config
+    for i in range(len(ctx) - 1, -1, -1):
+        c = int(ctx[i])
+        if c < 0:
+            c = num_contexts
+        histo = codes.context_map[c]
+        if is_len[i]:
+            ltok, nbits, bits = lcfg.encode(int(val[i])
+                                            - codes.lz77.min_length)
+            tok = codes.lz77.min_symbol + ltok
+        else:
+            tok, nbits, bits = codes.uint_configs[histo].encode(
+                int(val[i]))
+        chunks.append((bits, nbits))
+        freq = codes.counts[histo][tok]
+        ans_bits, ans_nbits = enc.put_symbol(freq,
+                                             codes.reverse_maps[histo][tok])
+        chunks.append((ans_bits, ans_nbits))
+    w.write(32, enc.state)
+    for bits, nbits in reversed(chunks):
+        w.write(nbits, bits)

@@ -396,7 +396,8 @@ class ModularFrameEncoder:
         header.use_global_tree = True
         header.transforms = transforms
 
-        streams = {}  # stream_id -> (sub_image or None, tokens)
+        streams = {}  # stream_id -> token arrays (or lz77 triples)
+        stream_dm = {}
         all_tokens = []
         # Global stream: meta + small channels.
         small = [i for i in range(first_big)
@@ -405,6 +406,8 @@ class ModularFrameEncoder:
             g_tokens = encode_channels_tokens(work, small, tree,
                                               header.wp_header, 0)
             streams[stream_global()] = g_tokens
+            stream_dm[stream_global()] = max(
+                (work.channel[i].w for i in small), default=0)
             all_tokens.append(g_tokens)
         # DC group streams (shift >= 3) and AC group streams.
         specs = []
@@ -425,10 +428,44 @@ class ModularFrameEncoder:
             tokens = encode_channels_tokens(sub, live, tree,
                                             header.wp_header, sid)
             streams[sid] = tokens
+            stream_dm[sid] = max(
+                (sub.channel[i].w for i in live), default=0)
             all_tokens.append(tokens)
 
+        # LZ77 pass: adopt when the token streams show repetition and
+        # matching meaningfully shrinks them (enc_ans.cc ApplyLZ77).
+        import os
+        from libjxl_tpu.entropy.codes import apply_lz77, lz77_worth_trying
+        use_lz77 = False
+        if os.environ.get("LIBJXL_TPU_NO_LZ77"):
+            return {"image": work, "tree": tree, "header": header,
+                    "streams": streams, "all_tokens": all_tokens,
+                    "lz_streams": None, "codes": None}
+        lz_streams = {}
+        orig_total = sum(len(t[0]) if isinstance(t, tuple) else len(t)
+                         for t in streams.values()) or 1
+        if any(lz77_worth_trying(t[1]) for t in streams.values()
+               if isinstance(t, tuple)):
+            lz_total = 0
+            for sid, t in streams.items():
+                if not isinstance(t, tuple):
+                    lz_streams = {}
+                    break
+                ctx, val = t
+                lz = apply_lz77(np.asarray(ctx, np.int64),
+                                np.asarray(val, np.int64),
+                                stream_dm.get(sid, 0))
+                if lz is None:
+                    lz = (np.asarray(ctx, np.int64),
+                          np.asarray(val, np.int64),
+                          np.zeros(len(val), np.uint8))
+                lz_streams[sid] = lz
+                lz_total += len(lz[0])
+            if lz_streams and lz_total < 0.85 * orig_total:
+                use_lz77 = True
         return {"image": work, "tree": tree, "header": header,
                 "streams": streams, "all_tokens": all_tokens,
+                "lz_streams": lz_streams if use_lz77 else None,
                 "codes": None}
 
     def write_global_with_tree(self, w: BitWriter, state: dict) -> None:
@@ -440,6 +477,17 @@ class ModularFrameEncoder:
         w.write_bool(True)
         tree = state["tree"]
         encode_tree(tree, w)
+        if state.get("lz_streams"):
+            from libjxl_tpu.entropy.codes import (
+                build_and_encode_histograms_lz77, write_tokens_lz77)
+            state["codes"] = build_and_encode_histograms_lz77(
+                num_tree_contexts(tree),
+                list(state["lz_streams"].values()), w)
+            bundle_write(state["header"], w)
+            lz = state["lz_streams"].get(stream_global())
+            if lz is not None:
+                write_tokens_lz77(lz, state["codes"], w)
+            return
         state["codes"] = build_and_encode_histograms(
             num_tree_contexts(tree), state["all_tokens"], w)
         bundle_write(state["header"], w)
@@ -449,7 +497,8 @@ class ModularFrameEncoder:
 
     def write_group_with_tree(self, w: BitWriter, state: dict,
                               stream_id: int) -> None:
-        from libjxl_tpu.entropy.codes import write_tokens
+        from libjxl_tpu.entropy.codes import write_tokens, \
+            write_tokens_lz77
 
         tokens = state["streams"].get(stream_id)
         if tokens is None:
@@ -457,7 +506,11 @@ class ModularFrameEncoder:
         header = GroupHeader()
         header.use_global_tree = True
         bundle_write(header, w)
-        write_tokens(tokens, state["codes"], w)
+        if state.get("lz_streams"):
+            write_tokens_lz77(state["lz_streams"][stream_id],
+                              state["codes"], w)
+        else:
+            write_tokens(tokens, state["codes"], w)
 
     def _encode_stream_image(self, w: BitWriter, sub: ModularImage,
                              predictor: int, tree: Tree | None = None,

@@ -238,3 +238,13 @@ def test_lossless_squeeze_on_photographic():
                   0, 255).astype(np.uint8)
     res = decode(encode(img, lossless=True))
     np.testing.assert_array_equal(res.pixels, img)
+
+
+def test_lossless_lz77_repetitive_content():
+    rng = np.random.default_rng(11)
+    tile = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    img = np.tile(tile, (12, 14, 1))
+    data = encode(img, lossless=True)
+    np.testing.assert_array_equal(decode(data).pixels, img)
+    # LZ77 must crush the repetition well below raw entropy coding.
+    assert len(data) < img.size // 12, len(data)

@@ -208,3 +208,56 @@ def test_prefix_code_degenerate():
     w.align_to_byte()
     dec = decode_prefix_code(10, BitReader(w.get_bytes()))
     assert dec.degenerate_symbol == 4
+
+
+def test_lz77_stream_roundtrip():
+    import numpy as np
+    from libjxl_tpu.bitstream.bit_io import BitReader, BitWriter
+    from libjxl_tpu.entropy.codes import (
+        SymbolReader, apply_lz77, build_and_encode_histograms_lz77,
+        decode_histograms, write_tokens_lz77,
+    )
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 40, 64)
+    val = np.tile(base, 40).astype(np.int64)
+    val[1000:1050] = rng.integers(0, 5000, 50)
+    ctx = (np.arange(len(val)) % 5).astype(np.int64)
+    lz = apply_lz77(ctx, val)
+    assert lz is not None and len(lz[0]) < len(val) // 4
+    w = BitWriter()
+    codes = build_and_encode_histograms_lz77(5, [lz], w)
+    write_tokens_lz77(lz, codes, w)
+    w.align_to_byte()
+    r = BitReader(w.get_bytes())
+    codes2 = decode_histograms(r, 5)
+    reader = SymbolReader(codes2, r, 0)
+    out = [reader.read(int(c)) for c in ctx]
+    assert reader.check_final_state()
+    np.testing.assert_array_equal(np.array(out), val)
+
+
+def test_lz77_with_distance_multiplier():
+    import numpy as np
+    from libjxl_tpu.bitstream.bit_io import BitReader, BitWriter
+    from libjxl_tpu.entropy.codes import (
+        SymbolReader, apply_lz77, build_and_encode_histograms_lz77,
+        decode_histograms, write_tokens_lz77,
+    )
+    # Vertical repetition at stride 37 exercises special distances.
+    rng = np.random.default_rng(4)
+    row = rng.integers(0, 30, 37)
+    val = np.tile(row, 30).astype(np.int64)
+    ctx = np.zeros(len(val), np.int64)
+    dm = 37
+    lz = apply_lz77(ctx, val, distance_multiplier=dm)
+    assert lz is not None
+    w = BitWriter()
+    codes = build_and_encode_histograms_lz77(1, [lz], w)
+    write_tokens_lz77(lz, codes, w)
+    w.align_to_byte()
+    r = BitReader(w.get_bytes())
+    codes2 = decode_histograms(r, 1)
+    reader = SymbolReader(codes2, r, dm)
+    out = [reader.read(0) for _ in range(len(val))]
+    assert reader.check_final_state()
+    np.testing.assert_array_equal(np.array(out), val)
