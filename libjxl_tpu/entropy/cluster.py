@@ -87,15 +87,27 @@ def cluster_histograms(histograms: list[np.ndarray], max_clusters: int = 64,
     a = np.zeros((n, max(width, 1)), np.float64)
     for i, h in enumerate(histograms):
         a[i, :len(h)] = h
-    totals = a.sum(axis=-1)
-    self_cost = _cost_rows(a)
-    nonempty = np.nonzero(totals > 0)[0]
+    # Trim trailing all-zero symbols: alphabets are sparse and the
+    # pairwise cost matrices scale linearly with width.
+    used = np.nonzero(a.any(axis=0))[0]
+    if len(used) and used[-1] + 1 < a.shape[1]:
+        a = np.ascontiguousarray(a[:, :used[-1] + 1])
+    width = a.shape[1]
+    all_totals = a.sum(axis=-1)
+    nonempty = np.nonzero(all_totals > 0)[0]
 
     if len(nonempty) == 0:
         return [0] * n, [np.zeros(width, np.int64)]
 
+    # Heavy math runs only over nonempty contexts (often a small
+    # fraction of the context space), in float32.
+    full_a = a
+    a = np.ascontiguousarray(a[nonempty], np.float32)
+    totals = all_totals[nonempty]
+    self_cost = _cost_rows(a)
+
     # ---- stage 1: farthest-point center selection (vectorized) ----
-    first = int(nonempty[np.argmax(totals[nonempty])])
+    first = int(np.argmax(totals))
     centers = [first]
 
     def cost_to(c: int) -> np.ndarray:
@@ -103,7 +115,6 @@ def cluster_histograms(histograms: list[np.ndarray], max_clusters: int = 64,
 
     dist = cost_to(first)
     dist[first] = -np.inf
-    dist[totals == 0] = -np.inf
     while len(centers) < max_clusters:
         i = int(np.argmax(dist))
         if dist[i] <= _HEADER_BITS:
@@ -114,12 +125,16 @@ def cluster_histograms(histograms: list[np.ndarray], max_clusters: int = 64,
 
     # ---- assign every histogram to its cheapest center ----
     c_arr = a[centers]                                      # (m, k)
-    merged = a[:, None, :] + c_arr[None]                    # (n, m, k)
+    merged = a[:, None, :] + c_arr[None]                    # (ne, m, k)
     mcost = _cost_rows(merged) - self_cost[:, None] - self_cost[centers][None]
-    assign = np.argmin(mcost, axis=1)
+    sub_assign = np.argmin(mcost, axis=1)
     for ci, c in enumerate(centers):
-        assign[c] = ci
-    assign[totals == 0] = int(assign[first])
+        sub_assign[c] = ci
+    # Scatter back to the full context space; empties join cluster of
+    # the first center.
+    assign = np.full(n, int(sub_assign[first]), np.int64)
+    assign[nonempty] = sub_assign
+    a = full_a
 
     m = len(centers)
     clustered = [np.zeros(width, np.int64) for _ in range(m)]
