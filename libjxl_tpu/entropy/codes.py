@@ -650,3 +650,28 @@ def write_tokens_lz77(lz_stream: tuple, codes: EntropyCodes,
     w.write(32, enc.state)
     for bits, nbits in reversed(chunks):
         w.write(nbits, bits)
+
+
+def stream_bits_proxy(ctx: np.ndarray, val: np.ndarray,
+                      is_len: np.ndarray | None = None,
+                      num_contexts: int = 0,
+                      uint_config: HybridUintConfig | None = None) -> float:
+    """Estimated coded size in bits: per-context token entropy plus raw
+    mantissa bits (used to decide whether LZ77 pays off)."""
+    if len(val) == 0:
+        return 0.0
+    uint_config = uint_config or HybridUintConfig(4, 2, 0)
+    ctx = np.asarray(ctx, np.int64)
+    nc = num_contexts or int(ctx.max()) + 2
+    ctx = np.where(ctx < 0, nc - 1, ctx)
+    toks, nbits, _ = uint_config.encode_np(np.asarray(val, np.int64))
+    if is_len is not None:
+        # Length tokens: distinct symbol space; approximate with a
+        # shifted token id + ~6 raw bits each.
+        toks = np.where(is_len > 0, 224 + np.minimum(toks, 30), toks)
+        nbits = np.where(is_len > 0, 6, nbits)
+    comb = ctx * 512 + np.minimum(toks, 511)
+    counts = np.bincount(comb)
+    counts = counts[counts > 0]
+    p = counts / counts.sum()
+    return float(-(counts * np.log2(p)).sum()) + float(nbits.sum())

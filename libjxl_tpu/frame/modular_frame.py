@@ -446,22 +446,26 @@ class ModularFrameEncoder:
                          for t in streams.values()) or 1
         if any(lz77_worth_trying(t[1]) for t in streams.values()
                if isinstance(t, tuple)):
-            lz_total = 0
+            from libjxl_tpu.entropy.codes import stream_bits_proxy
+            nctx = num_tree_contexts(tree) + 1
+            plain_bits = 0.0
+            lz_bits = 0.0
             for sid, t in streams.items():
                 if not isinstance(t, tuple):
                     lz_streams = {}
                     break
                 ctx, val = t
-                lz = apply_lz77(np.asarray(ctx, np.int64),
-                                np.asarray(val, np.int64),
-                                stream_dm.get(sid, 0))
+                ctx64 = np.asarray(ctx, np.int64)
+                val64 = np.asarray(val, np.int64)
+                lz = apply_lz77(ctx64, val64, stream_dm.get(sid, 0))
                 if lz is None:
-                    lz = (np.asarray(ctx, np.int64),
-                          np.asarray(val, np.int64),
-                          np.zeros(len(val), np.uint8))
+                    lz = (ctx64, val64, np.zeros(len(val), np.uint8))
                 lz_streams[sid] = lz
-                lz_total += len(lz[0])
-            if lz_streams and lz_total < 0.85 * orig_total:
+                plain_bits += stream_bits_proxy(ctx64, val64,
+                                                num_contexts=nctx)
+                lz_bits += stream_bits_proxy(lz[0], lz[1], lz[2],
+                                             num_contexts=nctx)
+            if lz_streams and lz_bits < 0.98 * plain_bits:
                 use_lz77 = True
         return {"image": work, "tree": tree, "header": header,
                 "streams": streams, "all_tokens": all_tokens,
