@@ -151,7 +151,16 @@ def _extend(v: int, n: int) -> int:
 
 
 def parse_jpeg(data: bytes) -> JpegData:
-    """Parses a baseline sequential JPEG into coefficients + tables."""
+    """Parses a baseline/progressive JPEG into coefficients + tables."""
+    try:
+        return _parse_jpeg_inner(data)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, KeyError, StopIteration) as e:
+        raise JpegError(f"malformed JPEG: {type(e).__name__}") from e
+
+
+def _parse_jpeg_inner(data: bytes) -> JpegData:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     jd = JpegData()

@@ -59,3 +59,33 @@ def test_empty_and_tiny():
     for blob in (b"", b"\xff", b"\x00", b"\xff\x0a"):
         with pytest.raises(JxlError):
             decode(blob)
+
+
+def test_jpeg_parser_fuzz():
+    import io
+    from PIL import Image
+    from libjxl_tpu.extras.jpeg_parser import JpegError, parse_jpeg
+
+    rng = np.random.default_rng(13)
+    buf = io.BytesIO()
+    Image.fromarray(_img()).save(buf, "JPEG", quality=80)
+    data = bytearray(buf.getvalue())
+    for _ in range(60):
+        corrupted = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            corrupted[rng.integers(0, len(data))] = rng.integers(0, 256)
+        try:
+            parse_jpeg(bytes(corrupted))
+        except Exception as e:
+            assert isinstance(e, JpegError), type(e)
+    for n in (0, 2, 10, 50):
+        with pytest.raises(Exception):
+            parse_jpeg(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+
+
+def test_jxl_to_jpeg_rejects_non_transcode():
+    from libjxl_tpu.extras.jpeg_parser import JpegError
+    from libjxl_tpu.extras.jpeg_transcode import transcode_jxl_to_jpeg
+    data = encode(_img(), distance=1.0)  # XYB frame, not YCbCr
+    with pytest.raises(JpegError):
+        transcode_jxl_to_jpeg(data)
