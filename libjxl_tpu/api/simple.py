@@ -48,7 +48,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
            progressive: bool = False, noise=None,
            resampling: int = 1, effort: int = 7,
-           dots: bool = False, preview: bool = False) -> bytes:
+           dots: bool = False, preview: bool = False,
+           dc_frame: bool = False) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -133,6 +134,35 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling)
+        if dc_frame and resampling == 1:
+            # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
+            # image as a kDCFrame, then reference it from the main
+            # frame (dec_frame.cc dc_frames).
+            # The main frame stores the DC of the gaborish-inverted
+            # planes, so the DC frame must carry that same signal.
+            from libjxl_tpu.frame.adaptive_quant import gaborish_inverse
+            inv = gaborish_inverse(xyb)
+            _, fy, fx = inv.shape
+            py, px = (-fy) % 8, (-fx) % 8
+            pimg2 = np.pad(inv, ((0, 0), (0, py), (0, px)), mode="edge")
+            dc_img = pimg2.reshape(3, (fy + py) // 8, 8,
+                                   (fx + px) // 8, 8).mean((2, 4))
+            # Encode once standalone (identical alignment) to learn the
+            # decoded DC the main frame must assume.
+            # DC deserves near-lossless coding (it becomes every
+            # block's mean); cost is tiny at 1/64th the pixels.
+            dc_dist = max(0.02, 0.04 * distance)
+            trial = BitWriter()
+            write_codestream_headers(meta, trial)
+            encode_vardct_frame(dc_img, meta, trial, distance=dc_dist,
+                                dc_frame_level=1)
+            from libjxl_tpu.frame.decode_frame import decode_frame
+            tr = BitReader(trial.get_bytes())
+            read_codestream_headers(tr)
+            decoded_dc = decode_frame(tr, meta).xyb
+            encode_vardct_frame(dc_img, meta, writer, distance=dc_dist,
+                                dc_frame_level=1)
+            frame_kwargs["external_dc"] = decoded_dc
         if pw_img is not None:
             scale_p = 255.0 if bits == 8 else 65535.0
             psrgb = pw_img / scale_p
@@ -234,6 +264,7 @@ def decode(data: bytes) -> DecodeResult:
     # Frames start immediately (bit-unaligned); the TOC aligns internally.
     from libjxl_tpu.frame.frame_header import FrameType
     refs: list = [None] * 4
+    dcs: list = [None] * 5
     preview = None
     if meta.m.have_preview:
         pframe = decode_frame(r, meta, refs, is_preview=True)
@@ -243,8 +274,11 @@ def decode(data: bytes) -> DecodeResult:
         pmax = (1 << bits_p) - 1
         preview = np.clip(np.round(pcolor * pmax), 0, pmax).astype(pdtype)
     while True:
-        frame = decode_frame(r, meta, refs)
+        frame = decode_frame(r, meta, refs, dc_frames=dcs)
         fh = frame.header
+        if fh.frame_type == FrameType.DC_FRAME:
+            dcs[fh.dc_level] = frame.xyb
+            continue
         if fh.save_as_reference is not None and frame.xyb is not None \
                 and fh.frame_type == FrameType.REFERENCE_ONLY:
             refs[fh.save_as_reference] = frame.xyb
@@ -343,9 +377,13 @@ def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
     refs: list = [None] * 4
     if meta.m.have_preview:
         decode_frame(r, meta, refs, is_preview=True)  # skip preview
+    dcs2: list = [None] * 5
     while True:
-        frame = decode_frame(r, meta, refs)
+        frame = decode_frame(r, meta, refs, dc_frames=dcs2)
         fh = frame.header
+        if fh.frame_type == FrameType.DC_FRAME:
+            dcs2[fh.dc_level] = frame.xyb
+            continue
         if fh.frame_type == FrameType.REFERENCE_ONLY:
             if frame.xyb is not None:
                 refs[fh.save_as_reference] = frame.xyb

@@ -48,20 +48,28 @@ class DecodedFrame:
 
 def decode_frame(r: BitReader, metadata: CodecMetadata,
                  reference_frames: list | None = None,
-                 is_preview: bool = False) -> DecodedFrame:
+                 is_preview: bool = False,
+                 dc_frames: list | None = None) -> DecodedFrame:
     """Decode one frame from `r` (positioned after image headers).
 
     reference_frames: 4 slots of saved (3, H, W) XYB planes used by
-    patches (dec_frame.cc reference_frames_)."""
+    patches; dc_frames: 5 slots of saved DC-level frames
+    (dec_frame.cc reference_frames_ / passes_state dc_frames)."""
     fh = FrameHeader(nonserialized_metadata=metadata)
     fh.nonserialized_is_preview = is_preview
     bundle_read(r, fh)
-    if fh.frame_type not in (FrameType.REGULAR, FrameType.REFERENCE_ONLY):
-        raise UnsupportedError("DC/skip-progressive frames not supported yet")
-    if fh.flags & FrameFlags.USE_DC_FRAME:
-        raise UnsupportedError("dc-frames not supported yet")
+    if fh.frame_type not in (FrameType.REGULAR, FrameType.REFERENCE_ONLY,
+                             FrameType.DC_FRAME):
+        raise UnsupportedError("skip-progressive frames not supported yet")
     if reference_frames is None:
         reference_frames = [None] * 4
+    if dc_frames is None:
+        dc_frames = [None] * 5
+    external_dc = None
+    if fh.flags & FrameFlags.USE_DC_FRAME:
+        external_dc = dc_frames[fh.dc_level + 1]
+        if external_dc is None:
+            raise BitstreamError("kUseDcFrame without a saved DC frame")
     if fh.upsampling != 1 and metadata.m.num_extra_channels:
         raise UnsupportedError(
             "extra channels with frame upsampling not supported yet")
@@ -137,7 +145,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     ac_meta = {}
     for g in range(fd.num_dc_groups):
         br = get(1 + g) if not single else seq
-        if is_vardct:
+        if is_vardct and external_dc is None:
             qdc, extra_precision = mfd.decode_vardct_dc(
                 g, br, metadata.m.bit_depth.bits_per_sample,
                 shifts=sub_shifts)
@@ -168,7 +176,13 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     # ---- Dequantize DC, assemble full maps ----
     mul_dc = quantizer.mul_dc()
     cfl_fac = cmap.dc_factors()
-    if sub_shifts is None:
+    if sub_shifts is None and external_dc is not None:
+        dc_full = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks),
+                           np.float32)
+        h_dc = min(external_dc.shape[1], fd.ysize_blocks)
+        w_dc = min(external_dc.shape[2], fd.xsize_blocks)
+        dc_full[:, :h_dc, :w_dc] = external_dc[:, :h_dc, :w_dc]
+    elif sub_shifts is None:
         dc_full = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks),
                            np.float32)
         quant_dc_full = np.zeros((fd.ysize_blocks, fd.xsize_blocks),

@@ -76,7 +76,9 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         save_as_reference: int | None = None,
                         resampling: int = 1,
                         qf_adjust: np.ndarray | None = None,
-                        is_preview: bool = False) -> None:
+                        is_preview: bool = False,
+                        dc_frame_level: int | None = None,
+                        external_dc: np.ndarray | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -109,6 +111,14 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         noise_lut = np.full(8, float(noise), np.float32)
     fh.is_last = is_last
     fh.animation_frame.duration = duration
+    if dc_frame_level is not None:
+        from libjxl_tpu.frame.frame_header import FrameType
+        fh.frame_type = FrameType.DC_FRAME
+        fh.dc_level = dc_frame_level
+        fh.is_last = False
+        is_last = False
+    if external_dc is not None:
+        fh.flags |= int(FrameFlags.USE_DC_FRAME)
     if patches is not None:
         fh.flags |= int(FrameFlags.PATCHES)
     if splines is not None:
@@ -127,9 +137,16 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
             fh.passes.shift[i] = s
     # Loop filters: gaborish + 2 EPF passes, like the reference's
     # defaults for photographic content (loop_filter.h, enc_heuristics).
-    fh.loop_filter.all_default = distance > 0.0
-    fh.loop_filter.gab = True
-    fh.loop_filter.epf_iters = 2
+    # DC frames skip them: smoothing would corrupt the block means they
+    # exist to carry.
+    if dc_frame_level is not None:
+        fh.loop_filter.all_default = False
+        fh.loop_filter.gab = False
+        fh.loop_filter.epf_iters = 0
+    else:
+        fh.loop_filter.all_default = distance > 0.0
+        fh.loop_filter.gab = True
+        fh.loop_filter.epf_iters = 2
     fd = fh.to_frame_dimensions()
 
     # Pad to whole blocks by edge replication.
@@ -209,6 +226,12 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                 dc_from_llf(llf, cy * 8, cx * 8)
         big_blocks[(by0, bx0)] = cblock
 
+    if external_dc is not None:
+        # DC comes from the saved DC frame; overwrite the source DC so
+        # LLF insertion matches what the decoder will reconstruct.
+        h_dc = min(external_dc.shape[1], fd.ysize_blocks)
+        w_dc = min(external_dc.shape[2], fd.xsize_blocks)
+        dc_float[:, :h_dc, :w_dc] = external_dc[:, :h_dc, :w_dc]
     # Quantize DC with CfL (Y first, then X/B against dequantized Y).
     qdc = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks), np.int32)
     qdc[1] = np.round(dc_float[1] / mul_dc[1]).astype(np.int32)
@@ -366,8 +389,9 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     def write_dc_group(sw, g):
         rect = fd.dc_group_rect(g)
         sl = rect.slices()
-        mfe.encode_vardct_dc(sw, qdc[:, rect.y0:rect.y1, rect.x0:rect.x1],
-                             bitdepth)
+        if not (fh.flags & FrameFlags.USE_DC_FRAME):
+            mfe.encode_vardct_dc(
+                sw, qdc[:, rect.y0:rect.y1, rect.x0:rect.x1], bitdepth)
         # ModularDC stream is geometrically empty for VarDCT frames:
         # nothing is written (decoder skips it, dec_modular.cc:377).
         cr_w = (rect.xsize + 7) >> 3

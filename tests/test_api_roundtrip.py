@@ -248,3 +248,49 @@ def test_lossless_lz77_repetitive_content():
     np.testing.assert_array_equal(decode(data).pixels, img)
     # LZ77 must crush the repetition well below raw entropy coding.
     assert len(data) < img.size // 12, len(data)
+
+
+def test_dc_frame_roundtrip():
+    img = _gradient_image(200, 280)
+    d = encode(img, distance=1.0, dc_frame=True)
+    d0 = encode(img, distance=1.0)
+    res = decode(d)
+    assert res.pixels.shape == img.shape
+    err = np.abs(res.pixels.astype(int) - img.astype(int)).mean()
+    assert err < 3.0, err
+    # The stream really contains a kDCFrame.
+    from libjxl_tpu.bitstream.bit_io import BitReader
+    from libjxl_tpu.frame.decode_frame import decode_frame
+    from libjxl_tpu.frame.frame_header import FrameType
+    from libjxl_tpu.frame.headers import read_codestream_headers
+    r = BitReader(d)
+    meta = read_codestream_headers(r)
+    f1 = decode_frame(r, meta)
+    assert f1.header.frame_type == FrameType.DC_FRAME
+    assert f1.xyb.shape == (3, 25, 35)
+
+
+def test_use_dc_frame_without_dc_frame_rejected():
+    from libjxl_tpu.base.errors import JxlError
+    # A stream claiming kUseDcFrame with no preceding DC frame must
+    # fail cleanly.
+    from libjxl_tpu.api.simple import CodecMetadata
+    from libjxl_tpu.bitstream.bit_io import BitWriter
+    from libjxl_tpu.color.xyb import linear_rgb_to_xyb, srgb_to_linear
+    from libjxl_tpu.frame.encode_frame import encode_vardct_frame
+    from libjxl_tpu.frame.headers import (BitDepth,
+                                          write_codestream_headers)
+    img = _gradient_image(48, 64)
+    xyb = linear_rgb_to_xyb(
+        srgb_to_linear(img.astype(np.float32) / 255).transpose(2, 0, 1))
+    meta = CodecMetadata()
+    meta.size.set(64, 48)
+    meta.m.bit_depth = BitDepth.uint(8)
+    meta.m.xyb_encoded = True
+    w = BitWriter()
+    write_codestream_headers(meta, w)
+    encode_vardct_frame(xyb, meta, w, distance=1.0,
+                        external_dc=np.zeros((3, 6, 8), np.float32))
+    w.align_to_byte()
+    with pytest.raises(JxlError):
+        decode(w.get_bytes())
