@@ -175,8 +175,14 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     b_mul = b_qm_multiplier(fh.b_qm_scale)
 
     # ---- AC strategy selection ----
-    from libjxl_tpu.frame.acs_select import select_strategies
-    strategies = select_strategies(planes, raw_quant, quantizer)
+    if external_dc is not None:
+        # kUseDcFrame carries plain block means: large transforms would
+        # need dc_from_llf-domain values, so stick to 8x8 blocks.
+        strategies = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
+                              np.int32)
+    else:
+        from libjxl_tpu.frame.acs_select import select_strategies
+        strategies = select_strategies(planes, raw_quant, quantizer)
     # AdjustQuantField: uniform qf within a multi-block strategy (max).
     for by0, bx0 in zip(*np.nonzero(strategies > 0)):
         s = int(strategies[by0, bx0])
