@@ -49,7 +49,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            progressive: bool = False, noise=None,
            resampling: int = 1, effort: int = 7,
            dots: bool = False, preview: bool = False,
-           dc_frame: bool = False) -> bytes:
+           dc_frame: bool = False, hdr: str | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -76,6 +76,20 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     meta = CodecMetadata()
     meta.size.set(w, h)
     meta.m.bit_depth = BitDepth.uint(bits)
+    if hdr is not None:
+        # HDR signalling: BT.2100 primaries + PQ/HLG transfer and the
+        # matching intensity/tone targets (image_metadata ToneMapping).
+        from libjxl_tpu.color.color_encoding import (
+            Primaries, TransferFunction)
+        ce = ColorEncoding.srgb(is_gray=False)
+        ce.primaries = int(Primaries.BT2100)
+        ce.tf.have_gamma = False
+        ce.tf.transfer_function = int(
+            TransferFunction.PQ if hdr.lower() == "pq"
+            else TransferFunction.HLG)
+        meta.m.color_encoding = ce
+        meta.m.tone_mapping.intensity_target =             10000.0 if hdr.lower() == "pq" else 1000.0
+        meta.m.tone_mapping.all_default = False
     if has_alpha:
         meta.m.set_alpha_bits(bits)
     pw_img = None
@@ -94,8 +108,9 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     writer = BitWriter()
     if lossless:
         meta.m.xyb_encoded = False
-        meta.m.color_encoding = ColorEncoding.srgb(
-            is_gray=(nchan - (1 if has_alpha else 0)) == 1)
+        if hdr is None:
+            meta.m.color_encoding = ColorEncoding.srgb(
+                is_gray=(nchan - (1 if has_alpha else 0)) == 1)
         if image.dtype not in (np.uint8, np.uint16):
             raise ValueError("lossless encode expects integer samples")
         write_codestream_headers(meta, writer)

@@ -294,3 +294,14 @@ def test_use_dc_frame_without_dc_frame_rejected():
     w.align_to_byte()
     with pytest.raises(JxlError):
         decode(w.get_bytes())
+
+
+@pytest.mark.parametrize("mode,tf", [("pq", 16), ("hlg", 18)])
+def test_hdr_signalling(mode, tf):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, (24, 32, 3), dtype=np.uint16)
+    res = decode(encode(img, lossless=True, hdr=mode))
+    np.testing.assert_array_equal(res.pixels, img)
+    ce = res.metadata.m.color_encoding
+    assert ce.tf.transfer_function == tf
+    assert ce.primaries == 9  # BT.2100
