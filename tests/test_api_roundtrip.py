@@ -305,3 +305,12 @@ def test_hdr_signalling(mode, tf):
     ce = res.metadata.m.color_encoding
     assert ce.tf.transfer_function == tf
     assert ce.primaries == 9  # BT.2100
+
+
+def test_lossy_16bit_input():
+    img16 = (_gradient_image(48, 64).astype(np.uint16) * 257)
+    data = encode(img16, distance=1.0)
+    res = decode(data)
+    assert res.pixels.dtype == np.uint16
+    err = np.abs(res.pixels.astype(int) - img16.astype(int)).mean()
+    assert err < 2.5 * 257

@@ -81,3 +81,19 @@ def test_unknown_boxes_preserved():
     assert content.codestream == cs
     assert content.other[0].type == b"abcd"
     assert content.other[0].data == b"1234"
+
+
+def test_jxlp_out_of_order_assembly():
+    import struct
+    from libjxl_tpu.container.boxes import _write_box
+    cs = encode(_img(), lossless=True)
+    third = len(cs) // 3
+    parts = [cs[:third], cs[third:2 * third], cs[2 * third:]]
+    out = bytearray(SIGNATURE_BOX)
+    out += _write_box(b"ftyp", b"jxl \x00\x00\x00\x01jxl ")
+    order = [2, 0, 1]  # deliver out of order
+    for i in order:
+        idx = i | (0x80000000 if i == 2 else 0)
+        out += _write_box(b"jxlp", struct.pack(">I", idx) + parts[i])
+    content = unpack_container(bytes(out))
+    assert content.codestream == cs

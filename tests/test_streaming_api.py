@@ -99,3 +99,13 @@ def test_encoder_animation():
     from libjxl_tpu.api import decode_all
     out, meta = decode_all(data)
     assert len(out) == 2 and meta.m.animation.tps_numerator == 24
+
+
+def test_encoder_settings_effort_and_resampling():
+    img = _img(64, 72)
+    enc = Encoder()
+    enc.add_image_frame(img, FrameSettings(distance=1.0, resampling=2))
+    data = enc.process_output()
+    from libjxl_tpu.api import decode
+    res = decode(data)
+    assert res.pixels.shape == img.shape
