@@ -38,6 +38,22 @@ def main(argv=None) -> int:
         print(f"Reconstructed {len(out)} byte JPEG in "
               f"{time.time() - t0:.2f}s", file=sys.stderr)
         return 0
+    if "%d" in args.output or "{n}" in args.output:
+        # Animation: write every frame (djxl out_%d.png).
+        from libjxl_tpu.api import decode_all
+        t0 = time.time()
+        frames, meta = decode_all(data)
+        for i, fr in enumerate(frames):
+            path = args.output.replace("{n}", str(i))
+            if "%d" in path:
+                path = path % i
+            arr = fr.pixels
+            if arr.ndim == 3 and arr.shape[2] == 1:
+                arr = arr[:, :, 0]
+            Image.fromarray(arr).save(path)
+        print(f"Decoded {len(frames)} frames in {time.time() - t0:.2f}s",
+              file=sys.stderr)
+        return 0
     t0 = time.time()
     res = decode(data)
     dt = time.time() - t0
