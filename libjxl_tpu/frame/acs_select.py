@@ -19,9 +19,14 @@ from libjxl_tpu.vardct.dct import dct_matrix
 _MERGE_FACTOR = 0.92
 
 
+# Fixed per-block signalling overhead (nzeros token, strategy, etc.).
+_BLOCK_OVERHEAD = 2.0
+
+
 def _bits_proxy(q: np.ndarray, axis) -> np.ndarray:
     a = np.abs(q)
-    return np.log2(1.0 + a).sum(axis=axis) + 1.3 * (a > 0).sum(axis=axis)
+    return (np.log2(1.0 + a).sum(axis=axis)
+            + 1.3 * (a > 0).sum(axis=axis) + _BLOCK_OVERHEAD)
 
 
 def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
@@ -74,6 +79,7 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
             strategies[b0y:b0y + 2, b0x:b0x + 2] = -1
             strategies[b0y, b0x] = acs.DCT16X16
 
+        accept32_grid = None
         # ---- 32x32 pass over regions fully covered by accepted 16s ----
         if enable_32 and ty >= 2 and tx >= 2:
             m32 = dct_matrix(32)
@@ -95,10 +101,41 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
                 bits16_q = bits16[:qy * 2, :qx * 2].reshape(qy, 2, qx, 2) \
                     .sum(axis=(1, 3))
                 accept32 = cand & (bits32 < bits16_q * _MERGE_FACTOR)
+                accept32_grid = (accept32, bits32)
                 for t_y, t_x in zip(*np.nonzero(accept32)):
                     b0y, b0x = t_y * 4, t_x * 4
                     strategies[b0y:b0y + 4, b0x:b0x + 4] = -1
                     strategies[b0y, b0x] = acs.DCT32X32
+
+        # ---- 64x64 pass over regions fully covered by accepted 32s ----
+        if enable_32 and accept32_grid is not None and by >= 8 and bx >= 8:
+            accept32, bits32 = accept32_grid
+            qy, qx = accept32.shape
+            oy, ox = qy // 2, qx // 2
+            if oy and ox:
+                cand64 = accept32[:oy * 2, :ox * 2] \
+                    .reshape(oy, 2, ox, 2).all(axis=(1, 3))
+                if cand64.any():
+                    m64 = dct_matrix(64)
+                    inv64y = (1.0 / dm.table(acs.DCT64X64))[1]
+                    regions64 = y[:oy * 64, :ox * 64] \
+                        .reshape(oy, 64, ox, 64).transpose(0, 2, 1, 3)
+                    coef64 = np.einsum("ui,abij,wj->abuw", m64,
+                                       regions64, m64, optimize=True)
+                    rq64 = raw_quant[:oy * 8, :ox * 8] \
+                        .reshape(oy, 8, ox, 8).max(axis=(1, 3))
+                    sc64 = (rq64 / inv_gs)[..., None, None]
+                    q64 = np.round(coef64 * inv64y * sc64)
+                    q64[..., :8, :8] = 0
+                    bits64 = _bits_proxy(q64, axis=(-2, -1))
+                    bits32_o = bits32[:oy * 2, :ox * 2] \
+                        .reshape(oy, 2, ox, 2).sum(axis=(1, 3))
+                    accept64 = cand64 & (bits64
+                                         < bits32_o * _MERGE_FACTOR)
+                    for t_y, t_x in zip(*np.nonzero(accept64)):
+                        b0y, b0x = t_y * 8, t_x * 8
+                        strategies[b0y:b0y + 8, b0x:b0x + 8] = -1
+                        strategies[b0y, b0x] = acs.DCT64X64
 
     # ---- 16-wide pairs on remaining 8x8 blocks ----
     if enable_rect and bx >= 2:
