@@ -479,6 +479,9 @@ def read_codestream_headers(r: BitReader) -> CodecMetadata:
     if meta.m.color_encoding.want_icc:
         from libjxl_tpu.color.icc_codec import read_icc
         meta.icc_profile = read_icc(r)
+    # Frames begin at a byte boundary after all codestream headers
+    # (reference decode.cc:1133 JumpToByteBoundary).
+    r.align_to_byte()
     return meta
 
 
@@ -494,3 +497,6 @@ def write_codestream_headers(meta: CodecMetadata, w: BitWriter) -> None:
         if meta.icc_profile is None:
             raise ValueError("want_icc set but no ICC profile provided")
         write_icc(meta.icc_profile, w)
+    # Zero-pad so the first frame starts byte-aligned (spec requirement;
+    # reference decode.cc:1133).
+    w.align_to_byte()
