@@ -173,8 +173,12 @@ def decode_histograms(r: BitReader, num_contexts: int,
         for sz in alphabet_sizes:
             if sz > max_alphabet_size:
                 raise BitstreamError("prefix alphabet too large")
-        codes.prefix_codes = [decode_prefix_code(sz, r)
-                              for sz in alphabet_sizes]
+        # dec_ans.cc:212: a 1-symbol alphabet is a 0-bit degenerate code
+        # with NO stored table — reading one would desync the stream.
+        codes.prefix_codes = [
+            decode_prefix_code(sz, r) if sz > 1
+            else PrefixCode([0], {}, degenerate_symbol=0)
+            for sz in alphabet_sizes]
     else:
         codes.alias_tables = []
         for _ in range(num_histograms):
@@ -374,8 +378,16 @@ def _finish_histograms(histograms, num_contexts, w, use_prefix_code,
         for sz in alphabet_sizes:
             ans.write_varlen_u16(sz - 1, w)
         for h, sz in zip(clustered, alphabet_sizes):
-            codes.prefix_codes.append(
-                build_and_store_prefix_code(h[:sz].astype(np.int64), w))
+            if sz > 1:
+                codes.prefix_codes.append(
+                    build_and_store_prefix_code(h[:sz].astype(np.int64), w))
+            else:
+                # Mirror of dec_ans.cc:212: no table stored for 1-symbol
+                # alphabets.
+                pc = PrefixCode([0], {}, degenerate_symbol=0)
+                pc.depths = np.zeros(1, np.uint8)
+                pc.bits = np.zeros(1, np.uint16)
+                codes.prefix_codes.append(pc)
     else:
         codes.counts = []
         codes.reverse_maps = []

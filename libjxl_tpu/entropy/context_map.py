@@ -79,8 +79,20 @@ def encode_context_map(context_map: list[int], num_histograms: int,
         w.write(2, 0)
         return
     bits_per_entry = (num_histograms - 1).bit_length()
-    if bits_per_entry <= 3:
-        # Simple path costs num_contexts*bits; usually fine for small maps.
+
+    # Entropy-coded candidate (MTF + ANS), built on a trial writer so we
+    # can cost-compare against the raw fixed-width path
+    # (enc_context_map.cc chooses the cheaper encoding).
+    mtf_values = forward_mtf(context_map)
+    tokens = [Token(0, v) for v in mtf_values]
+    trial = BitWriter()
+    trial_codes = build_and_encode_histograms(
+        1, [tokens], trial, uint_config=HybridUintConfig(2, 0, 1))
+    write_tokens(tokens, trial_codes, trial)
+    entropy_cost = 2 + trial.bits_written  # not-simple + use-mtf bits
+
+    if bits_per_entry <= 3 and \
+            1 + 2 + bits_per_entry * len(context_map) <= entropy_cost:
         w.write_bool(True)
         w.write(2, bits_per_entry)
         for v in context_map:
@@ -88,8 +100,6 @@ def encode_context_map(context_map: list[int], num_histograms: int,
         return
     w.write_bool(False)   # not simple
     w.write_bool(True)    # use MTF
-    mtf_values = forward_mtf(context_map)
-    tokens = [Token(0, v) for v in mtf_values]
     codes = build_and_encode_histograms(
         1, [tokens], w, uint_config=HybridUintConfig(2, 0, 1))
     write_tokens(tokens, codes, w)

@@ -133,8 +133,10 @@ def transcode_jpeg(data: bytes) -> bytes:
     dc_quant = np.zeros(3, np.float32)
     for p, comp in enumerate(comp_for_plane):
         q = jd.quant_tables[comp.quant_idx].reshape(8, 8)
+        # Store in the jxl transposed coefficient layout
+        # (enc_frame.cc:837 "JPEG XL transposes the DCT, JPEG doesn't").
         qraw[p] = np.maximum(
-            1, np.round(q * s / (255.0 * den))).astype(np.int64).ravel()
+            1, np.round(q * s / (255.0 * den))).astype(np.int64).T.ravel()
         dc_quant[p] = q[0, 0] * s[0, 0] / 255.0
 
     matrices = DequantMatrices()
@@ -159,8 +161,11 @@ def transcode_jpeg(data: bytes) -> bytes:
         chh = -(-by // (1 << v))
         cc = np.zeros((chh, cw, 64), np.int32)
         cbh, cbw = comp.coeffs.shape[:2]
-        cc[:min(chh, cbh), :min(cw, cbw)] = \
-            comp.coeffs[:min(chh, cbh), :min(cw, cbw)]
+        src = comp.coeffs[:min(chh, cbh), :min(cw, cbw)]
+        # Transpose each 8x8 block into the jxl stored layout.
+        cc[:min(chh, cbh), :min(cw, cbw)] = (
+            src.reshape(src.shape[0], src.shape[1], 8, 8)
+            .transpose(0, 1, 3, 2).reshape(src.shape[0], src.shape[1], 64))
         dc_planes.append(cc[:, :, 0].copy())
         cc[:, :, 0] = 0  # DC rides the DC stream
         coeff_planes.append(cc)
@@ -381,8 +386,9 @@ def transcode_jxl_to_jpeg(data: bytes) -> bytes:
     den = enc0.qraw_den
     qtabs = []
     for c in range(3):
-        q = np.round(enc0.qraw_table[c] * den * 255.0 / s) \
-            .astype(np.int32)
+        # qraw_table is in the jxl transposed layout; s is symmetric.
+        q = np.round(enc0.qraw_table[c].reshape(8, 8).T.ravel()
+                     * den * 255.0 / s).astype(np.int32)
         q[0] = int(round(matrices.dc_quant[c] * 255.0 / s[0]))
         qtabs.append(np.maximum(1, q))
 
@@ -399,7 +405,11 @@ def transcode_jxl_to_jpeg(data: bytes) -> bytes:
             jd.quant_tables[uniq[key]] = qtabs[p]
         h, v = shifts[p]
         comp = JpegComponent(ci + 1, hmax >> h, vmax >> v, uniq[key])
-        comp.coeffs = planes[p]
+        # Transpose each 8x8 block back to the JPEG layout.
+        pl = planes[p]
+        comp.coeffs = (pl.reshape(pl.shape[0], pl.shape[1], 8, 8)
+                       .transpose(0, 1, 3, 2)
+                       .reshape(pl.shape[0], pl.shape[1], 64))
         jd.components.append(comp)
     return write_jpeg(jd)
 

@@ -443,7 +443,8 @@ def _decode_ac_subsampled(fh, fd, get, quantizer, ctx_map, orders,
             gy0, gx0 = brect.y0 >> v, brect.x0 >> h
             dq = dq.reshape(sbh, sbw, 8, 8)
             dq[:, :, 0, 0] = dcs[c][gy0:gy0 + sbh, gx0:gx0 + sbw]
-            pix = np.einsum("yu,abuv,wv->aybw", i8, dq, i8,
+            # Stored coefficients are transposed (square-DCT convention).
+            pix = np.einsum("yu,abvu,wv->aybw", i8, dq, i8,
                             optimize=True).reshape(sbh * 8, sbw * 8)
             planes[c][gy0 * 8:gy0 * 8 + sbh * 8,
                       gx0 * 8:gx0 * 8 + sbw * 8] = pix

@@ -207,7 +207,9 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     for c in range(3):
         blocks = planes[c].reshape(fd.ysize_blocks, 8, fd.xsize_blocks, 8)
         blocks = blocks.transpose(0, 2, 1, 3)  # (by, bx, 8, 8)
-        coef = np.einsum("ui,abij,wj->abuw", m8, blocks, m8,
+        # Store transposed (hfreq, vfreq): square-DCT storage convention
+        # (dct-inl.h ComputeScaledDCT, ROWS >= COLS branch).
+        coef = np.einsum("ui,abij,wj->abwu", m8, blocks, m8,
                          optimize=True)
         coeffs[c] = coef.reshape(fd.ysize_blocks, fd.xsize_blocks, 64)
         dc_float[c] = coef[:, :, 0, 0]
@@ -226,7 +228,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
             cblock[c] = cf
             grid = cf.reshape(ly * 8, lx * 8)
             llf = grid[:ly, :lx]
-            if cy > cx:
+            if cy >= cx:
                 llf = llf.T
             dc_float[c, by0:by0 + cy, bx0:bx0 + cx] = \
                 dc_from_llf(llf, cy * 8, cx * 8)

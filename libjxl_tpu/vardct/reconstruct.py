@@ -50,9 +50,11 @@ def transform_to_pixels(strategy: int, coeffs: np.ndarray) -> np.ndarray:
         return _dct4x8_to_pixels(grid, horizontal=strategy == acs.DCT4X8)
     if strategy in (acs.AFV0, acs.AFV1, acs.AFV2, acs.AFV3):
         return _afv_to_pixels(grid, strategy - acs.AFV0)
-    # Plain (rectangular) DCT: coefficient grid is stored transposed if
-    # the block is taller than wide.
-    if cy > cx:
+    # Plain DCT: the stored coefficient grid is the transpose of the
+    # natural (vfreq, hfreq) layout whenever ROWS >= COLS — including
+    # square blocks (dct-inl.h:351-371 ComputeScaledDCT skips the final
+    # transpose in the ROWS >= COLS branch).
+    if cy >= cx:
         grid = grid.T
     return idct2d(grid)
 
@@ -72,7 +74,7 @@ def transform_from_pixels(strategy: int, pixels: np.ndarray) -> np.ndarray:
     if strategy in (acs.AFV0, acs.AFV1, acs.AFV2, acs.AFV3):
         return _afv_from_pixels(pixels, strategy - acs.AFV0).ravel()
     coef = dct2d(pixels)
-    if cy > cx:
+    if cy >= cx:
         coef = coef.T
     return coef.ravel()
 
@@ -308,8 +310,9 @@ def reconstruct_group_dct8(blocks, block_w, block_h, quantizer, raw_quant,
     dq[:, 2] += fb[:, None] * dq[:, 1]
     dq[:, :, 0] = dc[:, bys, bxs].T  # (n,3)
     i8 = idct_matrix(8).astype(np.float32)
+    # Stored layout is transposed (hfreq, vfreq) per the square-DCT rule.
     blocks8 = dq.reshape(n, 3, 8, 8)
-    pix = np.einsum("yu,ncuv,wv->ncyw", i8, blocks8, i8, optimize=True)
+    pix = np.einsum("yu,ncvu,wv->ncyw", i8, blocks8, i8, optimize=True)
     out = np.zeros((3, block_h * 8, block_w * 8), np.float32)
     # scatter: all blocks are 8x8 at (by*8, bx*8)
     out_blocks = out.reshape(3, block_h, 8, block_w, 8)
@@ -366,9 +369,9 @@ def reconstruct_group(blocks: list[CoeffBlock], block_w: int, block_h: int,
             grid = dq[c].reshape(ly * 8, lx * 8)
             dcs = dc[c, blk.by:blk.by + cy, blk.bx:blk.bx + cx]
             if cx * cy > 1:
-                # LLF from DC (transposed layout when cy > cx).
+                # LLF from DC (stored transposed when cy >= cx).
                 llf = llf_from_dc(dcs, cy * 8, cx * 8)
-                if cy > cx:
+                if cy >= cx:
                     llf = llf.T
                 grid[:ly, :lx] = llf
             else:
@@ -529,10 +532,10 @@ def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
     sx = resample_scales(cx, cx * 8)
     llf = coefdc * sy[None, None, :, None] * sx[None, None, None, :]
     grid = dq.reshape(n, 3, ly * 8, lx * 8).astype(np.float64)
-    if cy > cx:
+    if cy >= cx:
         llf = llf.transpose(0, 1, 3, 2)
     grid[:, :, :ly, :lx] = llf
-    if cy > cx:
+    if cy >= cx:
         grid = grid.transpose(0, 1, 3, 2)
     ih = idct_matrix(cy * 8)
     iw = idct_matrix(cx * 8)
