@@ -63,14 +63,17 @@ def resample_scales(n: int, m: int) -> np.ndarray:
     if n == m:
         return np.ones(n)
     if n < m:
-        # embedding n-point signal into m-point block (used by LLF):
+        # Embedding an n-point signal into an m-point block (LLF from
+        # DC) uses the UPsampling scales DCTResampleScales<n, m> — the
+        # reciprocals of the sin-ratio (dct_scales.h:47-120, verified
+        # against kScales<4,32> = {1, 1.02576, 1.10894, 1.27056}).
         k = np.arange(n)
         L = m // n
         with np.errstate(invalid="ignore", divide="ignore"):
             r = np.sin(np.pi * k / (2 * n)) / (L * np.sin(np.pi * k / (2 * m)))
         r[0] = 1.0
-        return r
-    # inverse direction
+        return 1.0 / r
+    # Downsampling direction (DC from LLF, encoder side).
     return 1.0 / resample_scales(m, n)
 
 

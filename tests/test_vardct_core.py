@@ -36,17 +36,18 @@ def test_dct2d_roundtrip_rect():
 
 
 def test_resample_scales_match_reference():
-    # dct_scales.h:53-56 DCTResampleScales<16, 2>
+    # resample_scales(n, m) with n < m is the UPsampling direction used
+    # by LowestFrequenciesFromDC: DCTResampleScales<n, m>
+    # (dct_scales.h <2,16> and <4,32>).
     np.testing.assert_allclose(resample_scales(2, 16),
-                               [1.0, 0.901764195028874394], atol=1e-12)
-    # <32, 4>
+                               [1.0, 1.108937353592731823], rtol=1e-12)
     np.testing.assert_allclose(
         resample_scales(4, 32),
-        [1.0, 0.974886821136879522, 0.901764195028874394,
-         0.787054918159101335], atol=1e-12)
-    # inverse direction <2, 16>
+        [1.0, 1.025760096781116015, 1.108937353592731823,
+         1.270559368765487251], rtol=1e-7)
+    # Downsampling direction <16, 2> (encoder DCFromLowestFrequencies).
     np.testing.assert_allclose(resample_scales(16, 2)[1],
-                               1.108937353592731823, atol=1e-12)
+                               0.901764195028874394, rtol=1e-12)
 
 
 def test_llf_dc_roundtrip():
