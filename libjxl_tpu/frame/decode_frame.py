@@ -170,6 +170,22 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                                  stream_modular_ac(g, p, fd))
         gi = mfd.finalize()
         r.seek_bits(frame_end_bits)
+        from libjxl_tpu.frame.frame_header import ColorTransform
+        if fh.color_transform == ColorTransform.XYB:
+            # Lossy-modular / DC frames in XYB: channels are stored as
+            # Y, X, (B-Y) quantized by the DC quant steps
+            # (dec_modular.cc:581-631 "XYB is encoded as YX(B-Y)").
+            chans = [c.data for c in gi.channel]
+            dcq = matrices.dc_quant
+            xyb = np.empty((3, chans[0].shape[0], chans[0].shape[1]),
+                           np.float32)
+            xyb[0] = chans[1].astype(np.float32) * dcq[0]
+            xyb[1] = chans[0].astype(np.float32) * dcq[1]
+            xyb[2] = (chans[2] + chans[0]).astype(np.float32) * dcq[2]
+            extra = None
+            if metadata.m.num_extra_channels:
+                extra = [c.data for c in gi.channel[3:]]
+            return DecodedFrame(header=fh, xyb=xyb, extra_channels=extra)
         return DecodedFrame(header=fh,
                             modular_channels=[c.data for c in gi.channel])
 
@@ -335,12 +351,16 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         for g in range(fd.num_groups):
             reconstruct_one(g)
 
-    # Loop filters (gaborish/EPF) — applied when enabled.
+    # Loop filters (gaborish/EPF) — applied when enabled, on the image
+    # region only: the pipeline mirrors at image bounds, not at the
+    # padded buffer edge (low_memory_render_pipeline.cc ApplyXMirroring).
     lfp = fh.loop_filter
     if lfp.gab or lfp.epf_iters > 0:
         from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
-        out = apply_loop_filters(out, lfp, raw_quant, strategies,
-                                 quantizer, fd, sharpness=sharpness)
+        filtered = apply_loop_filters(
+            np.ascontiguousarray(out[:, :fd.ysize, :fd.xsize]), lfp,
+            raw_quant, strategies, quantizer, fd, sharpness=sharpness)
+        out[:, :fd.ysize, :fd.xsize] = filtered
 
     # Upsampling precedes patches/splines/noise
     # (dec_cache.cc stage order: EPF -> upsampling -> patches -> ...).

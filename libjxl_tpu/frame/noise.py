@@ -79,14 +79,18 @@ def _random_plane_rows(rng: Xorshift128Plus, xsize: int, ysize: int,
     always consumes a fresh batch (dec_noise.cc:48-76)."""
     out = np.empty((ysize, xsize), np.float32)
     batch = 2 * Xorshift128Plus.N  # 16 floats per Fill
-    n_full = max(0, -(-(xsize - batch) // batch)) if xsize > batch else 0
+    # Full batches while x + batch <= xsize, then ONE unconditional
+    # remainder Fill — even when the row is an exact multiple of the
+    # batch, a batch is consumed and discarded (libjxl 0.7 RandomImage;
+    # verified against system-libjxl noise fields).
+    n_full = xsize // batch
     for y in range(ysize):
         x = 0
         for _ in range(n_full):
             out[y, x:x + batch] = _bits_to_float(rng.fill())
             x += batch
+        tail = _bits_to_float(rng.fill())
         if x < xsize:
-            tail = _bits_to_float(rng.fill())
             out[y, x:] = tail[:xsize - x]
     return out
 
@@ -142,8 +146,18 @@ def _strength_lut(lut: np.ndarray, x: np.ndarray) -> np.ndarray:
 def add_noise(xyb: np.ndarray, lut: np.ndarray, cmap, fd,
               visible_frame_index: int = 1) -> np.ndarray:
     """Applies synthesized noise to (3, H, W) XYB in place
-    (stage_noise.cc AddNoiseStage)."""
-    h, w = xyb.shape[1], xyb.shape[2]
+    (stage_noise.cc AddNoiseStage).
+
+    Noise planes span the image (upsampled) area, NOT the padded
+    buffer — the pipeline rects are clipped to xsize/ysize_upsampled
+    (low_memory_render_pipeline.cc:461-468)."""
+    h = min(xyb.shape[1], fd.ysize_upsampled)
+    w = min(xyb.shape[2], fd.xsize_upsampled)
+    if (h, w) != (xyb.shape[1], xyb.shape[2]):
+        inner = add_noise(np.ascontiguousarray(xyb[:, :h, :w]), lut, cmap,
+                          fd, visible_frame_index)
+        xyb[:, :h, :w] = inner
+        return xyb
     raw = synthesize_noise_planes(h, w, fd.group_dim, visible_frame_index)
     rnd = np.stack([_convolve_laplacian(p) for p in raw])
 
