@@ -268,8 +268,10 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         return DecodedFrame(header=fh, xyb=out)
 
     # ---- AC groups ----
-    x_mul = x_qm_multiplier(fh.x_qm_scale)
-    b_mul = b_qm_multiplier(fh.b_qm_scale)
+    # Decoder-side dm multipliers are the INVERSE of the encoder's qm
+    # multipliers (dec_cache.h:161: pow(1/1.25, x_qm_scale - 2)).
+    x_mul = 1.0 / x_qm_multiplier(fh.x_qm_scale)
+    b_mul = 1.0 / b_qm_multiplier(fh.b_qm_scale)
     out = np.zeros((3, fd.ysize_padded, fd.xsize_padded), np.float32)
     histo_bits = (num_histograms - 1).bit_length() if num_histograms > 1 \
         else 0

@@ -278,10 +278,12 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         np.where(xq == 1, by_bias,
                                  np.where(xq == -1, -by_bias, gen)))
     dq_y = biased_y * flat_table[1] / sc
+    # X/B coefficients are stored scaled UP by the qm multiplier; the
+    # decoder divides it back out (enc_cache.cc:78, dec_cache.h:161).
     qx = np.round((coeffs[0] - ytox_b[..., None] * dq_y)
-                  * flat_inv[0] * (sc / x_mul)).astype(np.int32)
+                  * flat_inv[0] * (sc * x_mul)).astype(np.int32)
     qb = np.round((coeffs[2] - ytob_b[..., None] * dq_y)
-                  * flat_inv[2] * (sc / b_mul)).astype(np.int32)
+                  * flat_inv[2] * (sc * b_mul)).astype(np.int32)
     qall = np.stack([qx, qy, qb], axis=0)  # (3,BY,BX,64)
     qall[..., 0] = 0  # LLF slot not coded
 
@@ -304,9 +306,9 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         dqy = adjust_quant_bias(q[None, 1].repeat(3, 0))[1] \
             * t_s[1] / sc_s
         q[0] = np.round((cblock[0] - ytox0 * dqy) * inv_s[0]
-                        * (sc_s / x_mul))
+                        * (sc_s * x_mul))
         q[2] = np.round((cblock[2] - ytob0 * dqy) * inv_s[2]
-                        * (sc_s / b_mul))
+                        * (sc_s * b_mul))
         # Zero LLF slots (first cy x cx of the layout grid).
         grid = q.reshape(3, ly * 8, lx * 8)
         grid[:, :ly, :lx] = 0

@@ -1,0 +1,208 @@
+"""Differential conformance against the system libjxl (independent
+implementation, via ctypes — libjxl_tpu/extras/refjxl.py).
+
+Two directions:
+  * ref->ours: streams produced by the system libjxl encoder must decode
+    with this codec to (near-)identical pixels as the system decoder.
+  * ours->ref: streams produced by this encoder must decode with the
+    system libjxl to the same pixels as our own decoder (and bit-exactly
+    for lossless).
+
+This replaces self-golden testing with true ISO/IEC 18181 interop
+(reference protocol: tools/conformance/conformance.py).
+"""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.extras import refjxl
+
+pytestmark = pytest.mark.skipif(
+    not refjxl.available(), reason="system libjxl not installed")
+
+
+def _photo(h=96, w=96, seed=7, gray=False):
+    rng = np.random.default_rng(seed)
+    base = np.clip(
+        np.outer(np.sin(np.linspace(0, 9, h)), np.cos(np.linspace(0, 7, w)))
+        [..., None] * 120 + 128 + rng.normal(0, 8, (h, w, 1)), 0, 255)
+    if gray:
+        return base.astype(np.uint8)
+    img = np.repeat(base, 3, axis=2).astype(np.uint8)
+    img[:, :, 1] = np.roll(img[:, :, 1], 7, axis=1)
+    return img
+
+
+def _maxerr(a, b):
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+
+def _ref_to_ours(img, tol, **enc_kwargs):
+    from libjxl_tpu.api import simple
+    data = refjxl.encode(img, **enc_kwargs)
+    ref = refjxl.decode(data, dtype="uint8").pixels
+    ours = simple.decode(data).pixels
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    err = _maxerr(ours, ref)
+    assert err <= tol, f"maxerr {err} > {tol}"
+    return data
+
+
+def _ours_to_ref(img, tol, **enc_kwargs):
+    from libjxl_tpu.api import simple
+    data = simple.encode(img, **enc_kwargs)
+    ref = refjxl.decode(data, dtype="uint8").pixels
+    ours = simple.decode(data).pixels
+    if ref.shape[-1] != ours.shape[-1] and img.ndim == 3:
+        # ref may append alpha; compare the common channels
+        n = min(ref.shape[-1], ours.shape[-1])
+        ref, ours = ref[..., :n], ours[..., :n]
+    err = _maxerr(ours, ref)
+    assert err <= tol, f"maxerr {err} > {tol}"
+    return data
+
+
+# ---------------------------------------------------------------------------
+# ref -> ours
+
+@pytest.mark.parametrize("effort", [1, 3, 5, 7])
+def test_ref_lossless_bit_exact(effort):
+    img = _photo()
+    data = refjxl.encode(img, lossless=True, effort=effort)
+    from libjxl_tpu.api import simple
+    assert np.array_equal(simple.decode(data).pixels, img)
+
+
+@pytest.mark.parametrize("effort", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_ref_lossy_efforts(effort):
+    _ref_to_ours(_photo(), tol=1, distance=1.0, effort=effort)
+
+
+@pytest.mark.parametrize("distance", [0.3, 2.0, 4.0, 8.0, 14.0])
+def test_ref_lossy_distances(distance):
+    # Large distances switch to DC frames / heavier smoothing.
+    _ref_to_ours(_photo(), tol=1, distance=distance, effort=7)
+
+
+@pytest.mark.parametrize("hw", [(97, 63), (255, 31), (129, 257), (300, 400),
+                                (16, 16), (1, 1), (8, 1023)])
+def test_ref_lossy_odd_sizes(hw):
+    h, w = hw
+    img = np.ascontiguousarray(_photo(max(h, 16), max(w, 16))[:h, :w])
+    _ref_to_ours(img, tol=1, distance=1.0, effort=7)
+
+
+def test_ref_progressive_modes():
+    img = _photo()
+    _ref_to_ours(img, tol=1, distance=1.0, effort=7,
+                 options={refjxl.JXL_ENC_FRAME_SETTING_QPROGRESSIVE_AC: 1})
+    _ref_to_ours(img, tol=1, distance=1.0, effort=7,
+                 options={refjxl.JXL_ENC_FRAME_SETTING_PROGRESSIVE_AC: 1})
+    _ref_to_ours(img, tol=1, distance=1.0, effort=7,
+                 options={refjxl.JXL_ENC_FRAME_SETTING_PROGRESSIVE_DC: 1})
+
+
+def test_ref_noise_synthesis_bit_faithful():
+    img = _photo()
+    _ref_to_ours(img, tol=1, distance=1.0, effort=7,
+                 options={refjxl.JXL_ENC_FRAME_SETTING_NOISE: 1})
+    img2 = np.ascontiguousarray(_photo(300, 400, seed=9))
+    _ref_to_ours(img2, tol=1, distance=1.0, effort=7,
+                 options={refjxl.JXL_ENC_FRAME_SETTING_NOISE: 1})
+
+
+def test_ref_resampling():
+    _ref_to_ours(_photo(), tol=1, distance=1.0, effort=5,
+                 options={refjxl.JXL_ENC_FRAME_SETTING_RESAMPLING: 2})
+
+
+def test_ref_container():
+    _ref_to_ours(_photo(), tol=1, distance=1.0, effort=5, container=True)
+
+
+def test_ref_gray():
+    img = _photo(gray=True)
+    from libjxl_tpu.api import simple
+    data = refjxl.encode(img, distance=1.0, effort=5)
+    ref = refjxl.decode(data, dtype="uint8").pixels
+    ours = simple.decode(data).pixels
+    if ours.ndim == 3 and ours.shape[-1] != ref.shape[-1]:
+        ours = ours[..., :1]
+    assert _maxerr(ours, ref) <= 1
+
+
+def test_ref_alpha_lossy_and_lossless():
+    img = _photo()
+    alpha = np.tile(np.linspace(0, 255, img.shape[0],
+                                dtype=np.uint8)[:, None, None],
+                    (1, img.shape[1], 1))
+    aimg = np.concatenate([img, alpha], axis=2)
+    _ref_to_ours(aimg, tol=1, distance=1.0, effort=5)
+    data = refjxl.encode(aimg, lossless=True, effort=5)
+    from libjxl_tpu.api import simple
+    assert np.array_equal(simple.decode(data).pixels, aimg)
+
+
+def test_ref_uint16_lossless():
+    img16 = _photo().astype(np.uint16) * 257
+    data = refjxl.encode(img16, lossless=True, effort=5)
+    from libjxl_tpu.api import simple
+    assert np.array_equal(simple.decode(data).pixels, img16)
+
+
+# ---------------------------------------------------------------------------
+# ours -> ref
+
+@pytest.mark.parametrize("effort", [1, 3, 5, 7])
+def test_ours_lossless_accepted_by_ref(effort):
+    img = _photo()
+    data = _ours_to_ref(img, tol=0, distance=0.0, effort=effort)
+    assert np.array_equal(refjxl.decode(data, dtype="uint8").pixels, img)
+
+
+@pytest.mark.parametrize("effort", [1, 3, 5, 7])
+def test_ours_lossy_accepted_by_ref(effort):
+    _ours_to_ref(_photo(), tol=1, distance=1.0, effort=effort)
+
+
+@pytest.mark.parametrize("distance", [0.5, 2.0, 4.0])
+def test_ours_distances_accepted_by_ref(distance):
+    _ours_to_ref(_photo(), tol=1, distance=distance, effort=5)
+
+
+@pytest.mark.parametrize("hw", [(97, 63), (300, 400), (1, 1), (8, 1023)])
+def test_ours_odd_sizes_accepted_by_ref(hw):
+    h, w = hw
+    img = np.ascontiguousarray(_photo(max(h, 16), max(w, 16))[:h, :w])
+    _ours_to_ref(img, tol=1, distance=1.0, effort=5)
+
+
+def test_ours_uint16_lossless_accepted_by_ref():
+    img16 = _photo().astype(np.uint16) * 257
+    from libjxl_tpu.api import simple
+    data = simple.encode(img16, distance=0.0, effort=5)
+    assert np.array_equal(refjxl.decode(data, dtype="uint16").pixels, img16)
+
+
+def test_ours_gray_lossless_accepted_by_ref():
+    img = _photo(gray=True)
+    from libjxl_tpu.api import simple
+    data = simple.encode(img[..., 0], distance=0.0, effort=3)
+    ref = refjxl.decode(data, dtype="uint8").pixels
+    assert np.array_equal(ref[..., 0], img[..., 0])
+
+
+# ---------------------------------------------------------------------------
+# butteraugli oracle sanity (metric validation hook)
+
+def test_butteraugli_oracle_agreement():
+    """Our butteraugli vs the system libjxl's on a lossy roundtrip."""
+    from libjxl_tpu.metrics.butteraugli import butteraugli_distance as ours_ba
+    img = _photo()
+    data = refjxl.encode(img, distance=2.0, effort=5)
+    dec = refjxl.decode(data, dtype="uint8").pixels
+    ref_d = refjxl.butteraugli_distance(img, dec)
+    our_d = ours_ba(img.astype(np.float32) / 255.0,
+                    dec.astype(np.float32) / 255.0)
+    # Same implementation family; require agreement within 15%.
+    assert abs(our_d - ref_d) / max(ref_d, 1e-6) < 0.15, (our_d, ref_d)
