@@ -264,6 +264,8 @@ def _setup_prototypes(lib):
     lib.JxlButteraugliResultGetDistance.restype = ctypes.c_float
     lib.JxlButteraugliResultGetDistance.argtypes = [ctypes.c_void_p,
                                                     ctypes.c_float]
+    lib.JxlButteraugliResultGetMaxDistance.restype = ctypes.c_float
+    lib.JxlButteraugliResultGetMaxDistance.argtypes = [ctypes.c_void_p]
     lib.JxlButteraugliResultDestroy.argtypes = [ctypes.c_void_p]
 
 
@@ -565,9 +567,12 @@ def encode_jpeg(jpeg_bytes: bytes, *, effort: int = 7) -> bytes:
 # Butteraugli oracle
 
 def butteraugli_distance(ref: np.ndarray, dis: np.ndarray,
-                         *, intensity_target: float = 80.0) -> float:
+                         *, intensity_target: float = 80.0,
+                         pnorm: float | None = None) -> float:
     """Butteraugli distance per the system libjxl implementation.
 
+    Returns the max-norm distance by default; pass ``pnorm`` for the
+    ComputeDistanceP-style norm instead.
     ``ref``/``dis``: (H, W, 3) float32 sRGB in [0,1] or uint8.
     """
     if _jxl is None:
@@ -601,8 +606,10 @@ def butteraugli_distance(ref: np.ndarray, dis: np.ndarray,
         if not res:
             raise RefJxlError("JxlButteraugliCompute failed")
         try:
-            return float(_jxl.JxlButteraugliResultGetDistance(
-                res, ctypes.c_float(8.0)))
+            if pnorm is not None:
+                return float(_jxl.JxlButteraugliResultGetDistance(
+                    res, ctypes.c_float(pnorm)))
+            return float(_jxl.JxlButteraugliResultGetMaxDistance(res))
         finally:
             _jxl.JxlButteraugliResultDestroy(res)
     finally:

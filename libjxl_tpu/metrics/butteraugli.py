@@ -443,6 +443,12 @@ def butteraugli_distance(img0: np.ndarray, img1: np.ndarray, *,
 
 
 def butteraugli_pnorm(diffmap: np.ndarray, p: float = 3.0) -> float:
-    """ComputeDistanceP-style p-norm of the diffmap (used by
-    benchmark_xl's pnorm column)."""
-    return float((np.mean(diffmap.astype(np.float64) ** p)) ** (1.0 / p))
+    """ComputeDistanceP (extras/metrics.cc:42-143): the average of the
+    p-, 2p- and 4p-norms of the diffmap."""
+    d = diffmap.astype(np.float64)
+    n = d.size
+    v = 0.0
+    for i in range(3):
+        q = p * (1 << i)
+        v += (np.sum(d ** q) / n) ** (1.0 / q)
+    return float(v / 3.0)

@@ -196,13 +196,21 @@ def test_ours_gray_lossless_accepted_by_ref():
 # butteraugli oracle sanity (metric validation hook)
 
 def test_butteraugli_oracle_agreement():
-    """Our butteraugli vs the system libjxl's on a lossy roundtrip."""
-    from libjxl_tpu.metrics.butteraugli import butteraugli_distance as ours_ba
+    """Our butteraugli vs the system libjxl's on lossy roundtrips:
+    max-norm within 2%, ComputeDistanceP 3-norm within 5%."""
+    from libjxl_tpu.metrics.butteraugli import (
+        butteraugli_distance as ours_ba, butteraugli_pnorm)
     img = _photo()
-    data = refjxl.encode(img, distance=2.0, effort=5)
-    dec = refjxl.decode(data, dtype="uint8").pixels
-    ref_d = refjxl.butteraugli_distance(img, dec)
-    our_d = ours_ba(img.astype(np.float32) / 255.0,
-                    dec.astype(np.float32) / 255.0)
-    # Same implementation family; require agreement within 15%.
-    assert abs(our_d - ref_d) / max(ref_d, 1e-6) < 0.15, (our_d, ref_d)
+    for d in (0.5, 2.0, 4.0):
+        data = refjxl.encode(img, distance=d, effort=5)
+        dec = refjxl.decode(data, dtype="uint8").pixels
+        ref_max = refjxl.butteraugli_distance(img, dec)
+        our_max, dmap = ours_ba(img.astype(np.float32) / 255.0,
+                                dec.astype(np.float32) / 255.0,
+                                hf_asymmetry=1.0, return_diffmap=True)
+        assert abs(our_max - ref_max) / max(ref_max, 1e-6) < 0.02, \
+            (d, our_max, ref_max)
+        ref_p3 = refjxl.butteraugli_distance(img, dec, pnorm=3.0)
+        our_p3 = butteraugli_pnorm(dmap, 3.0)
+        assert abs(our_p3 - ref_p3) / max(ref_p3, 1e-6) < 0.05, \
+            (d, our_p3, ref_p3)
