@@ -124,8 +124,10 @@ def transcode_jpeg(data: bytes) -> bytes:
     cs = fh.chroma_subsampling
     shifts = [(cs.hshift(c), cs.vshift(c)) for c in range(3)]
 
-    s = _jxl_from_jpeg_scale()
-    den = 1.0 / (64.0 * 255.0)
+    # The RAW table carries the JPEG quant values VERBATIM (transposed
+    # into the jxl layout) with denominator 1/(8*255); decoders validate
+    # exactly this (enc_frame.cc:837-871, dec_frame.cc:440-446).
+    den = 1.0 / (8.0 * 255.0)
     # VarDCT plane order for YCbCr: (Cb, Y, Cr) (stage_ycbcr.cc rows).
     comp_for_plane = [jd.components[1], jd.components[0],
                       jd.components[2]]
@@ -133,11 +135,8 @@ def transcode_jpeg(data: bytes) -> bytes:
     dc_quant = np.zeros(3, np.float32)
     for p, comp in enumerate(comp_for_plane):
         q = jd.quant_tables[comp.quant_idx].reshape(8, 8)
-        # Store in the jxl transposed coefficient layout
-        # (enc_frame.cc:837 "JPEG XL transposes the DCT, JPEG doesn't").
-        qraw[p] = np.maximum(
-            1, np.round(q * s / (255.0 * den))).astype(np.int64).T.ravel()
-        dc_quant[p] = q[0, 0] * s[0, 0] / 255.0
+        qraw[p] = q.astype(np.int64).T.ravel()
+        dc_quant[p] = q[0, 0] / (8.0 * 255.0)
 
     matrices = DequantMatrices()
     matrices.encodings[0] = QuantEncoding(MODE_RAW, qraw_table=qraw,
@@ -321,6 +320,10 @@ def transcode_jxl_to_jpeg(data: bytes) -> bytes:
     from libjxl_tpu.base.rect import Rect
     dc_data = {}
     raw_quant = np.ones((fd.ysize_blocks, fd.xsize_blocks), np.int32)
+    tiles_x = (fd.xsize_blocks + 7) // 8
+    tiles_y = (fd.ysize_blocks + 7) // 8
+    ytox_map = np.zeros((tiles_y, tiles_x), np.int32)
+    ytob_map = np.zeros((tiles_y, tiles_x), np.int32)
     for g in range(fd.num_dc_groups):
         br = get(1 + g)
         qdc, _ep = mfd.decode_vardct_dc(
@@ -334,6 +337,10 @@ def transcode_jxl_to_jpeg(data: bytes) -> bytes:
         m = mfd.decode_ac_metadata(g, br,
                                    meta.m.bit_depth.bits_per_sample)
         raw_quant[rect.slices()] = m["raw_quant"]
+        cr = Rect(rect.x0 >> 3, rect.y0 >> 3, (rect.xsize + 7) >> 3,
+                  (rect.ysize + 7) >> 3)
+        ytox_map[cr.slices()] = m["ytox"]
+        ytob_map[cr.slices()] = m["ytob"]
 
     acg = get(1 + fd.num_dc_groups)
     matrices.decode(acg, mfd)
@@ -381,6 +388,36 @@ def transcode_jxl_to_jpeg(data: bytes) -> bytes:
             arr = qdc[c] if not is_444 else qdc[c]
             planes[c][y0:y0 + arr.shape[0], x0:x0 + arr.shape[1], 0] = arr
 
+    # Integer chroma-from-luma reconstruction for 4:4:4 JPEG streams
+    # (dec_group.cc:240-258 scaled_qtable + :381-417 fixed-point CfL).
+    if is_444 and (ytox_map.any() or ytob_map.any()):
+        P = 11  # kCFLFixedPointPrecision
+        qjxl = enc0.qraw_table  # (3, 64), jxl transposed layout
+        by_, bx_ = planes[1].shape[:2]
+        y_plane = planes[1].astype(np.int64)
+        for c in (0, 2):
+            cmap_vals = ytox_map if c == 0 else ytob_map
+            if not cmap_vals.any():
+                continue
+            # scaled_qtable in the jxl (transposed) layout to match the
+            # stored coefficient blocks.
+            ratio = ((1 << P) * qjxl[1].astype(np.int64)) // \
+                qjxl[c].astype(np.int64)
+            # RatioJPEG: C integer division truncates toward zero
+            # (kDefaultColorFactor = 84).
+            num = cmap_vals.astype(np.int64) * (1 << P)
+            scale = np.where(num >= 0, num // 84, -((-num) // 84))
+            # per-block tile lookup
+            ty = np.arange(by_) // 8
+            tx = np.arange(bx_) // 8
+            sc = scale[ty[:, None], tx[None, :]]           # (by, bx)
+            cs_ = ((ratio[None, None, :] * sc[..., None] +
+                    (1 << (P - 1))) >> P)                  # (by,bx,64)
+            cfl = ((y_plane * cs_ + (1 << (P - 1))) >> P)
+            dc_keep = planes[c][..., 0].copy()   # DC is not CfL-corrected
+            planes[c] = (planes[c].astype(np.int64) + cfl).astype(np.int32)
+            planes[c][..., 0] = dc_keep
+
     # Recover the JPEG quant tables from the RAW encoding.
     s = _jxl_from_jpeg_scale().ravel()
     den = enc0.qraw_den
@@ -414,80 +451,106 @@ def transcode_jxl_to_jpeg(data: bytes) -> bytes:
     return write_jpeg(jd)
 
 
-def _make_jbrd(jd) -> bytes | None:
-    """Reconstruction payload: header blob + trailer (single-scan
-    baseline only; None when byte-exact reemission isn't possible)."""
-    from libjxl_tpu.extras.jpeg_parser import find_entropy_end
+def _make_jbrd(data: bytes) -> bytes | None:
+    """Spec jbrd payload (Bundle-serialized JPEGData + Brotli blobs,
+    lib/jxl/jpeg/enc_jpeg_data.cc) for the original JPEG bytes; None
+    when the JPEG uses features outside the reconstructible profile."""
+    from libjxl_tpu.extras import jbrd as _jbrd
 
-    if jd.progressive or jd.num_scans != 1 or jd.header_blob is None:
+    try:
+        jd = _jbrd.parse_jpeg_full(data)
+        return _jbrd.encode_jbrd(jd)
+    except _jbrd.JbrdError:
         return None
-    header = jd.header_blob
-    trailer = jd.trailer_blob if jd.trailer_blob is not None else \
-        b"\\xff\\xd9"
-    out = bytearray(b"JBR1")
-    out += len(header).to_bytes(4, "big") + header
-    out += len(trailer).to_bytes(4, "big") + trailer
-    return bytes(out)
 
 
 def transcode_jpeg_container(data: bytes) -> bytes:
-    """JPEG -> JXL container; when the input is a single-scan baseline
-    JPEG, a reconstruction (`jbrd`) box is attached so the EXACT
-    original bytes can be regenerated."""
+    """JPEG -> JXL container with a spec `jbrd` reconstruction box so
+    the EXACT original bytes can be regenerated (by this decoder or any
+    conformant one, e.g. libjxl djxl)."""
     from libjxl_tpu.container.boxes import pack_container
-    from libjxl_tpu.extras.jpeg_parser import find_entropy_end, parse_jpeg
 
     codestream = transcode_jpeg(data)
-    jd = parse_jpeg(data)
-    jbrd = None
-    if not jd.progressive and jd.num_scans == 1 \
-            and jd.header_blob is not None:
-        start = len(jd.header_blob)
-        end = find_entropy_end(data, start)
-        jd.trailer_blob = data[end:]
-        jbrd = _make_jbrd(jd)
-    return pack_container(codestream, jpeg_reconstruction=jbrd)
+    return pack_container(codestream, jpeg_reconstruction=_make_jbrd(data))
 
 
 def reconstruct_jpeg(container: bytes) -> bytes:
-    """JXL container with a jbrd box -> byte-exact original JPEG."""
+    """JXL container with a spec `jbrd` box -> byte-exact original
+    JPEG (dec_jpeg_data.cc + dec_jpeg_data_writer.cc semantics)."""
     from libjxl_tpu.container.boxes import unpack_container
-    from libjxl_tpu.extras.jpeg_parser import parse_jpeg_header
-    from libjxl_tpu.extras.jpeg_writer import write_entropy_baseline
+    from libjxl_tpu.extras import jbrd as _jbrd
 
     content = unpack_container(container)
     if content.jpeg_reconstruction is None:
         # No reconstruction data: fall back to standard-table output.
         return transcode_jxl_to_jpeg(content.codestream)
-    payload = content.jpeg_reconstruction
-    if payload[:4] != b"JBR1":
-        raise JpegError("unknown jbrd payload version")
-    hlen = int.from_bytes(payload[4:8], "big")
-    header = payload[8:8 + hlen]
-    tpos = 8 + hlen
-    tlen = int.from_bytes(payload[tpos:tpos + 4], "big")
-    trailer = payload[tpos + 4:tpos + 4 + tlen]
+    exif = content.exif[4:] if content.exif else None  # strip tiff offset
+    xmp = content.xml[0] if content.xml else None
+    jd = _jbrd.decode_jbrd(content.jpeg_reconstruction,
+                           icc_profile=None, exif=exif, xmp=xmp)
 
-    # Original structure from the header blob; coefficients from the
-    # codestream.
-    jd = parse_jpeg_header(header)
-    tmp = parse_jpeg_header(header)  # fresh copy for coeff attach
-    planes = _extract_planes(content.codestream)
-    order = [1, 0, 2]  # JPEG comp order Y,Cb,Cr <- planes (Cb,Y,Cr)
-    hmax = max(c.h_samp for c in jd.components)
-    vmax = max(c.v_samp for c in jd.components)
-    mcux = -(-jd.width // (8 * hmax))
-    mcuy = -(-jd.height // (8 * vmax))
-    for i, comp in enumerate(jd.components):
-        p = order[i] if len(jd.components) == 3 else 1
+    # Coefficients + quant values come from the VarDCT codestream.
+    planes = _extract_planes(content.codestream)   # (Cb, Y, Cr), JPEG layout
+    qtabs = _extract_qtabs(content.codestream)     # natural order, per plane
+    meta_w, meta_h = _codestream_size(content.codestream)
+    shifts = _codestream_shifts(content.codestream)
+    jd.width, jd.height = meta_w, meta_h
+    max_h = max(h for h, _ in shifts)
+    max_v = max(v for _, v in shifts)
+    ncomp = len(jd.components)
+    plane_for_comp = [1] if ncomp == 1 else [1, 0, 2]
+    for ci, comp in enumerate(jd.components):
+        p = plane_for_comp[ci]
+        h, v = shifts[p]
+        comp.h_samp = (1 << max_h) >> h
+        comp.v_samp = (1 << max_v) >> v
+    hmax, vmax = jd.max_samp()
+    mcus_x = -(-jd.width // (8 * hmax))
+    mcus_y = -(-jd.height // (8 * vmax))
+    for ci, comp in enumerate(jd.components):
+        p = plane_for_comp[ci]
+        comp.width_in_blocks = mcus_x * comp.h_samp
+        comp.height_in_blocks = mcus_y * comp.v_samp
         plane = planes[p]
-        bh, bw = mcuy * comp.v_samp, mcux * comp.h_samp
-        cc = np.zeros((bh, bw, 64), np.int32)
-        cc[:min(bh, plane.shape[0]), :min(bw, plane.shape[1])] = \
-            plane[:min(bh, plane.shape[0]), :min(bw, plane.shape[1])]
-        comp.coeffs = cc
-    entropy = write_entropy_baseline(jd, jd.dc_specs, jd.ac_specs)
-    return header + entropy + trailer
+        cc = np.zeros((comp.height_in_blocks, comp.width_in_blocks, 64),
+                      np.int32)
+        bh = min(cc.shape[0], plane.shape[0])
+        bw = min(cc.shape[1], plane.shape[1])
+        cc[:bh, :bw] = plane[:bh, :bw]
+        comp.coeffs = cc.reshape(-1, 64)
+        jd.quant[comp.quant_idx].values = qtabs[p]
+    return _jbrd.write_jpeg_full(jd)
+
+
+def _codestream_size(codestream: bytes):
+    from libjxl_tpu.bitstream.bit_io import BitReader
+    from libjxl_tpu.frame.headers import read_codestream_headers
+    meta = read_codestream_headers(BitReader(codestream))
+    return meta.xsize, meta.ysize
+
+
+def _codestream_shifts(codestream: bytes):
+    from libjxl_tpu.bitstream.bit_io import BitReader
+    from libjxl_tpu.bitstream.fields import bundle_read
+    from libjxl_tpu.frame.frame_header import FrameHeader
+    from libjxl_tpu.frame.headers import read_codestream_headers
+    r = BitReader(codestream)
+    meta = read_codestream_headers(r)
+    fh = FrameHeader(nonserialized_metadata=meta)
+    bundle_read(r, fh)
+    cs = fh.chroma_subsampling
+    return [(cs.hshift(c), cs.vshift(c)) for c in range(3)]
+
+
+def _extract_qtabs(codestream: bytes) -> list:
+    """Natural-order JPEG quant tables per plane (Cb, Y, Cr)."""
+    jpeg = transcode_jxl_to_jpeg(codestream)
+    from libjxl_tpu.extras.jpeg_parser import parse_jpeg
+    jd = parse_jpeg(jpeg)
+    return [np.asarray(jd.quant_tables[c.quant_idx], np.int32)
+            for c in ([jd.components[1], jd.components[0],
+                       jd.components[2]] if len(jd.components) == 3
+                      else [jd.components[0]] * 3)]
 
 
 def _extract_planes(codestream: bytes) -> list:

@@ -399,7 +399,13 @@ def _decode_quant_encoding(r: BitReader, idx: int, mfd=None) -> QuantEncoding:
         img = ModularImage(lx * 8, ly * 8, 8, 3)
         gt = getattr(mfd, "global_tree", None) if mfd else None
         gc = getattr(mfd, "global_codes", None) if mfd else None
-        modular_decode(r, img, 0, global_tree=gt, global_codes=gc,
+        # Stream id feeds the MA-tree group property
+        # (dec_modular.h:59-61 ModularStreamId::QuantTable).
+        stream = 0
+        if mfd is not None:
+            from libjxl_tpu.frame.modular_frame import stream_quant_table
+            stream = stream_quant_table(idx, mfd.frame_dim)
+        modular_decode(r, img, stream, global_tree=gt, global_codes=gc,
                        undo_transforms=True)
         table = np.stack([ch.data.ravel() for ch in img.channel])
         if (table <= 0).any():

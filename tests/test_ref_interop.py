@@ -214,3 +214,48 @@ def test_butteraugli_oracle_agreement():
         our_p3 = butteraugli_pnorm(dmap, 3.0)
         assert abs(our_p3 - ref_p3) / max(ref_p3, 1e-6) < 0.05, \
             (d, our_p3, ref_p3)
+
+
+# ---------------------------------------------------------------------------
+# JPEG reconstruction (spec jbrd) interop
+
+def _jpegs():
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    img = np.clip(np.outer(np.sin(np.linspace(0, 9, 152)),
+                           np.cos(np.linspace(0, 7, 120))) * 120 + 128
+                  + rng.normal(0, 8, (152, 120)), 0, 255).astype(np.uint8)
+    img3 = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], -1)
+
+    def jp(arr, **kw):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", **kw)
+        return buf.getvalue()
+
+    return {
+        "444": jp(img3, quality=85, subsampling=0),
+        "420": jp(img3, quality=85, subsampling=2),
+        "gray": jp(img, quality=70),
+        "progressive": jp(img3, quality=85, progressive=True),
+    }
+
+
+@pytest.mark.parametrize("kind", ["444", "420", "gray", "progressive"])
+def test_jpeg_reconstruction_ours_to_ref(kind):
+    """System libjxl reconstructs the EXACT original JPEG from our
+    container (spec jbrd payload)."""
+    from libjxl_tpu.extras.jpeg_transcode import transcode_jpeg_container
+    data = _jpegs()[kind]
+    jxl = transcode_jpeg_container(data)
+    assert refjxl.decode_to_jpeg(jxl) == data
+
+
+@pytest.mark.parametrize("kind", ["444", "420", "gray", "progressive"])
+def test_jpeg_reconstruction_ref_to_ours(kind):
+    """We reconstruct the EXACT original JPEG from a system-libjxl
+    transcode (incl. its integer CfL path for 4:4:4)."""
+    from libjxl_tpu.extras.jpeg_transcode import reconstruct_jpeg
+    data = _jpegs()[kind]
+    jxl = refjxl.encode_jpeg(data)
+    assert reconstruct_jpeg(jxl) == data
