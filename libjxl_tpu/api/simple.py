@@ -271,7 +271,7 @@ def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
     return arr
 
 
-def decode(data: bytes) -> DecodeResult:
+def decode(data: bytes, device: bool = False) -> DecodeResult:
     if is_container(data):
         data = unpack_container(data).codestream
     r = BitReader(data)
@@ -289,7 +289,7 @@ def decode(data: bytes) -> DecodeResult:
         pmax = (1 << bits_p) - 1
         preview = np.clip(np.round(pcolor * pmax), 0, pmax).astype(pdtype)
     while True:
-        frame = decode_frame(r, meta, refs, dc_frames=dcs)
+        frame = decode_frame(r, meta, refs, dc_frames=dcs, device=device)
         fh = frame.header
         if fh.frame_type == FrameType.DC_FRAME:
             dcs[fh.dc_level] = frame.xyb

@@ -49,7 +49,8 @@ class DecodedFrame:
 def decode_frame(r: BitReader, metadata: CodecMetadata,
                  reference_frames: list | None = None,
                  is_preview: bool = False,
-                 dc_frames: list | None = None) -> DecodedFrame:
+                 dc_frames: list | None = None,
+                 device: bool = False) -> DecodedFrame:
     """Decode one frame from `r` (positioned after image headers).
 
     reference_frames: 4 slots of saved (3, H, W) XYB planes used by
@@ -335,29 +336,52 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         out[:, brect.y0 * 8:brect.y0 * 8 + brect.ysize * 8,
             brect.x0 * 8:brect.x0 * 8 + brect.xsize * 8] = pix
 
-    # AC group sections are independent (own TOC entries + ANS states):
-    # run them on a thread pool like the reference's ThreadPool::Run
-    # (base/data_parallel.h); the native decoder releases the GIL.
-    parallel = (not single) and fd.num_groups > 1
-    if parallel:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor() as pool:
-            for p in range(num_passes):
-                list(pool.map(lambda g, p=p: process_ac_group(p, g),
-                              range(fd.num_groups)))
-            list(pool.map(reconstruct_one, range(fd.num_groups)))
-    else:
+    # Device path: host entropy decode of all sections, then the jitted
+    # TPU pipeline handles dequant/CfL/IDCT/filters/color (SURVEY §7).
+    if device:
         for p in range(num_passes):
             for g in range(fd.num_groups):
                 process_ac_group(p, g)
-        for g in range(fd.num_groups):
-            reconstruct_one(g)
+        from libjxl_tpu.tpu.feed import build_feed
+        from libjxl_tpu.tpu.pipeline import decode_frame_device
+        from libjxl_tpu.vardct.reconstruct import DEFAULT_QUANT_BIAS
+        feed = build_feed(group_blocks, fd, strategies, raw_quant,
+                          dc_full, quantizer, cmap, ytox_map, ytob_map,
+                          x_mul, b_mul, DEFAULT_QUANT_BIAS)
+        xyb_dev = decode_frame_device(feed, fh.loop_filter, quantizer,
+                                      raw_quant, sharpness,
+                                      fd.ysize, fd.xsize, return_xyb=True)
+        out = np.zeros((3, fd.ysize_padded, fd.xsize_padded), np.float32)
+        out[:, :fd.ysize, :fd.xsize] = xyb_dev
+        # Filters already ran on device; skip the host filter stage.
+        lfp_device_done = True
+    else:
+        lfp_device_done = False
+
+    # AC group sections are independent (own TOC entries + ANS states):
+    # run them on a thread pool like the reference's ThreadPool::Run
+    # (base/data_parallel.h); the native decoder releases the GIL.
+    if not device:
+        parallel = (not single) and fd.num_groups > 1
+        if parallel:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor() as pool:
+                for p in range(num_passes):
+                    list(pool.map(lambda g, p=p: process_ac_group(p, g),
+                                  range(fd.num_groups)))
+                list(pool.map(reconstruct_one, range(fd.num_groups)))
+        else:
+            for p in range(num_passes):
+                for g in range(fd.num_groups):
+                    process_ac_group(p, g)
+            for g in range(fd.num_groups):
+                reconstruct_one(g)
 
     # Loop filters (gaborish/EPF) — applied when enabled, on the image
     # region only: the pipeline mirrors at image bounds, not at the
     # padded buffer edge (low_memory_render_pipeline.cc ApplyXMirroring).
     lfp = fh.loop_filter
-    if lfp.gab or lfp.epf_iters > 0:
+    if (lfp.gab or lfp.epf_iters > 0) and not lfp_device_done:
         from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
         filtered = apply_loop_filters(
             np.ascontiguousarray(out[:, :fd.ysize, :fd.xsize]), lfp,

@@ -69,6 +69,7 @@ def decode_groups_dct8(coeffs: jnp.ndarray, dc: jnp.ndarray,
     i8 = jnp.asarray(idct_matrix(8), jnp.float32)
     blocks = dq.reshape(g, 3, by, bx, 8, 8)
     pix = jnp.einsum("yu,gcbxuv,wv->gcbxyw", i8, blocks, i8,
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     # (G,3,BY,BX,8,8) -> (G,3,BY*8,BX*8)
     pix = pix.transpose(0, 1, 2, 4, 3, 5).reshape(g, 3, by * 8, bx * 8)
@@ -91,6 +92,7 @@ def xyb_to_srgb8(xyb: jnp.ndarray) -> jnp.ndarray:
     mixed = jnp.stack([gl ** 3 - bias[0], gm ** 3 - bias[1],
                        gs ** 3 - bias[2]], axis=-3)
     linear = jnp.einsum("ij,...jhw->...ihw", inv_m, mixed,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
     linear = jnp.clip(linear, 0.0, 1.0)
     srgb = jnp.where(linear <= 0.0031308, linear * 12.92,
