@@ -44,6 +44,7 @@ class DecodedFrame:
     modular_channels: list | None = None
     extra_channels: list | None = None
     bits_consumed: int = 0
+    feed: dict | None = None   # device-feed mode (device="feed")
 
 
 def decode_frame(r: BitReader, metadata: CodecMetadata,
@@ -348,6 +349,20 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         feed = build_feed(group_blocks, fd, strategies, raw_quant,
                           dc_full, quantizer, cmap, ytox_map, ytob_map,
                           x_mul, b_mul, DEFAULT_QUANT_BIAS)
+        if device == "feed":
+            from libjxl_tpu.pipeline.loop_filters import compute_sigma_map
+            lfp0 = fh.loop_filter
+            if lfp0.gab or lfp0.epf_iters > 0:
+                inv_sigma = compute_sigma_map(
+                    lfp0, raw_quant, sharpness,
+                    quantizer.global_scale_float).astype(np.float32)
+            else:
+                inv_sigma = np.zeros_like(raw_quant, dtype=np.float32)
+            feed["inv_sigma"] = inv_sigma
+            feed["lf"] = lfp0
+            feed["image_hw"] = (fd.ysize, fd.xsize)
+            r.seek_bits(frame_end_bits)
+            return DecodedFrame(header=fh, feed=feed)
         xyb_dev = decode_frame_device(feed, fh.loop_filter, quantizer,
                                       raw_quant, sharpness,
                                       fd.ysize, fd.xsize, return_xyb=True)
