@@ -73,7 +73,8 @@ def _pow2_pad(n: int) -> int:
 def build_feed(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
                cmap, ytox_map, ytob_map, x_mul, b_mul,
                biases) -> dict:
-    """Assemble the device feed for one frame."""
+    """Assemble the device feed for one frame (vectorized per strategy
+    class — the per-block Python loop only collects anchors)."""
     BH, BW = fd.ysize_blocks, fd.xsize_blocks
     H, W = BH * 8, BW * 8
     coeff_img = np.zeros((3, H, W), np.int32)
@@ -95,63 +96,101 @@ def build_feed(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
           ).astype(np.float32)
 
     mat_ids = np.zeros((BH, BW), np.int32)
-    big_lists: dict = {}
 
-    # Place per-group blocks into the frame tensors.
+    # One pass: bucket blocks by strategy class.
+    fam_by_slot: dict = {}
+    big_by_key: dict = {}
     for g in range(fd.num_groups):
         brect = fd.block_group_rect(g)
         blocks = group_blocks[g]
         if blocks is None:
             continue
+        gy0, gx0 = brect.y0, brect.x0
         for blk in blocks:
             s = int(blk.strategy)
-            aby, abx = brect.y0 + blk.by, brect.x0 + blk.bx
-            cx, cy = acs.covered_blocks(s)
-            ly, lx = acs.coefficient_layout(cy, cx)
-            size = cy * cx * 64
-            y0, x0 = aby * 8, abx * 8
-            # The block's LINEAR coefficient buffer (stored layout
-            # row-major) maps row-major onto the COVERED pixel rect —
-            # for tall blocks the stored grid is wide, so the linear
-            # view is the only shape that fits both.
-            cov = (slice(y0, y0 + cy * 8), slice(x0, x0 + cx * 8))
-            coeff_img[:, cov[0], cov[1]] = \
-                blk.coeffs.reshape(3, cy * 8, cx * 8)
-            table = quantizer.dequant.table(s).reshape(3, size)
-            wgt = (table * scale_blk[aby, abx] * qmul[:, None]
-                   ).astype(np.float32)
-            dcs = dc_full[:, aby:aby + cy, abx:abx + cx]
-            if cx * cy > 1:
-                llf_lin = np.zeros((3, ly * 8, lx * 8), np.float32)
-                for c in range(3):
-                    # LLF from DC, stored transposed when cy >= cx.
-                    llf = llf_from_dc(dcs[c].astype(np.float64),
-                                      cy * 8, cx * 8)
-                    if cy >= cx:
-                        llf = llf.T
-                    llf_lin[c, :ly, :lx] = llf
-                llf_mask = np.zeros((ly * 8, lx * 8), bool)
-                llf_mask[:ly, :lx] = True
-                wgt = wgt.copy()
-                wgt[:, llf_mask.ravel()] = 0.0
-                llf_img[:, cov[0], cov[1]] = \
-                    llf_lin.reshape(3, size).reshape(3, cy * 8, cx * 8)
-                # One CfL factor per block: the anchor tile's
-                # (dec_group.cc x_cc_mul is per-block, from the anchor).
-                fx[aby:aby + cy, abx:abx + cx] = fx[aby, abx]
-                fb[aby:aby + cy, abx:abx + cx] = fb[aby, abx]
-                big_lists.setdefault((cy, cx), []).append((aby, abx))
+            slot = _FAMILY8_SLOT.get(s)
+            if slot is not None:
+                fam_by_slot.setdefault(slot, ([], []))
+                lst = fam_by_slot[slot]
+                lst[0].append((gy0 + blk.by, gx0 + blk.bx))
+                lst[1].append(blk.coeffs)
             else:
-                llf_img[:, y0, x0] = dcs[:, 0, 0]
-                wgt = wgt.copy()
-                wgt[:, 0] = 0.0
-                mat_ids[aby, abx] = _FAMILY8_SLOT[s]
-            weight_img[:, cov[0], cov[1]] = \
-                wgt.reshape(3, cy * 8, cx * 8)
+                big_by_key.setdefault(s, ([], []))
+                lst = big_by_key[s]
+                lst[0].append((gy0 + blk.by, gx0 + blk.bx))
+                lst[1].append(blk.coeffs)
+
+    cv = coeff_img.reshape(3, BH, 8, BW, 8)
+    wv = weight_img.reshape(3, BH, 8, BW, 8)
+    lv = llf_img.reshape(3, BH, 8, BW, 8)
+
+    # --- 8x8 family, vectorized per slot ---
+    for slot, (anchors, coeffs) in fam_by_slot.items():
+        ab = np.asarray(anchors, np.int64)
+        bys, bxs = ab[:, 0], ab[:, 1]
+        cf = np.stack(coeffs)                      # (n, 3, 64)
+        table = quantizer.dequant.table(FAMILY8[slot]).reshape(3, 64)
+        wgt = (table[None] * scale_blk[bys, bxs][:, None, None]
+               * qmul[None, :, None]).astype(np.float32)
+        wgt[:, :, 0] = 0.0
+        # scatter (n,3,8,8) into the cell view
+        cv[:, bys, :, bxs, :] = cf.reshape(-1, 3, 8, 8)
+        wv[:, bys, :, bxs, :] = wgt.reshape(-1, 3, 8, 8)
+        llf = np.zeros((len(bys), 3, 8, 8), np.float32)
+        llf[:, :, 0, 0] = dc_full[:, bys, bxs].T
+        lv[:, bys, :, bxs, :] = llf
+        mat_ids[bys, bxs] = slot
+
+    # --- big/rect classes ---
+    big = {}
+    for s, (anchors, coeffs) in sorted(big_by_key.items()):
+        cx, cy = acs.covered_blocks(s)
+        ly, lx = acs.coefficient_layout(cy, cx)
+        size = cy * cx * 64
+        ab = np.asarray(anchors, np.int64)
+        bys, bxs = ab[:, 0], ab[:, 1]
+        n = len(bys)
+        cf = np.stack(coeffs).reshape(n, 3, size)
+        table = quantizer.dequant.table(s).reshape(3, size)
+        wgt = (table[None] * scale_blk[bys, bxs][:, None, None]
+               * qmul[None, :, None]).astype(np.float32)
+        # zero the LLF slots (first ly x lx of the stored grid)
+        llf_mask = np.zeros((ly * 8, lx * 8), bool)
+        llf_mask[:ly, :lx] = True
+        wgt[:, :, llf_mask.ravel()] = 0.0
+        # batched LLF from DC (llf_from_dc, vectorized)
+        dcs = np.stack([dc_full[:, by:by + cy, bx:bx + cx]
+                        for by, bx in zip(bys, bxs)])   # (n,3,cy,cx)
+        from libjxl_tpu.vardct.dct import dct_matrix, resample_scales
+        mcy = dct_matrix(cy) if cy > 1 else np.ones((1, 1))
+        mcx = dct_matrix(cx) if cx > 1 else np.ones((1, 1))
+        coefdc = np.einsum("ui,ncij,vj->ncuv", mcy,
+                           dcs.astype(np.float64), mcx, optimize=True)
+        sy = resample_scales(cy, cy * 8)
+        sx = resample_scales(cx, cx * 8)
+        llf = coefdc * sy[None, None, :, None] * sx[None, None, None, :]
+        if cy >= cx:
+            llf = llf.transpose(0, 1, 3, 2)
+        llf_lin = np.zeros((n, 3, ly * 8, lx * 8), np.float32)
+        llf_lin[:, :, :ly, :lx] = llf
+        # place linear buffers into covered rects (still per block, but
+        # big blocks are few)
+        for i in range(n):
+            by, bx = int(bys[i]), int(bxs[i])
+            covy = slice(by * 8, (by + cy) * 8)
+            covx = slice(bx * 8, (bx + cx) * 8)
+            coeff_img[:, covy, covx] = cf[i].reshape(3, cy * 8, cx * 8)
+            weight_img[:, covy, covx] = wgt[i].reshape(3, cy * 8, cx * 8)
+            llf_img[:, covy, covx] = \
+                llf_lin[i].reshape(3, size).reshape(3, cy * 8, cx * 8)
+            fx[by:by + cy, bx:bx + cx] = fx[by, bx]
+            fb[by:by + cy, bx:bx + cx] = fb[by, bx]
+        big.setdefault((cy, cx), []).extend(
+            (int(b), int(x)) for b, x in zip(bys, bxs))
 
     # Per-big-class gather/scatter index tensors (into flattened (H, W)).
-    big = {}
-    for (cy, cx), anchors in sorted(big_lists.items()):
+    big_out = {}
+    for (cy, cx), anchors in sorted(big.items()):
         ly, lx = acs.coefficient_layout(cy, cx)
         n = len(anchors)
         cap = _pow2_pad(n)
@@ -168,15 +207,10 @@ def build_feed(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
             base = aby * 8 * W + abx * 8
             in_idx[i] = base + in_shape
             out_idx[i] = base + out_shape
-        # Padding entries self-gather/scatter block 0's area but carry a
-        # mask so their scatter writes the already-correct base value.
-        for i in range(n, cap):
-            in_idx[i] = in_idx[0]
-            out_idx[i] = out_idx[0]
         mask = np.zeros(cap, np.float32)
         mask[:n] = 1.0
-        big[(cy, cx)] = (in_idx, out_idx, mask)
+        big_out[(cy, cx)] = (in_idx, out_idx, mask)
 
     return dict(coeff_img=coeff_img, weight_img=weight_img, llf_img=llf_img,
-                fx=fx, fb=fb, mat_ids=mat_ids, big=big,
+                fx=fx, fb=fb, mat_ids=mat_ids, big=big_out,
                 biases=np.asarray(biases, np.float32))

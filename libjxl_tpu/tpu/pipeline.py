@@ -76,7 +76,7 @@ def decode_xyb(coeff_img, weight_img, llf_img, fx, fb, mat_bank, mat_ids,
     if big:
         flat_dq = dq.reshape(3, H * W)
         flat_pix = pix.reshape(3, H * W)
-        for (cy, cx), (in_idx, out_idx, _mask) in sorted(big.items()):
+        for (cy, cx), (in_idx, out_idx, mask) in sorted(big.items()):
             grids = flat_dq[:, in_idx]            # (3, n, ly*8, lx*8)
             if cy >= cx:
                 # Stored grids are transposed (wide); back to natural.
@@ -86,7 +86,11 @@ def decode_xyb(coeff_img, weight_img, llf_img, fx, fb, mat_bank, mat_ids,
                              grids, jnp.asarray(iw),
                              precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
-            flat_pix = flat_pix.at[:, out_idx].set(blk)
+            # Masked scatter-ADD: capacity-padding entries contribute
+            # zero, keeping duplicate indices deterministic.
+            base = flat_pix[:, out_idx]
+            delta = (blk - base) * mask[None, :, None, None]
+            flat_pix = flat_pix.at[:, out_idx].add(delta)
         pix = flat_pix.reshape(3, H, W)
     return pix
 
