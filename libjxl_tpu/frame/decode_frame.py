@@ -343,29 +343,34 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         for p in range(num_passes):
             for g in range(fd.num_groups):
                 process_ac_group(p, g)
-        from libjxl_tpu.tpu.feed import build_feed
-        from libjxl_tpu.tpu.pipeline import decode_frame_device
+        from libjxl_tpu.pipeline.loop_filters import compute_sigma_map
         from libjxl_tpu.vardct.reconstruct import DEFAULT_QUANT_BIAS
-        feed = build_feed(group_blocks, fd, strategies, raw_quant,
-                          dc_full, quantizer, cmap, ytox_map, ytob_map,
-                          x_mul, b_mul, DEFAULT_QUANT_BIAS)
-        if device == "feed":
-            from libjxl_tpu.pipeline.loop_filters import compute_sigma_map
-            lfp0 = fh.loop_filter
-            if lfp0.gab or lfp0.epf_iters > 0:
-                inv_sigma = compute_sigma_map(
-                    lfp0, raw_quant, sharpness,
-                    quantizer.global_scale_float).astype(np.float32)
-            else:
-                inv_sigma = np.zeros_like(raw_quant, dtype=np.float32)
-            feed["inv_sigma"] = inv_sigma
-            feed["lf"] = lfp0
-            feed["image_hw"] = (fd.ysize, fd.xsize)
+        lfp0 = fh.loop_filter
+        if lfp0.gab or lfp0.epf_iters > 0:
+            inv_sigma = compute_sigma_map(
+                lfp0, raw_quant, sharpness,
+                quantizer.global_scale_float).astype(np.float32)
+        else:
+            inv_sigma = np.zeros_like(raw_quant, dtype=np.float32)
+        if device == "feed_v1":
+            from libjxl_tpu.tpu.feed import build_feed
+            feed = build_feed(group_blocks, fd, strategies, raw_quant,
+                              dc_full, quantizer, cmap, ytox_map, ytob_map,
+                              x_mul, b_mul, DEFAULT_QUANT_BIAS)
+        else:
+            from libjxl_tpu.tpu.feed import build_feed2
+            feed = build_feed2(group_blocks, fd, strategies, raw_quant,
+                               dc_full, quantizer, cmap, ytox_map,
+                               ytob_map, x_mul, b_mul, DEFAULT_QUANT_BIAS)
+        feed["inv_sigma"] = inv_sigma
+        feed["lf"] = lfp0
+        feed["image_hw"] = (fd.ysize, fd.xsize)
+        if device in ("feed", "feed_v1"):
             r.seek_bits(frame_end_bits)
             return DecodedFrame(header=fh, feed=feed)
-        xyb_dev = decode_frame_device(feed, fh.loop_filter, quantizer,
-                                      raw_quant, sharpness,
-                                      fd.ysize, fd.xsize, return_xyb=True)
+        from libjxl_tpu.tpu.pipeline import decode_frame_device2
+        xyb_dev = decode_frame_device2(feed, fd.ysize, fd.xsize,
+                                       return_xyb=True)
         out = np.zeros((3, fd.ysize_padded, fd.xsize_padded), np.float32)
         out[:, :fd.ysize, :fd.xsize] = xyb_dev
         # Filters already ran on device; skip the host filter stage.

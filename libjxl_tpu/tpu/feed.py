@@ -214,3 +214,106 @@ def build_feed(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
     return dict(coeff_img=coeff_img, weight_img=weight_img, llf_img=llf_img,
                 fx=fx, fb=fb, mat_ids=mat_ids, big=big_out,
                 biases=np.asarray(biases, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Slim feed (v2): small control planes; weights/LLF computed on device.
+
+def build_feed2(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
+                cmap, ytox_map, ytob_map, x_mul, b_mul, biases) -> dict:
+    """Slim device feed: the coefficient image plus per-block control
+    maps; dequant weights and LLF values are reconstructed ON DEVICE
+    (tpu/pipeline.py decode_xyb2) so the host->device transfer carries
+    ~6 bytes/pixel instead of ~40."""
+    BH, BW = fd.ysize_blocks, fd.xsize_blocks
+    H, W = BH * 8, BW * 8
+    coeff_img = np.zeros((3, H, W), np.int32)
+
+    ty = np.arange(BH) // 8
+    tx = np.arange(BW) // 8
+    fx = (cmap.base_correlation_x
+          + ytox_map[ty[:, None], tx[None, :]] * cmap.color_scale
+          ).astype(np.float32)
+    fb = (cmap.base_correlation_b
+          + ytob_map[ty[:, None], tx[None, :]] * cmap.color_scale
+          ).astype(np.float32)
+    mat_ids = np.zeros((BH, BW), np.int8)
+
+    fam_by_slot: dict = {}
+    big_by_key: dict = {}
+    for g in range(fd.num_groups):
+        brect = fd.block_group_rect(g)
+        blocks = group_blocks[g]
+        if blocks is None:
+            continue
+        gy0, gx0 = brect.y0, brect.x0
+        for blk in blocks:
+            s = int(blk.strategy)
+            slot = _FAMILY8_SLOT.get(s)
+            tgt = fam_by_slot if slot is not None else big_by_key
+            key = slot if slot is not None else s
+            tgt.setdefault(key, ([], []))
+            tgt[key][0].append((gy0 + blk.by, gx0 + blk.bx))
+            tgt[key][1].append(blk.coeffs)
+
+    cv = coeff_img.reshape(3, BH, 8, BW, 8)
+    for slot, (anchors, coeffs) in fam_by_slot.items():
+        ab = np.asarray(anchors, np.int64)
+        bys, bxs = ab[:, 0], ab[:, 1]
+        cf = np.stack(coeffs)
+        cv[:, bys, :, bxs, :] = cf.reshape(-1, 3, 8, 8)
+        mat_ids[bys, bxs] = slot
+
+    classes = {}
+    for s, (anchors, coeffs) in sorted(big_by_key.items()):
+        cx, cy = acs.covered_blocks(s)
+        ab = np.asarray(anchors, np.int64)
+        bys, bxs = ab[:, 0], ab[:, 1]
+        n = len(bys)
+        cf = np.stack(coeffs)
+        for i in range(n):
+            by, bx = int(bys[i]), int(bxs[i])
+            coeff_img[:, by * 8:(by + cy) * 8, bx * 8:(bx + cx) * 8] = \
+                cf[i].reshape(3, cy * 8, cx * 8)
+            fx[by:by + cy, bx:bx + cx] = fx[by, bx]
+            fb[by:by + cy, bx:bx + cx] = fb[by, bx]
+        cap = _pow2_pad(n)
+        anchor_idx = np.zeros(cap, np.int32)
+        anchor_idx[:n] = (bys * BW + bxs).astype(np.int32)
+        mask = np.zeros(cap, np.float32)
+        mask[:n] = 1.0
+        key = (cy, cx)
+        if key in classes:
+            a0, m0 = classes[key]
+            anchor_idx = np.concatenate([a0[m0 > 0], anchor_idx])
+            mask = np.concatenate([m0[m0 > 0], mask])
+        classes[key] = (anchor_idx, mask)
+
+    # Table banks in this frame's dequant matrices (small constants).
+    tables8 = np.stack([
+        quantizer.dequant.table(st).reshape(3, 64) for st in FAMILY8
+    ]).astype(np.float32)
+    big_tables = {
+        key: quantizer.dequant.table(
+            next(s for s in big_by_key
+                 if acs.covered_blocks(s) == (key[1], key[0]))
+        ).reshape(3, key[0] * key[1] * 64).astype(np.float32)
+        for key in classes
+    }
+
+    if np.abs(coeff_img).max(initial=0) < 32768:
+        coeff_img = coeff_img.astype(np.int16)
+    return dict(
+        v2=True,
+        coeff_img=coeff_img,
+        mat_ids=mat_ids,
+        raw_quant=raw_quant.astype(np.int32),
+        dc=dc_full.astype(np.float32),
+        fx=fx, fb=fb,
+        inv_gs=np.float32(quantizer.inv_global_scale),
+        qmul=np.array([x_mul, 1.0, b_mul], np.float32),
+        tables8=tables8,
+        big_tables=big_tables,
+        classes=classes,
+        biases=np.asarray(biases, np.float32),
+    )

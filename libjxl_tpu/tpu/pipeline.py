@@ -129,7 +129,8 @@ _FN_CACHE: dict = {}
 
 def decode_frame_device(feed: dict, lf, quantizer, raw_quant, sharpness,
                         image_h: int, image_w: int,
-                        return_xyb: bool = False):
+                        return_xyb: bool = False,
+                        inv_sigma=None, as_numpy: bool = True):
     """Run the device pipeline on a host-built feed; returns sRGB8
     (H, W, 3) uint8 (or float32 XYB when return_xyb)."""
     jax, jnp = _jax()
@@ -170,16 +171,189 @@ def decode_frame_device(feed: dict, lf, quantizer, raw_quant, sharpness,
                                             image_h, image_w)
     fn = _FN_CACHE[key]
 
-    if gab or epf_iters > 0:
-        inv_sigma = compute_sigma_map(lf, raw_quant, sharpness,
-                                      quantizer.global_scale_float)
-    else:
-        inv_sigma = np.zeros_like(raw_quant, dtype=np.float32)
+    if inv_sigma is None:
+        if gab or epf_iters > 0:
+            inv_sigma = compute_sigma_map(lf, raw_quant, sharpness,
+                                          quantizer.global_scale_float)
+        else:
+            inv_sigma = np.zeros_like(raw_quant, dtype=np.float32)
 
     big_flat = []
     for k in big_keys:
         big_flat.extend(feed["big"][k])
-    out = fn(feed["coeff_img"], feed["weight_img"], feed["llf_img"],
-             feed["fx"], feed["fb"], family8_matrices(), feed["mat_ids"],
-             feed["biases"], inv_sigma.astype(np.float32), *big_flat)
-    return np.asarray(out)
+    args = [feed["coeff_img"], feed["weight_img"], feed["llf_img"],
+            feed["fx"], feed["fb"], family8_matrices(), feed["mat_ids"],
+            feed["biases"], inv_sigma.astype(np.float32)] + big_flat
+    # One batched host->device transfer (per-argument commits pay a
+    # full round-trip each over remote/tunneled device links).
+    args = jax.device_put(args)
+    out = fn(*args)
+    return np.asarray(out) if as_numpy else out
+
+
+# ---------------------------------------------------------------------------
+# v2: slim-feed pipeline — dequant weights and LLF computed on device.
+
+def _class_constants(cy, cx):
+    """Static per-class constants for the device LLF/IDCT."""
+    from libjxl_tpu.vardct import ac_strategy as acs
+    from libjxl_tpu.vardct.dct import dct_matrix, resample_scales
+    ly, lx = acs.coefficient_layout(cy, cx)
+    mcy = dct_matrix(cy).astype(np.float32) if cy > 1 else np.ones((1, 1),
+                                                                   np.float32)
+    mcx = dct_matrix(cx).astype(np.float32) if cx > 1 else np.ones((1, 1),
+                                                                   np.float32)
+    sy = resample_scales(cy, cy * 8).astype(np.float32)
+    sx = resample_scales(cx, cx * 8).astype(np.float32)
+    return ly, lx, mcy, mcx, sy, sx
+
+
+def decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
+                tables8, mat_bank, big_tables, classes, biases, BW_blocks):
+    """Slim-feed core: coefficients + control maps -> (3, H, W) XYB.
+
+    ``classes``: {(cy, cx): (anchor_idx, mask)}; ``big_tables``:
+    {(cy, cx): (3, size) table}. Weights/LLF are reconstructed here so
+    the host ships ~6 bytes/pixel.
+    """
+    jax, jnp = _jax()
+    _, H, W = coeff_img.shape
+    BH, BW = H // 8, W // 8
+    hi = jax.lax.Precision.HIGHEST
+
+    b = jnp.asarray(biases, jnp.float32)
+
+    def adjust(q):
+        x = q.astype(jnp.float32)
+        nd = x.ndim
+        bias_c = b[:3].reshape((3,) + (1,) * (nd - 1))
+        general = x - b[3] / jnp.where(x == 0, 1.0, x)
+        return jnp.where(x == 0, 0.0,
+                         jnp.where(x == 1, bias_c,
+                                   jnp.where(x == -1, -bias_c, general)))
+
+    # ---- 8x8-family cells ----
+    N = BH * BW
+    cells = coeff_img.reshape(3, BH, 8, BW, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(3, N, 64)
+    ids = mat_ids.reshape(N).astype(jnp.int32)
+    biased = adjust(cells)
+    w_cells = tables8[ids].transpose(1, 0, 2)          # (3, N, 64)
+    scale = (inv_gs / raw_quant.reshape(N).astype(jnp.float32))
+    dqc = biased * w_cells * scale[None, :, None] * qmul[:, None, None]
+    fxf = fx.reshape(N)
+    fbf = fb.reshape(N)
+    dqc = jnp.stack([dqc[0] + fxf[:, None] * dqc[1],
+                     dqc[1],
+                     dqc[2] + fbf[:, None] * dqc[1]])
+    dqc = dqc.at[..., 0].set(dc.reshape(3, N))
+    pix_cells = jnp.zeros_like(dqc)
+    for slot in range(mat_bank.shape[0]):
+        mask = (ids == slot).astype(jnp.float32)[None, :, None]
+        pix_cells = pix_cells + jnp.matmul(dqc * mask, mat_bank[slot],
+                                           precision=hi)
+    pix = pix_cells.reshape(3, BH, BW, 8, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(3, H, W)
+
+    # ---- big/rect classes ----
+    if classes:
+        flat_coeff = coeff_img.reshape(3, H * W)
+        flat_pix = pix.reshape(3, H * W)
+        dc_flat = dc.reshape(3, N)
+        rq_flat = raw_quant.reshape(N).astype(jnp.float32)
+        fx_flat = fx.reshape(N)
+        fb_flat = fb.reshape(N)
+        for (cy, cx), (anchor_idx, mask) in sorted(classes.items()):
+            ly, lx, mcy, mcx, sy, sx = _class_constants(cy, cx)
+            table = big_tables[(cy, cx)]               # (3, size)
+            aby = anchor_idx // BW_blocks
+            abx = anchor_idx % BW_blocks
+            base = aby * 8 * W + abx * 8
+            cov_lin = (np.arange(cy * 8)[:, None] * W
+                       + np.arange(cx * 8)[None, :]).ravel()
+            in_grid = jnp.asarray(cov_lin.reshape(ly * 8, lx * 8))
+            out_grid = jnp.asarray(cov_lin.reshape(cy * 8, cx * 8))
+            in_idx = base[:, None, None] + in_grid[None]
+            out_idx = base[:, None, None] + out_grid[None]
+            grids = adjust(flat_coeff[:, in_idx])      # (3, cap, ly8, lx8)
+            scale_e = inv_gs / rq_flat[anchor_idx]     # (cap,)
+            tbl = table.reshape(3, 1, ly * 8, lx * 8)
+            dqg = grids * tbl * scale_e[None, :, None, None] \
+                * qmul[:, None, None, None]
+            fxe = fx_flat[anchor_idx]
+            fbe = fb_flat[anchor_idx]
+            dqg = jnp.stack([dqg[0] + fxe[:, None, None] * dqg[1],
+                             dqg[1],
+                             dqg[2] + fbe[:, None, None] * dqg[1]])
+            # LLF from the DC image (device-side LowestFrequenciesFromDC)
+            dci = (anchor_idx[:, None, None]
+                   + (np.arange(cy)[:, None] * BW_blocks
+                      + np.arange(cx)[None, :])[None])  # (cap, cy, cx)
+            dcs = dc_flat[:, dci]                       # (3, cap, cy, cx)
+            llf = jnp.einsum("ui,cnij,vj->cnuv", jnp.asarray(mcy), dcs,
+                             jnp.asarray(mcx), precision=hi,
+                             preferred_element_type=jnp.float32)
+            llf = llf * sy[None, None, :, None] * sx[None, None, None, :]
+            if cy >= cx:
+                llf = llf.transpose(0, 1, 3, 2)
+            dqg = dqg.at[:, :, :ly, :lx].set(llf)
+            if cy >= cx:
+                dqg = dqg.transpose(0, 1, 3, 2)
+            ih, iw = big_idct_matrices(cy, cx)
+            blk = jnp.einsum("yu,cnuv,wv->cnyw", jnp.asarray(ih), dqg,
+                             jnp.asarray(iw), precision=hi,
+                             preferred_element_type=jnp.float32)
+            base_pix = flat_pix[:, out_idx]
+            delta = (blk - base_pix) * mask[None, :, None, None]
+            flat_pix = flat_pix.at[:, out_idx].add(delta)
+        pix = flat_pix.reshape(3, H, W)
+    return pix
+
+
+_FN2_CACHE: dict = {}
+
+
+def decode_frame_device2(feed: dict, image_h: int, image_w: int,
+                         return_xyb: bool = False, as_numpy: bool = True):
+    """Run the slim-feed (v2) device pipeline."""
+    jax, jnp = _jax()
+    from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
+
+    lf = feed["lf"]
+    gab = bool(lf.gab)
+    epf_iters = int(lf.epf_iters)
+    class_keys = tuple(sorted(feed["classes"].keys()))
+    caps = tuple(feed["classes"][k][0].shape[0] for k in class_keys)
+    BW_blocks = feed["mat_ids"].shape[1]
+    key = (class_keys, caps, epf_iters, gab, feed["coeff_img"].shape,
+           feed["coeff_img"].dtype.str, image_h, image_w, return_xyb,
+           BW_blocks)
+    if key not in _FN2_CACHE:
+        @jax.jit
+        def run(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
+                tables8, mat_bank, biases, inv_sigma, *flat):
+            ntab = len(class_keys)
+            big_tables = {k: flat[i] for i, k in enumerate(class_keys)}
+            classes = {k: (flat[ntab + 2 * i], flat[ntab + 2 * i + 1])
+                       for i, k in enumerate(class_keys)}
+            xyb = decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb,
+                              inv_gs, qmul, tables8, mat_bank, big_tables,
+                              classes, biases, BW_blocks)
+            xyb = xyb[:, :image_h, :image_w]
+            if gab or epf_iters > 0:
+                xyb = apply_loop_filters_tpu(xyb, inv_sigma,
+                                             epf_iters=epf_iters, gab=gab)
+            return xyb if return_xyb else _srgb8(xyb)
+        _FN2_CACHE[key] = run
+    fn = _FN2_CACHE[key]
+
+    flat = [feed["big_tables"][k] for k in class_keys]
+    for k in class_keys:
+        flat.extend(feed["classes"][k])
+    args = [feed["coeff_img"], feed["mat_ids"], feed["raw_quant"],
+            feed["dc"], feed["fx"], feed["fb"], feed["inv_gs"],
+            feed["qmul"], feed["tables8"], family8_matrices(),
+            feed["biases"], feed["inv_sigma"]] + flat
+    args = jax.device_put(args)
+    out = fn(*args)
+    return np.asarray(out) if as_numpy else out
