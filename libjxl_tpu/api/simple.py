@@ -139,7 +139,24 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         srgb = image[:, :, :min(ncolor, 3)].astype(np.float32) / scale
         if ncolor == 1:
             srgb = np.repeat(srgb, 3, axis=2)
-        linear = srgb_to_linear(srgb).transpose(2, 0, 1)
+        if hdr is not None:
+            # HDR: apply the signalled transfer function; XYB input is
+            # linear light in nits/255 units (enc_xyb.cc
+            # ComputePremulAbsorb: mul = intensity_target / 255).
+            from libjxl_tpu.color.transfer_functions import (
+                hlg_display_from_encoded, hlg_ootf, hlg_ootf_gamma,
+                pq_display_from_encoded)
+            it = meta.m.tone_mapping.intensity_target
+            enc01 = srgb.transpose(2, 0, 1).astype(np.float64)
+            if hdr.lower() == "pq":
+                linear = (pq_display_from_encoded(enc01)
+                          * (10000.0 / 255.0)).astype(np.float32)
+            else:
+                scene = hlg_display_from_encoded(enc01)
+                disp = hlg_ootf(scene, hlg_ootf_gamma(it))
+                linear = (disp * (it / 255.0)).astype(np.float32)
+        else:
+            linear = srgb_to_linear(srgb).transpose(2, 0, 1)
         xyb = linear_rgb_to_xyb(linear)
         extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
         if noise == "auto":
@@ -271,7 +288,8 @@ def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
     return arr
 
 
-def decode(data: bytes, device: bool = False) -> DecodeResult:
+def decode(data: bytes, device: bool = False,
+           float_out: bool = False) -> DecodeResult:
     if is_container(data):
         data = unpack_container(data).codestream
     r = BitReader(data)
@@ -334,7 +352,36 @@ def decode(data: bytes, device: bool = False) -> DecodeResult:
                                     frame.xyb[2]), 0.0, 1.0)
     else:
         linear = xyb_to_linear_rgb(frame.xyb)
-        srgb = linear_to_srgb(linear)
+        tf_enum = meta.m.color_encoding.tf.transfer_function \
+            if not meta.m.color_encoding.tf.have_gamma else None
+        from libjxl_tpu.color.color_encoding import TransferFunction as _TF
+        if tf_enum == int(_TF.PQ):
+            # XYB linear output is in nits/255 units; PQ-encode the
+            # absolute signal (TF_PQ, transfer_functions-inl.h:135).
+            from libjxl_tpu.color.transfer_functions import (
+                pq_encoded_from_display)
+            srgb = pq_encoded_from_display(
+                linear * (255.0 / 10000.0)).astype(np.float32)
+        elif tf_enum == int(_TF.HLG):
+            from libjxl_tpu.color.transfer_functions import (
+                hlg_encoded_from_display, hlg_inverse_ootf,
+                hlg_ootf_gamma)
+            it = meta.m.tone_mapping.intensity_target
+            disp = linear * (255.0 / it)
+            scene = hlg_inverse_ootf(disp.astype(np.float64),
+                                     hlg_ootf_gamma(it))
+            srgb = hlg_encoded_from_display(scene).astype(np.float32)
+        else:
+            srgb = linear_to_srgb(linear)
+    if float_out:
+        arr = np.clip(srgb, 0.0, 1.0).astype(np.float32).transpose(1, 2, 0)
+        if frame.extra_channels:
+            alpha = (np.clip(frame.extra_channels[0], 0, maxval)
+                     .astype(np.float32) / maxval)[:, :, None]
+            arr = np.concatenate([arr, alpha], axis=-1)
+        arr = _apply_orientation(arr, meta.m.orientation)
+        return DecodeResult(pixels=arr, metadata=meta, lossless=False,
+                            preview=preview)
     arr = np.clip(np.round(srgb * maxval), 0, maxval).astype(dtype)
     arr = arr.transpose(1, 2, 0)
     if frame.extra_channels:

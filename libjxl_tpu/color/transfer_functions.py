@@ -110,3 +110,26 @@ def rec2408_tone_map(rgb: np.ndarray, *,
     use_cap = (lum <= 1e-6)[..., None]
     return np.where(use_cap, np.broadcast_to(cap[..., None], rgb.shape),
                     rgb * mult[..., None])
+
+
+def hlg_ootf_gamma(intensity_target: float) -> float:
+    """Rec.2100 HLG system gamma for a given display peak."""
+    return 1.2 * 1.111 ** np.log2(intensity_target / 1000.0)
+
+
+def hlg_ootf(scene: np.ndarray, gamma: float,
+             lums=(0.2627, 0.6780, 0.0593)) -> np.ndarray:
+    """HLG OOTF: (3, H, W) scene-light -> display-light
+    (cms/tone_mapping-inl.h HlgOOTF / stage_from_linear)."""
+    y = lums[0] * scene[0] + lums[1] * scene[1] + lums[2] * scene[2]
+    mult = np.maximum(y, 1e-12) ** (gamma - 1.0)
+    return scene * mult[None]
+
+
+def hlg_inverse_ootf(display: np.ndarray, gamma: float,
+                     lums=(0.2627, 0.6780, 0.0593)) -> np.ndarray:
+    """Inverse HLG OOTF: display-light -> scene-light
+    (HlgOOTF::ToSceneLight)."""
+    y = lums[0] * display[0] + lums[1] * display[1] + lums[2] * display[2]
+    mult = np.maximum(y, 1e-12) ** ((1.0 - gamma) / gamma)
+    return display * mult[None]
