@@ -1,9 +1,16 @@
-"""Event-driven streaming decoder API.
+"""Event-driven streaming decoder API with section-granular resume.
 
 Reference: lib/jxl/decode.cc (JxlDecoder: Subscribe/SetInput/
 ProcessInput event loop with BASIC_INFO, COLOR_ENCODING, FRAME,
-FULL_IMAGE, SUCCESS, NEED_MORE_INPUT). Input may arrive in chunks; the
-decoder re-attempts the next stage whenever more bytes arrive.
+FRAME_PROGRESSION, FULL_IMAGE, SUCCESS, NEED_MORE_INPUT; rewind/skip
+decode.h:392-412; flush decode.h:1452).
+
+Input may arrive byte-by-byte. VarDCT frames decode incrementally —
+each bitstream section is decoded exactly once when its bytes complete
+(O(n) total work, dec_frame.cc:571-735), and ``flush_image()`` renders
+the best partial image from the passes received. Frames outside the
+incremental profile (modular, subsampled, DC-frame users) fall back to
+one-shot decoding when their bytes are complete.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ class Event(enum.IntEnum):
     FULL_IMAGE = 4
     SUCCESS = 5
     ERROR = 6
+    FRAME_PROGRESSION = 7
 
 
 @dataclasses.dataclass
@@ -44,6 +52,9 @@ class Decoder:
 
         dec = Decoder(events={Event.BASIC_INFO, Event.FULL_IMAGE})
         dec.set_input(chunk); status = dec.process_input()
+
+    ``flush_image()`` returns the best partial image mid-frame;
+    ``rewind()`` / ``skip_frames(n)`` mirror JxlDecoderRewind/SkipFrames.
     """
 
     def __init__(self, events=None):
@@ -52,8 +63,7 @@ class Decoder:
             Event.FULL_IMAGE}
         self._data = b""
         self._input_closed = False
-        self._stage = 0          # 0=headers,1=frames,2=done
-        self._emitted: set = set()
+        self._stage = 0          # 0=headers, 1=frames, 2=done
         self.basic_info: BasicInfo | None = None
         self.color_encoding = None
         self.metadata = None
@@ -63,8 +73,14 @@ class Decoder:
         self._codestream: bytes | None = None
         self._frame_bitpos = 0
         self._refs: list = [None] * 4
+        self._dcs: list = [None] * 5
         self._preview_done = False
         self._pending: list = []
+        self._inc = None                 # IncrementalFrameDecoder
+        self._inc_unsupported = False
+        self._frame_starts: list = []    # bit positions of decoded frames
+        self._skip = 0
+        self._progress_groups = 0
 
     def set_input(self, data: bytes) -> None:
         self._data += data
@@ -72,12 +88,44 @@ class Decoder:
     def close_input(self) -> None:
         self._input_closed = True
 
-    # -- internals ------------------------------------------------------
+    # -- rewind / skip ----------------------------------------------------
+
+    def rewind(self) -> None:
+        """Restart frame iteration from the first frame; parsed headers
+        and accumulated input are kept (JxlDecoderRewind)."""
+        self._stage = 1 if self.metadata is not None else 0
+        self._frame_bitpos = self._headers_end_bit \
+            if self.metadata is not None else 0
+        self._refs = [None] * 4
+        self._dcs = [None] * 5
+        self._preview_done = False
+        self._inc = None
+        self._inc_unsupported = False
+        self.frames = []
+        self._pending = []
+        self._skip = 0
+
+    def skip_frames(self, n: int) -> None:
+        """Skip decoding of the next n visible frames
+        (JxlDecoderSkipFrames); their sections are skipped via the TOC,
+        not decoded."""
+        self._skip += n
+
+    def flush_image(self) -> np.ndarray | None:
+        """Best partial image of the in-progress frame
+        (JxlDecoderFlushImage), or None when too little has arrived."""
+        if self._inc is None or not self._inc.can_flush:
+            return None
+        xyb = self._inc.flush()
+        if xyb is None:
+            return None
+        return self._to_pixels(xyb)
+
+    # -- internals ---------------------------------------------------------
 
     def _resolve_codestream(self) -> bool:
         from libjxl_tpu.container.boxes import is_container, unpack_container
         if len(self._data) < 12 and is_container(self._data):
-            # Could still turn out to be a container signature.
             if self._data[:2] != b"\xff\x0a":
                 return False
         if len(self._data) >= 12 and is_container(self._data):
@@ -115,56 +163,156 @@ class Decoder:
             alpha_bits=alpha_bits, orientation=m.orientation)
         self.color_encoding = m.color_encoding
         self._frame_bitpos = r.bits_consumed
+        self._headers_end_bit = r.bits_consumed
         return True
 
-    def _try_frame(self) -> bool:
+    def _to_pixels(self, xyb: np.ndarray) -> np.ndarray:
+        from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear_rgb
+        bits = self.metadata.m.bit_depth.bits_per_sample
+        dtype = np.uint8 if bits <= 8 else np.uint16
+        maxval = (1 << bits) - 1
+        srgb = linear_to_srgb(xyb_to_linear_rgb(xyb))
+        arr = np.clip(np.round(srgb * maxval), 0, maxval).astype(dtype)
+        return arr.transpose(1, 2, 0)
+
+    def _frame_done(self, xyb, fh, extra=None) -> None:
+        self.frame_header = fh
+        bits = self.metadata.m.bit_depth.bits_per_sample
+        dtype = np.uint8 if bits <= 8 else np.uint16
+        maxval = (1 << bits) - 1
+        arr = self._to_pixels(xyb)
+        if extra:
+            alpha = np.clip(extra[0], 0, maxval).astype(dtype)[:, :, None]
+            arr = np.concatenate([arr, alpha], axis=-1)
+        self.image = arr
+        self.frames.append(arr)
+
+    def _try_frame_oneshot(self) -> bool:
+        """Fallback: decode the next frame whole (restart when more
+        bytes arrive) — used for frame types outside the incremental
+        profile."""
         from libjxl_tpu.frame.decode_frame import decode_frame
         from libjxl_tpu.frame.frame_header import FrameType
         try:
             r = BitReader(self._codestream)
             r.seek_bits(self._frame_bitpos)
-            if self.metadata.m.have_preview and not self._preview_done:
-                decode_frame(r, self.metadata, self._refs, is_preview=True)
-                self._preview_done = True
-                self._frame_bitpos = r.bits_consumed
-            frame = decode_frame(r, self.metadata, self._refs)
+            frame = decode_frame(r, self.metadata, self._refs,
+                                 dc_frames=self._dcs)
         except JxlError:
             if self._input_closed:
                 raise
             return False
         self._frame_bitpos = r.bits_consumed
         fh = frame.header
+        if fh.frame_type == FrameType.DC_FRAME:
+            self._dcs[fh.dc_level] = frame.xyb
+            return self._try_frame_oneshot()
         if fh.frame_type == FrameType.REFERENCE_ONLY:
             if frame.xyb is not None:
                 self._refs[fh.save_as_reference] = frame.xyb
-            return self._try_frame()
-        self.frame_header = fh
+            return self._try_frame_oneshot()
         bits = self.metadata.m.bit_depth.bits_per_sample
         dtype = np.uint8 if bits <= 8 else np.uint16
         maxval = (1 << bits) - 1
+        if self._skip > 0:
+            # JxlDecoderSkipFrames: drop this visible frame.
+            self._skip -= 1
+            return self._try_frame_oneshot()
         if frame.modular_channels is not None:
             arr = np.stack(frame.modular_channels, axis=-1)
             self.image = np.clip(arr, 0, maxval).astype(dtype)
+            self.frames.append(self.image)
+            self.frame_header = fh
         else:
-            from libjxl_tpu.color.xyb import linear_to_srgb, \
-                xyb_to_linear_rgb
-            srgb = linear_to_srgb(xyb_to_linear_rgb(frame.xyb))
-            arr = np.clip(np.round(srgb * maxval), 0, maxval).astype(dtype)
-            arr = arr.transpose(1, 2, 0)
-            if frame.extra_channels:
-                alpha = np.clip(frame.extra_channels[0], 0, maxval
-                                ).astype(dtype)[:, :, None]
-                arr = np.concatenate([arr, alpha], axis=-1)
-            self.image = arr
-        self.frames.append(self.image)
+            self._frame_done(frame.xyb, fh, frame.extra_channels)
         self._is_last = fh.is_last
         return True
+
+    def _advance_frame(self) -> Event | None:
+        """Incremental path; returns an Event to surface or None when
+        more input is needed."""
+        from libjxl_tpu.frame.incremental import (
+            IncrementalFrameDecoder, NotSupported)
+
+        if self._preview_done is False and self.metadata.m.have_preview:
+            # Previews are small: decode one-shot.
+            from libjxl_tpu.frame.decode_frame import decode_frame
+            try:
+                r = BitReader(self._codestream)
+                r.seek_bits(self._frame_bitpos)
+                decode_frame(r, self.metadata, self._refs, is_preview=True)
+            except JxlError:
+                if self._input_closed:
+                    raise
+                return None
+            self._preview_done = True
+            self._frame_bitpos = r.bits_consumed
+
+        if self._inc_unsupported:
+            if not self._try_frame_oneshot():
+                return None
+            if Event.FRAME in self._events:
+                self._pending.append(Event.FRAME)
+            return Event.FULL_IMAGE
+
+        if self._inc is None:
+            inc = IncrementalFrameDecoder(self.metadata)
+            try:
+                if not inc.init(self._codestream, self._frame_bitpos):
+                    if self._input_closed:
+                        raise JxlError("truncated frame header")
+                    return None
+            except NotSupported:
+                self._inc_unsupported = True
+                return self._advance_frame()
+            self._inc = inc
+            if Event.FRAME in self._events:
+                self._pending.append(Event.FRAME)
+            self._progress_groups = 0
+
+        inc = self._inc
+        from libjxl_tpu.frame.frame_header import FrameType
+        if self._skip > 0 and inc.fh.frame_type == FrameType.REGULAR:
+            # Skip: jump over the frame's sections via the TOC.
+            if len(self._codestream) < inc.frame_end_byte:
+                return None
+            self._frame_bitpos = inc.frame_end_byte * 8
+            self._skip -= 1
+            self._inc = None
+            return self._advance_frame()
+
+        new = inc.process_available(self._codestream)
+        if new and Event.FRAME_PROGRESSION in self._events \
+                and inc.can_flush:
+            self._pending.append(Event.FRAME_PROGRESSION)
+        if not inc.complete:
+            if self._input_closed and \
+                    len(self._codestream) >= inc.frame_end_byte:
+                raise JxlError("frame sections failed to decode")
+            return None
+        xyb = inc.finalize()
+        fh = inc.fh
+        if fh.frame_type == FrameType.REFERENCE_ONLY:
+            pad = np.zeros((3, inc.fd.ysize_padded, inc.fd.xsize_padded),
+                           np.float32)
+            pad[:, :xyb.shape[1], :xyb.shape[2]] = xyb
+            self._refs[fh.save_as_reference] = pad
+            self._frame_bitpos = inc.frame_end_byte * 8
+            self._inc = None
+            return self._advance_frame()
+        self._frame_done(xyb, fh)
+        self._is_last = fh.is_last
+        self._frame_bitpos = inc.frame_end_byte * 8
+        self._inc = None
+        return Event.FULL_IMAGE
 
     def process_input(self) -> Event:
         """Runs until the next subscribed event (or NEED_MORE_INPUT /
         SUCCESS / ERROR)."""
         try:
             while True:
+                if self._pending:
+                    return self._pending.pop(0)
                 if self._stage == 0:
                     if not self._data or not self._resolve_codestream() \
                             or not self._try_headers():
@@ -173,23 +321,26 @@ class Decoder:
                     for ev in (Event.BASIC_INFO, Event.COLOR_ENCODING):
                         if ev in self._events:
                             self._pending.append(ev)
-                if self._pending:
-                    return self._pending.pop(0)
+                    continue
                 if self._stage == 1:
-                    # Container data may have grown.
                     if not self._resolve_codestream():
                         return Event.NEED_MORE_INPUT
-                    if not self._try_frame():
+                    ev = self._advance_frame()
+                    if ev is None:
                         return Event.NEED_MORE_INPUT
-                    if Event.FRAME in self._events:
-                        self._pending.append(Event.FRAME)
-                    if Event.FULL_IMAGE in self._events:
-                        self._pending.append(Event.FULL_IMAGE)
-                    if self._is_last:
-                        self._stage = 2
-                        self._pending.append(Event.SUCCESS)
-                    if self._pending:
-                        return self._pending.pop(0)
+                    if ev == Event.FULL_IMAGE:
+                        if self._is_last:
+                            self._stage = 2
+                            if Event.FULL_IMAGE in self._events:
+                                self._pending.append(Event.FULL_IMAGE)
+                            self._pending.append(Event.SUCCESS)
+                            continue
+                        if Event.FULL_IMAGE in self._events:
+                            return Event.FULL_IMAGE
+                        continue
+                    if ev in self._events:
+                        return ev
+                    continue
                 if self._stage == 2:
                     return Event.SUCCESS
         except JxlError:

@@ -109,3 +109,112 @@ def test_encoder_settings_effort_and_resampling():
     from libjxl_tpu.api import decode
     res = decode(data)
     assert res.pixels.shape == img.shape
+
+
+def test_incremental_sections_decoded_once():
+    """Byte-by-byte feed is O(n): every section decodes exactly once
+    (dec_frame.cc:571-600 section dedup/resume)."""
+    import libjxl_tpu.frame.incremental as inc_mod
+    img = _img(128, 128)
+    data = encode(img, distance=1.0, effort=3)
+    from libjxl_tpu.api.simple import decode as _decode
+    ref = _decode(data).pixels
+
+    calls = {"lf": 0, "dc": 0, "acg": 0, "ac": 0}
+    orig = (inc_mod.IncrementalFrameDecoder._decode_lf_global,
+            inc_mod.IncrementalFrameDecoder._decode_dc_group,
+            inc_mod.IncrementalFrameDecoder._decode_ac_global,
+            inc_mod.IncrementalFrameDecoder._decode_ac_group)
+
+    def wrap(name, fn):
+        def inner(self, *a, **k):
+            calls[name] += 1
+            return fn(self, *a, **k)
+        return inner
+
+    inc_mod.IncrementalFrameDecoder._decode_lf_global = wrap("lf", orig[0])
+    inc_mod.IncrementalFrameDecoder._decode_dc_group = wrap("dc", orig[1])
+    inc_mod.IncrementalFrameDecoder._decode_ac_global = wrap("acg", orig[2])
+    inc_mod.IncrementalFrameDecoder._decode_ac_group = wrap("ac", orig[3])
+    try:
+        dec = Decoder(events={Event.FULL_IMAGE})
+        status = Event.NEED_MORE_INPUT
+        step = 97  # prime-sized chunks
+        for i in range(0, len(data), step):
+            dec.set_input(data[i:i + step])
+            status = dec.process_input()
+            if status in (Event.FULL_IMAGE, Event.SUCCESS, Event.ERROR):
+                break
+        dec.close_input()
+        while status not in (Event.SUCCESS, Event.ERROR):
+            status = dec.process_input()
+        assert status == Event.SUCCESS
+    finally:
+        (inc_mod.IncrementalFrameDecoder._decode_lf_global,
+         inc_mod.IncrementalFrameDecoder._decode_dc_group,
+         inc_mod.IncrementalFrameDecoder._decode_ac_global,
+         inc_mod.IncrementalFrameDecoder._decode_ac_group) = orig
+    assert np.array_equal(dec.image, ref)
+    assert calls["lf"] == 1 and calls["acg"] == 1
+    assert calls["dc"] == 1           # one DC group for 128x128
+    assert calls["ac"] == 1           # one AC group x one pass
+
+
+def test_progressive_flush_partial_image():
+    """A truncated progressive stream flushes to a viewable partial
+    image once DC + AC-global have arrived."""
+    rng = np.random.default_rng(3)
+    base = np.outer(np.sin(np.linspace(0, 9, 256)),
+                    np.cos(np.linspace(0, 7, 256)))[..., None] * 100 + 128
+    img = np.clip(base + rng.normal(0, 12, (256, 256, 3)), 0, 255
+                  ).astype(np.uint8)
+    data = encode(img, distance=1.0, effort=3, progressive=True)
+    dec = Decoder(events={Event.FULL_IMAGE, Event.FRAME_PROGRESSION})
+    status = Event.NEED_MORE_INPUT
+    partial = None
+    fed = 0
+    step = max(1, len(data) // 50)
+    while fed < len(data):
+        dec.set_input(data[fed:fed + step])
+        fed += step
+        status = dec.process_input()
+        partial = dec.flush_image()
+        if partial is not None:
+            break
+    assert partial is not None
+    assert fed < len(data)            # flushed before the full stream
+    assert partial.shape == (256, 256, 3)
+    dec.set_input(data[fed:])
+    dec.close_input()
+    while status not in (Event.SUCCESS, Event.ERROR):
+        status = dec.process_input()
+    assert status == Event.SUCCESS
+    err = np.abs(partial.astype(int) - dec.image.astype(int)).mean()
+    assert err < 24, err
+
+
+def test_rewind_and_skip_frames():
+    frames = [np.full((32, 32, 3), v, np.uint8) for v in (40, 120, 220)]
+    from libjxl_tpu.api.simple import encode_animation
+    data = encode_animation(frames, lossless=True)
+    dec = Decoder(events={Event.FULL_IMAGE})
+    dec.set_input(data)
+    dec.close_input()
+    imgs = []
+    while True:
+        ev = dec.process_input()
+        if ev == Event.FULL_IMAGE:
+            imgs.append(dec.image.copy())
+        elif ev in (Event.SUCCESS, Event.ERROR):
+            break
+    assert ev == Event.SUCCESS and len(imgs) == 3
+    # rewind: re-iterate from the first frame
+    dec.rewind()
+    ev = dec.process_input()
+    assert ev == Event.FULL_IMAGE
+    assert np.array_equal(dec.image, imgs[0])
+    # skip one frame: next decoded frame is the third
+    dec.skip_frames(1)
+    ev = dec.process_input()
+    assert ev == Event.FULL_IMAGE
+    assert np.array_equal(dec.image, imgs[2])
