@@ -37,6 +37,23 @@ class DecodeResult:
     lossless: bool
     preview: np.ndarray | None = None   # decoded preview frame, if any
 
+    @property
+    def icc(self) -> bytes | None:
+        """Embedded ICC profile of the pixel data, if any."""
+        return getattr(self.metadata, "icc_profile", None)
+
+    def to_srgb(self) -> np.ndarray:
+        """Pixels converted to sRGB float32 via the CMS (embedded ICC
+        or synthesized enum-space profile; jxl_cms DoColorSpaceTransform
+        analogue)."""
+        from libjxl_tpu.color import cms
+        maxval = float(np.iinfo(self.pixels.dtype).max) \
+            if self.pixels.dtype.kind == "u" else 1.0
+        px = self.pixels[..., :3].astype(np.float32) / maxval
+        ce = self.metadata.m.color_encoding
+        src = self.icc if ce.want_icc else cms.synthesize_icc(ce)
+        return cms.convert_pixels(px, src, cms.srgb_icc())
+
 
 @dataclasses.dataclass
 class FrameResult:
@@ -49,7 +66,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            progressive: bool = False, noise=None,
            resampling: int = 1, effort: int = 7,
            dots: bool = False, preview: bool = False,
-           dc_frame: bool = False, hdr: str | None = None) -> bytes:
+           dc_frame: bool = False, hdr: str | None = None,
+           icc: bytes | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -90,6 +108,12 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         meta.m.color_encoding = ce
         meta.m.tone_mapping.intensity_target =             10000.0 if hdr.lower() == "pq" else 1000.0
         meta.m.tone_mapping.all_default = False
+    if icc is not None:
+        # Embedded ICC: samples are in the profile's space
+        # (color_encoding want_icc + compressed-ICC payload).
+        meta.m.color_encoding.want_icc = True
+        meta.m.color_encoding.all_default = False
+        meta.icc_profile = icc
     if has_alpha:
         meta.m.set_alpha_bits(bits)
     pw_img = None
@@ -108,7 +132,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     writer = BitWriter()
     if lossless:
         meta.m.xyb_encoded = False
-        if hdr is None:
+        if hdr is None and icc is None:
             meta.m.color_encoding = ColorEncoding.srgb(
                 is_gray=(nchan - (1 if has_alpha else 0)) == 1)
         if image.dtype not in (np.uint8, np.uint16):

@@ -101,6 +101,18 @@ def unpack_container(data: bytes) -> ContainerContent:
     parts: dict[int, bytes] = {}
     saw_last = False
     for box in boxes[1:]:
+        if box.type == b"brob":
+            # Brotli-compressed metadata box: 4-byte inner type +
+            # compressed payload (box_content_decoder.cc).
+            from libjxl_tpu.extras import brotli
+            if len(box.data) < 4:
+                raise BitstreamError("brob box too short")
+            inner = box.data[:4]
+            if inner in (b"brob", b"jxlc", b"jxlp", b"jxll", b"ftyp",
+                         b"JXL "):
+                raise BitstreamError("brob wrapping not allowed for "
+                                     f"{inner!r}")
+            box = Box(type=inner, data=brotli.decompress(box.data[4:]))
         if box.type == b"jxlc":
             out.codestream = box.data
             saw_last = True
@@ -124,9 +136,6 @@ def unpack_container(data: bytes) -> ContainerContent:
             out.jumbf = box.data
         elif box.type == b"jbrd":
             out.jpeg_reconstruction = box.data
-        elif box.type == b"brob":
-            raise BitstreamError(
-                "brotli-compressed metadata boxes not supported")
         else:
             out.other.append(box)
     if parts:
@@ -143,11 +152,14 @@ def pack_container(codestream: bytes, *, level: int = 5,
                    xml: list[bytes] | None = None,
                    jpeg_reconstruction: bytes | None = None,
                    extra_boxes: list | None = None,
-                   split: int = 0) -> bytes:
+                   split: int = 0,
+                   compress_boxes: bool = False) -> bytes:
     """Wraps a bare codestream into a container file.
 
     split > 0 emits the codestream as that many jxlp partial boxes
-    (streaming layout); otherwise a single jxlc box.
+    (streaming layout); otherwise a single jxlc box. compress_boxes
+    wraps metadata boxes (Exif/xml/jumb) in Brotli `brob` boxes
+    (encode.cc JXL_ENC_BOX_COMPRESSED analogue).
     """
     if codestream[:2] != CODESTREAM_SIGNATURE:
         raise BitstreamError("not a JXL codestream")
@@ -155,10 +167,16 @@ def pack_container(codestream: bytes, *, level: int = 5,
     out += _write_box(b"ftyp", b"jxl \x00\x00\x00\x00jxl ")
     if level != 5:
         out += _write_box(b"jxll", bytes([level]))
+    def _meta_box(btype: bytes, payload: bytes) -> bytes:
+        if compress_boxes:
+            from libjxl_tpu.extras import brotli
+            return _write_box(b"brob", btype + brotli.compress(payload))
+        return _write_box(btype, payload)
+
     if exif is not None:
-        out += _write_box(b"Exif", exif)
+        out += _meta_box(b"Exif", exif)
     for x in (xml or []):
-        out += _write_box(b"xml ", x)
+        out += _meta_box(b"xml ", x)
     if jpeg_reconstruction is not None:
         out += _write_box(b"jbrd", jpeg_reconstruction)
     for (btype, payload) in (extra_boxes or []):
