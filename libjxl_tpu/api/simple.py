@@ -67,7 +67,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            resampling: int = 1, effort: int = 7,
            dots: bool = False, preview: bool = False,
            dc_frame: bool = False, hdr: str | None = None,
-           icc: bytes | None = None) -> bytes:
+           icc: bytes | None = None,
+           photon_noise_iso: float | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -183,13 +184,19 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
             linear = srgb_to_linear(srgb).transpose(2, 0, 1)
         xyb = linear_rgb_to_xyb(linear)
         extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
-        if noise == "auto":
+        if photon_noise_iso:
+            # JXL_ENC_FRAME_SETTING_PHOTON_NOISE: ISO-based grain model
+            # (enc_photon_noise.cc SimulatePhotonNoise).
+            from libjxl_tpu.frame.noise import simulate_photon_noise
+            noise = simulate_photon_noise(w, h, photon_noise_iso)
+        elif noise == "auto":
             from libjxl_tpu.frame.noise import estimate_noise
             lut = estimate_noise(xyb)
             noise = float(lut.mean()) if lut is not None else None
         frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
-                            noise=noise, resampling=resampling)
+                            noise=noise, resampling=resampling,
+                            ar_sharpness=effort >= 6)
         if dc_frame and resampling == 1:
             # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
             # image as a kDCFrame, then reference it from the main

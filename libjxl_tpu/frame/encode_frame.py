@@ -78,7 +78,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         qf_adjust: np.ndarray | None = None,
                         is_preview: bool = False,
                         dc_frame_level: int | None = None,
-                        external_dc: np.ndarray | None = None) -> None:
+                        external_dc: np.ndarray | None = None,
+                        ar_sharpness: bool = False) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -106,6 +107,12 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     fh.encoding = FrameEncoding.VARDCT
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
     noise_lut = None
+    if isinstance(noise, np.ndarray):
+        # Full 8-point LUT (photon-noise model or custom).
+        if noise.max() > 0:
+            noise_lut = noise.astype(np.float32)
+            fh.flags |= int(FrameFlags.NOISE)
+        noise = None
     if noise is not None and noise > 0:
         fh.flags |= int(FrameFlags.NOISE)
         noise_lut = np.full(8, float(noise), np.float32)
@@ -331,10 +338,50 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                     blist.append(CoeffBlock(bx, by, s, big_q[(aby, abx)]))
         blocks_per_group[g] = blist
 
+    # Adaptive-reconstruction (EPF sharpness) field
+    # (enc_heuristics.cc:892 ComputeARHeuristics).
+    sharpness_map = None
+    if ar_sharpness and fh.loop_filter.epf_iters > 0 \
+            and distance >= 0.5 and dc_frame_level is None:
+        from libjxl_tpu.frame.ar_heuristic import compute_ar_sharpness
+        from libjxl_tpu.vardct.reconstruct import reconstruct_group
+        y_dc = qdc[1] * mul_dc[1]
+        dc_dec = np.stack([qdc[0] * mul_dc[0] + cfl_fac[0] * y_dc,
+                           y_dc,
+                           qdc[2] * mul_dc[2] + cfl_fac[2] * y_dc])
+        prefilter = np.zeros((3, fd.ysize_padded, fd.xsize_padded),
+                             np.float32)
+        for g in range(fd.num_groups):
+            brect = fd.block_group_rect(g)
+            sl = brect.slices()
+            pix = reconstruct_group(
+                blocks_per_group[g], brect.xsize, brect.ysize, quantizer,
+                raw_quant[sl],
+                dc_dec[:, brect.y0:brect.y1, brect.x0:brect.x1], cmap,
+                ytox_map if ytox_map is not None else
+                np.zeros(((fd.ysize_blocks + 7) // 8,
+                          (fd.xsize_blocks + 7) // 8), np.int32),
+                ytob_map if ytob_map is not None else
+                np.zeros(((fd.ysize_blocks + 7) // 8,
+                          (fd.xsize_blocks + 7) // 8), np.int32),
+                brect.x0, brect.y0, 1.0 / x_mul, 1.0 / b_mul)
+            prefilter[:, brect.y0 * 8:brect.y0 * 8 + brect.ysize * 8,
+                      brect.x0 * 8:brect.x0 * 8 + brect.xsize * 8] = pix
+        # Masking proxy: the adaptive quant field tracks the masking
+        # model (enc_adaptive_quantization.cc mask1x1), expanded to
+        # pixels and normalized.
+        qf_norm = raw_quant.astype(np.float32)
+        qf_norm /= max(qf_norm.mean(), 1e-6)
+        mask1x1 = np.repeat(np.repeat(qf_norm, 8, 0), 8, 1)
+        sharpness_map = compute_ar_sharpness(
+            planes, prefilter, fh.loop_filter, quantizer, raw_quant,
+            strategies, fd, distance,
+            mask1x1=mask1x1[:fd.ysize, :fd.xsize])
+
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
-                           ytox_map, ytob_map, extra_channels, noise_lut, patches,
-                           splines)
+                           ytox_map, ytob_map, extra_channels, noise_lut,
+                           patches, splines, sharpness_map)
 
 
 def _split_pass_blocks(blocks_per_group: dict, shifts: list,
@@ -363,7 +410,7 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map=None, ytob_map=None,
                            extra_channels=None, noise_lut=None, patches=None,
-                           splines=None):
+                           splines=None, sharpness_map=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -412,9 +459,11 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
             else np.zeros((cr_h, cr_w), np.int32)
         ytob = ytob_map[cr] if ytob_map is not None \
             else np.zeros((cr_h, cr_w), np.int32)
-        # Fast-path AR heuristic: constant sharpness 4
-        # (enc_heuristics.cc:907).
-        epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
+        if sharpness_map is not None:
+            epf = sharpness_map[sl].astype(np.int32)
+        else:
+            # Fast path: constant sharpness 4 (enc_heuristics.cc:907).
+            epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
         mfe.encode_ac_metadata(sw, rect, ytox, ytob,
                                strategies[sl], raw_quant[sl], epf, bitdepth)
 

@@ -217,3 +217,36 @@ def estimate_noise(xyb: np.ndarray) -> np.ndarray | None:
             nz = lut[lut > 0]
             lut[b] = nz.mean() if nz.size else 0.0
     return np.clip(lut, 0.0, 1.0)
+
+
+def simulate_photon_noise(xsize: int, ysize: int, iso: float) -> np.ndarray:
+    """ISO/sensor model -> 8-point noise LUT
+    (enc_photon_noise.cc SimulatePhotonNoise)."""
+    from libjxl_tpu.color.constants import OPSIN_ABSORBANCE_BIAS
+    k_photons_per_lxs_per_um2 = 11260.0
+    k_quantum_efficiency = 0.20
+    k_prnu = 0.005
+    k_read_noise = 3.0
+    k_sensor_area_um2 = 36000.0 * 24000.0
+    k_noise_lut_max = 1023.4999 / NOISE_PRECISION
+
+    bias = float(OPSIN_ABSORBANCE_BIAS[1])
+    bias_cbrt = np.cbrt(bias)
+    h_18 = 10.0 / iso
+    pixel_area = k_sensor_area_um2 / (xsize * ysize)
+    electrons_18 = (k_quantum_efficiency * k_photons_per_lxs_per_um2
+                    * h_18 * pixel_area)
+    lut = np.zeros(NUM_NOISE_POINTS, np.float32)
+    for i in range(NUM_NOISE_POINTS):
+        scaled = i / (NUM_NOISE_POINTS - 2.0)
+        y = 2.0 * scaled
+        linear = max(0.0, (y - bias_cbrt) ** 3 + bias)
+        electrons = electrons_18 * (linear / 0.18)
+        noise = np.sqrt(k_read_noise ** 2 + electrons
+                        + (k_prnu * electrons) ** 2)
+        linear_noise = noise * (0.18 / electrons_18)
+        opsin_derivative = (1.0 / 3.0) / np.cbrt(linear - bias) ** 2
+        opsin_noise = linear_noise * opsin_derivative
+        lut[i] = np.clip(opsin_noise / (0.22 * np.sqrt(2.0) * 1.13),
+                         0.0, k_noise_lut_max)
+    return lut
