@@ -7,7 +7,8 @@ streaming/event API lives in api/decoder.py / api/encoder.py.
 
 from libjxl_tpu.api.simple import (
     DecodeResult, FrameResult, decode, decode_all, encode, encode_animation,
+    encode_streaming,
 )
 
 __all__ = ["decode", "encode", "decode_all", "encode_animation",
-           "DecodeResult", "FrameResult"]
+           "encode_streaming", "DecodeResult", "FrameResult"]

@@ -65,7 +65,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            lossless: bool = False, container: bool = False,
            progressive: bool = False, noise=None,
            resampling: int = 1, effort: int = 7,
-           dots: bool = False, preview: bool = False,
+           dots: bool = False, patches: bool = True,
+           preview: bool = False,
            dc_frame: bool = False, hdr: str | None = None,
            icc: bytes | None = None,
            photon_noise_iso: float | None = None) -> bytes:
@@ -235,6 +236,24 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                 srgb_to_linear(psrgb.astype(np.float32)).transpose(2, 0, 1))
             encode_vardct_frame(pxyb, meta, writer, distance=max(
                 distance, 1.0), is_preview=True)
+        if patches and resampling == 1 and not has_alpha:
+            # Text-like patch dictionary for screenshot/UI content
+            # (enc_patch_dictionary.cc:620 FindBestPatchDictionary).
+            from libjxl_tpu.frame.text_patches import (
+                build_text_patch_sheet, find_text_like_patches)
+            found = find_text_like_patches(xyb)
+            if found:
+                sheet, pd, cleaned = build_text_patch_sheet(xyb, found)
+                sh, sw = sheet.shape[1:]
+                if sh <= xyb.shape[1] and sw <= xyb.shape[2]:
+                    canvas = np.zeros_like(xyb)
+                    canvas[:, :sh, :sw] = sheet
+                    encode_vardct_frame(canvas, meta, writer,
+                                        distance=min(distance, 0.1),
+                                        save_as_reference=1)
+                    xyb = cleaned
+                    frame_kwargs["patches"] = pd
+                    dots = False
         if dots and resampling == 1:
             from libjxl_tpu.frame.dots import build_dot_sheet, detect_dots
             dot_list, cleaned = detect_dots(xyb, distance)
@@ -562,3 +581,16 @@ def encode_animation(frames: list, *, durations: list | None = None,
                                 duration=durations[i])
     writer.align_to_byte()
     return writer.get_bytes()
+
+
+def encode_streaming(get_chunk, xsize: int, ysize: int, *,
+                     distance: float = 1.0) -> bytes:
+    """Chunked VarDCT encode with bounded pixel memory.
+
+    `get_chunk(x0, y0, w, h)` must return the (h, w, 3) uint8 (or
+    float [0,1]) sRGB tile; it is called once per 2048x2048 DC-group
+    chunk. Mirrors JxlEncoderAddChunkedFrame / the reference's
+    streaming encode mode (lib/jxl/enc_frame.cc:2047)."""
+    from libjxl_tpu.frame.streaming_encode import (
+        encode_streaming as _impl)
+    return _impl(get_chunk, xsize, ysize, distance=distance)

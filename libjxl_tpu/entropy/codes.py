@@ -343,7 +343,7 @@ def build_and_encode_histograms(
 
 def _finish_histograms(histograms, num_contexts, w, use_prefix_code,
                        uint_config, max_token, lz77,
-                       max_clusters=64):
+                       max_clusters=64, force_log_alpha=None):
     from libjxl_tpu.entropy.cluster import cluster_histograms
     from libjxl_tpu.entropy.context_map import encode_context_map
 
@@ -359,7 +359,7 @@ def _finish_histograms(histograms, num_contexts, w, use_prefix_code,
     if use_prefix_code:
         log_alpha_size = PREFIX_MAX_BITS
     else:
-        log_alpha_size = max(5, ceil_log2(max_token + 1))
+        log_alpha_size = force_log_alpha or max(5, ceil_log2(max_token + 1))
         w.write(2, log_alpha_size - 5)
     uint_configs = [uint_config] * len(clustered)
     for cfg in uint_configs:
@@ -687,3 +687,71 @@ def stream_bits_proxy(ctx: np.ndarray, val: np.ndarray,
     counts = counts[counts > 0]
     p = counts / counts.sum()
     return float(-(counts * np.log2(p)).sum()) + float(nbits.sum())
+
+
+def build_chunk_codes(num_contexts: int, token_streams: list,
+                      uint_config: HybridUintConfig | None = None,
+                      log_alpha_size: int = 8,
+                      max_clusters: int = 64):
+    """Streaming-encode helper: cluster one chunk's token histograms and
+    build writable codes WITHOUT emitting the histogram set (the
+    combined ACGlobal is assembled later; enc_frame.cc:1252 "in
+    streaming mode, this function only performs the histogram
+    clustering"). Returns (codes, context_map_local, normalized_counts).
+    """
+    uint_config = uint_config or HybridUintConfig(4, 2, 0)
+    histograms = [np.zeros(ANS_MAX_ALPHABET_SIZE, np.int64)
+                  for _ in range(num_contexts)]
+    hist2d = np.zeros((num_contexts, ANS_MAX_ALPHABET_SIZE), np.int64)
+    max_token = 0
+    for stream in token_streams:
+        ctx, val = stream_arrays(stream)
+        if len(val) == 0:
+            continue
+        toks, _, _ = uint_config.encode_np(val)
+        if toks.max() >= ANS_MAX_ALPHABET_SIZE:
+            raise BitstreamError("token exceeds ANS alphabet")
+        np.add.at(hist2d, (ctx, toks.astype(np.int64)), 1)
+        max_token = max(max_token, int(toks.max()))
+    for c in range(num_contexts):
+        histograms[c] += hist2d[c]
+    if (1 << log_alpha_size) <= max_token:
+        raise BitstreamError("token exceeds forced alphabet size")
+    scratch = BitWriter()
+    lz77 = LZ77Params(enabled=False)
+    codes = _finish_histograms(histograms, num_contexts, scratch, False,
+                               uint_config, max_token, lz77, max_clusters,
+                               force_log_alpha=log_alpha_size)
+    return codes, list(codes.context_map), list(codes.counts)
+
+
+def write_histogram_sets(w: BitWriter, context_maps: list,
+                         counts_sets: list,
+                         uint_config: HybridUintConfig | None = None,
+                         log_alpha_size: int = 8) -> None:
+    """Emit the combined ACGlobal histogram structure for per-chunk
+    clustered sets: chunk c's contexts map to its own clusters
+    (offset-shifted), followed by every cluster's normalized counts."""
+    from libjxl_tpu.entropy.context_map import encode_context_map
+    uint_config = uint_config or HybridUintConfig(4, 2, 0)
+    lz77 = LZ77Params(enabled=False)
+    lz77.write(w)
+    global_map = []
+    offset = 0
+    all_counts = []
+    for cm, counts in zip(context_maps, counts_sets):
+        global_map.extend(offset + m for m in cm)
+        all_counts.extend(counts)
+        offset += len(counts)
+    encode_context_map(global_map, len(all_counts), w)
+    w.write_bool(False)              # ANS, not prefix
+    w.write(2, log_alpha_size - 5)
+    for _ in all_counts:
+        write_uint_config(uint_config, w, log_alpha_size)
+    for counts in all_counts:
+        nz = [i for i, v in enumerate(counts) if v]
+        if len(nz) <= 1:
+            omit = nz[0] if nz else 0
+        else:
+            omit = int(np.argmax(counts))
+        write_histogram(counts, w, shift=ANS_LOG_TAB_SIZE, omit_pos=omit)

@@ -64,117 +64,33 @@ class VarDCTEncodeState:
     ytob_map: np.ndarray
 
 
-def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
-                        w: BitWriter, distance: float = 1.0,
-                        is_last: bool = True,
-                        extra_channels: list | None = None,
-                        pass_shifts: list | None = None,
-                        noise: float | None = None,
-                        duration: int = 0,
-                        patches=None,
-                        splines=None,
-                        save_as_reference: int | None = None,
-                        resampling: int = 1,
-                        qf_adjust: np.ndarray | None = None,
-                        is_preview: bool = False,
-                        dc_frame_level: int | None = None,
-                        external_dc: np.ndarray | None = None,
-                        ar_sharpness: bool = False) -> None:
-    """Encode (3, H, W) float XYB as a VarDCT frame.
-
-    pass_shifts: per-pass coefficient shifts for progressive encoding
-    (e.g. [2, 0]); the last entry must be 0. None = single pass.
-    noise: synthetic film-grain strength in [0, 1] (constant LUT).
-    Writes frame header + TOC + sections into `w` (byte-aligned)."""
-    if resampling not in (1, 2, 4, 8):
-        raise ValueError("resampling must be 1, 2, 4 or 8")
-    if resampling != 1:
-        # Box-downsample to the coded resolution (encoder freedom;
-        # cjxl --resampling).
-        n = resampling
-        _, fy, fx = xyb.shape
-        py, px = (-fy) % n, (-fx) % n
-        padded = np.pad(xyb, ((0, 0), (0, py), (0, px)), mode="edge")
-        xyb = padded.reshape(3, (fy + py) // n, n, (fx + px) // n, n) \
-            .mean(axis=(2, 4))
-    _, ysize, xsize = xyb.shape
-    fh = FrameHeader(nonserialized_metadata=metadata)
-    fh.nonserialized_is_preview = is_preview
-    if is_preview:
-        fh.is_last = False
-        is_last = False
-    fh.upsampling = resampling
-    fh.encoding = FrameEncoding.VARDCT
-    fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
-    noise_lut = None
-    if isinstance(noise, np.ndarray):
-        # Full 8-point LUT (photon-noise model or custom).
-        if noise.max() > 0:
-            noise_lut = noise.astype(np.float32)
-            fh.flags |= int(FrameFlags.NOISE)
-        noise = None
-    if noise is not None and noise > 0:
-        fh.flags |= int(FrameFlags.NOISE)
-        noise_lut = np.full(8, float(noise), np.float32)
-    fh.is_last = is_last
-    fh.animation_frame.duration = duration
-    if dc_frame_level is not None:
-        from libjxl_tpu.frame.frame_header import FrameType
-        fh.frame_type = FrameType.DC_FRAME
-        fh.dc_level = dc_frame_level
-        fh.is_last = False
-        is_last = False
-    if external_dc is not None:
-        fh.flags |= int(FrameFlags.USE_DC_FRAME)
-    if patches is not None:
-        fh.flags |= int(FrameFlags.PATCHES)
-    if splines is not None:
-        fh.flags |= int(FrameFlags.SPLINES)
-    if save_as_reference is not None:
-        from libjxl_tpu.frame.frame_header import FrameType
-        fh.frame_type = FrameType.REFERENCE_ONLY
-        fh.save_as_reference = save_as_reference
-        fh.save_before_color_transform = True
-        fh.is_last = False
-    if pass_shifts and len(pass_shifts) > 1:
-        if pass_shifts[-1] != 0:
-            raise ValueError("last pass must have shift 0")
-        fh.passes.num_passes = len(pass_shifts)
-        for i, s in enumerate(pass_shifts):
-            fh.passes.shift[i] = s
-    # Loop filters: gaborish + 2 EPF passes, like the reference's
-    # defaults for photographic content (loop_filter.h, enc_heuristics).
-    # DC frames skip them: smoothing would corrupt the block means they
-    # exist to carry.
-    if dc_frame_level is not None:
-        fh.loop_filter.all_default = False
-        fh.loop_filter.gab = False
-        fh.loop_filter.epf_iters = 0
-    else:
-        fh.loop_filter.all_default = distance > 0.0
-        fh.loop_filter.gab = True
-        fh.loop_filter.epf_iters = 2
-    fd = fh.to_frame_dimensions()
-
-    # Pad to whole blocks by edge replication.
-    pad_y = fd.ysize_padded - ysize
-    pad_x = fd.xsize_padded - xsize
-    planes = np.pad(xyb, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
-
+def compute_vardct_encoding(planes, fd, fh, distance,
+                            qf_adjust=None, external_dc=None,
+                            quantizer=None):
+    """The per-region VarDCT encoding computation: adaptive quant,
+    ACS selection, forward transforms, CfL fit, coefficient
+    quantization (enc_frame.cc ComputeEncodingData's VarDCT half).
+    Position-independent, so the streaming encoder runs it per
+    2048x2048 DC-group chunk (enc_frame.cc:2047)."""
     from libjxl_tpu.frame.adaptive_quant import (
-        gaborish_inverse, initial_quant_dc as aq_dc,
-        initial_quant_field as aq_field)
-    if fh.loop_filter.gab:
-        planes = gaborish_inverse(planes)
-
-    matrices = DequantMatrices()
-    quantizer = Quantizer(matrices)
+        initial_quant_dc as aq_dc, initial_quant_field as aq_field)
     qf = aq_field(distance, planes)
     if qf_adjust is not None:
         # Per-block multiplier from the butteraugli-guided outer loop
         # (enc_heuristics FindBestQuantization analogue).
         qf = qf * qf_adjust[:qf.shape[0], :qf.shape[1]]
-    raw_quant = quantizer.set_quant_field(aq_dc(distance), qf)
+    if quantizer is None:
+        matrices = DequantMatrices()
+        quantizer = Quantizer(matrices)
+        raw_quant = quantizer.set_quant_field(aq_dc(distance), qf)
+    else:
+        # Streaming mode: a fixed, shared quantizer — only the raw
+        # per-block field varies per chunk (enc_frame.cc streaming).
+        matrices = quantizer.dequant
+        from libjxl_tpu.vardct.quantizer import GLOBAL_SCALE_DENOM, QUANT_MAX
+        sc0 = quantizer.global_scale / GLOBAL_SCALE_DENOM
+        raw_quant = np.clip(np.round(np.asarray(qf, np.float32) / sc0),
+                            1, QUANT_MAX).astype(np.int32)
 
     ctx_map = BlockCtxMap()
     cmap = ColorCorrelation()
@@ -337,6 +253,134 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                 else:
                     blist.append(CoeffBlock(bx, by, s, big_q[(aby, abx)]))
         blocks_per_group[g] = blist
+
+    return dict(matrices=matrices, quantizer=quantizer, ctx_map=ctx_map,
+                cmap=cmap, qdc=qdc, raw_quant=raw_quant,
+                strategies=strategies, blocks_per_group=blocks_per_group,
+                ytox_map=ytox_map, ytob_map=ytob_map, x_mul=x_mul,
+                b_mul=b_mul, mul_dc=mul_dc, cfl_fac=cfl_fac)
+
+
+def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
+                        w: BitWriter, distance: float = 1.0,
+                        is_last: bool = True,
+                        extra_channels: list | None = None,
+                        pass_shifts: list | None = None,
+                        noise: float | None = None,
+                        duration: int = 0,
+                        patches=None,
+                        splines=None,
+                        save_as_reference: int | None = None,
+                        resampling: int = 1,
+                        qf_adjust: np.ndarray | None = None,
+                        is_preview: bool = False,
+                        dc_frame_level: int | None = None,
+                        external_dc: np.ndarray | None = None,
+                        ar_sharpness: bool = False) -> None:
+    """Encode (3, H, W) float XYB as a VarDCT frame.
+
+    pass_shifts: per-pass coefficient shifts for progressive encoding
+    (e.g. [2, 0]); the last entry must be 0. None = single pass.
+    noise: synthetic film-grain strength in [0, 1] (constant LUT).
+    Writes frame header + TOC + sections into `w` (byte-aligned)."""
+    if resampling not in (1, 2, 4, 8):
+        raise ValueError("resampling must be 1, 2, 4 or 8")
+    if resampling != 1:
+        # Box-downsample to the coded resolution (encoder freedom;
+        # cjxl --resampling).
+        n = resampling
+        _, fy, fx = xyb.shape
+        py, px = (-fy) % n, (-fx) % n
+        padded = np.pad(xyb, ((0, 0), (0, py), (0, px)), mode="edge")
+        xyb = padded.reshape(3, (fy + py) // n, n, (fx + px) // n, n) \
+            .mean(axis=(2, 4))
+    _, ysize, xsize = xyb.shape
+    fh = FrameHeader(nonserialized_metadata=metadata)
+    fh.nonserialized_is_preview = is_preview
+    if is_preview:
+        fh.is_last = False
+        is_last = False
+    fh.upsampling = resampling
+    fh.encoding = FrameEncoding.VARDCT
+    fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
+    noise_lut = None
+    if isinstance(noise, np.ndarray):
+        # Full 8-point LUT (photon-noise model or custom).
+        if noise.max() > 0:
+            noise_lut = noise.astype(np.float32)
+            fh.flags |= int(FrameFlags.NOISE)
+        noise = None
+    if noise is not None and noise > 0:
+        fh.flags |= int(FrameFlags.NOISE)
+        noise_lut = np.full(8, float(noise), np.float32)
+    fh.is_last = is_last
+    fh.animation_frame.duration = duration
+    if dc_frame_level is not None:
+        from libjxl_tpu.frame.frame_header import FrameType
+        fh.frame_type = FrameType.DC_FRAME
+        fh.dc_level = dc_frame_level
+        fh.is_last = False
+        is_last = False
+    if external_dc is not None:
+        fh.flags |= int(FrameFlags.USE_DC_FRAME)
+    if patches is not None:
+        fh.flags |= int(FrameFlags.PATCHES)
+    if splines is not None:
+        fh.flags |= int(FrameFlags.SPLINES)
+    if save_as_reference is not None:
+        from libjxl_tpu.frame.frame_header import FrameType
+        fh.frame_type = FrameType.REFERENCE_ONLY
+        fh.save_as_reference = save_as_reference
+        fh.save_before_color_transform = True
+        fh.is_last = False
+    if pass_shifts and len(pass_shifts) > 1:
+        if pass_shifts[-1] != 0:
+            raise ValueError("last pass must have shift 0")
+        fh.passes.num_passes = len(pass_shifts)
+        for i, s in enumerate(pass_shifts):
+            fh.passes.shift[i] = s
+    # Loop filters: gaborish + 2 EPF passes, like the reference's
+    # defaults for photographic content (loop_filter.h, enc_heuristics).
+    # DC frames skip them: smoothing would corrupt the block means they
+    # exist to carry.
+    if dc_frame_level is not None:
+        fh.loop_filter.all_default = False
+        fh.loop_filter.gab = False
+        fh.loop_filter.epf_iters = 0
+    else:
+        fh.loop_filter.all_default = distance > 0.0
+        fh.loop_filter.gab = True
+        fh.loop_filter.epf_iters = 2
+    fd = fh.to_frame_dimensions()
+
+    # Pad to whole blocks by edge replication.
+    pad_y = fd.ysize_padded - ysize
+    pad_x = fd.xsize_padded - xsize
+    planes = np.pad(xyb, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+
+    from libjxl_tpu.frame.adaptive_quant import (
+        gaborish_inverse, initial_quant_dc as aq_dc,
+        initial_quant_field as aq_field)
+    if fh.loop_filter.gab:
+        planes = gaborish_inverse(planes)
+
+    enc = compute_vardct_encoding(planes, fd, fh, distance,
+                                  qf_adjust=qf_adjust,
+                                  external_dc=external_dc)
+    matrices = enc["matrices"]
+    quantizer = enc["quantizer"]
+    ctx_map = enc["ctx_map"]
+    cmap = enc["cmap"]
+    qdc = enc["qdc"]
+    raw_quant = enc["raw_quant"]
+    strategies = enc["strategies"]
+    blocks_per_group = enc["blocks_per_group"]
+    ytox_map = enc["ytox_map"]
+    ytob_map = enc["ytob_map"]
+    x_mul = enc["x_mul"]
+    b_mul = enc["b_mul"]
+    mul_dc = enc["mul_dc"]
+    cfl_fac = enc["cfl_fac"]
 
     # Adaptive-reconstruction (EPF sharpness) field
     # (enc_heuristics.cc:892 ComputeARHeuristics).

@@ -112,3 +112,60 @@ def test_dots_noop_on_smooth_image():
     img = np.stack([x * 2 % 256] * 3, -1).astype(np.uint8)
     assert len(api_encode(img, distance=1.0, dots=True)) == \
         len(api_encode(img, distance=1.0))
+
+
+class TestTextPatchDetection:
+    """enc_patch_dictionary.cc:231 FindTextLikePatches analogue."""
+
+    def _screenshot(self):
+        img = np.full((192, 320, 3), 235, np.uint8)
+        glyph = np.zeros((9, 7), bool)
+        glyph[1:8, 1] = True
+        glyph[1, 2:6] = True
+        glyph[4, 2:5] = True
+        for y in range(10, 170, 24):
+            for x in range(12, 300, 13):
+                img[y:y + 9, x:x + 7][glyph] = (30, 30, 120)
+        return img
+
+    def test_detects_repeated_glyphs(self):
+        from libjxl_tpu.color.xyb import linear_rgb_to_xyb, srgb_to_linear
+        from libjxl_tpu.frame.text_patches import find_text_like_patches
+        img = self._screenshot()
+        xyb = linear_rgb_to_xyb(
+            srgb_to_linear(img.astype(np.float32) / 255).transpose(2, 0, 1))
+        found = find_text_like_patches(xyb)
+        assert len(found) >= 1
+        assert sum(len(p["positions"]) for p in found) >= 50
+
+    def test_no_false_positives_on_photo(self):
+        from libjxl_tpu.color.xyb import linear_rgb_to_xyb, srgb_to_linear
+        from libjxl_tpu.frame.text_patches import find_text_like_patches
+        rng = np.random.default_rng(4)
+        img = np.clip(rng.normal(128, 40, (128, 160, 3)),
+                      0, 255).astype(np.uint8)
+        xyb = linear_rgb_to_xyb(
+            srgb_to_linear(img.astype(np.float32) / 255).transpose(2, 0, 1))
+        assert find_text_like_patches(xyb) == []
+
+    def test_encode_roundtrip_smaller_and_better(self):
+        from libjxl_tpu.api.simple import decode, encode
+        img = self._screenshot()
+        with_p = encode(img, distance=1.0, effort=5, patches=True)
+        without = encode(img, distance=1.0, effort=5, patches=False)
+        assert len(with_p) < len(without) / 2
+        out = decode(with_p).pixels
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert np.sqrt((err.astype(float) ** 2).mean()) < 4.0
+
+    def test_ref_decodes_patch_stream(self):
+        from libjxl_tpu.api.simple import decode, encode
+        from libjxl_tpu.extras import refjxl
+        if not refjxl.available():
+            import pytest
+            pytest.skip("system libjxl unavailable")
+        img = self._screenshot()
+        data = encode(img, distance=1.0, effort=5, patches=True)
+        ours = decode(data).pixels
+        ref = refjxl.decode(data, dtype="uint8").pixels
+        assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1

@@ -218,3 +218,80 @@ def test_rewind_and_skip_frames():
     ev = dec.process_input()
     assert ev == Event.FULL_IMAGE
     assert np.array_equal(dec.image, imgs[2])
+
+
+class TestStreamingEncode:
+    """Chunked (bounded-memory) encoding — enc_frame.cc:2047
+    EncodeFrameStreaming + ComputePermutationForStreaming."""
+
+    def _image(self, h, w, seed=3):
+        rng = np.random.default_rng(seed)
+        base = np.outer(np.sin(np.linspace(0, 9, h)),
+                        np.cos(np.linspace(0, 21, w)))[..., None] * 100 + 128
+        return np.clip(base + rng.normal(0, 10, (h, w, 3)),
+                       0, 255).astype(np.uint8)
+
+    def test_multi_chunk_roundtrip(self):
+        from libjxl_tpu.api.simple import decode, encode_streaming
+        img = self._image(300, 2500)  # 2 DC-group chunks side by side
+        calls = []
+
+        def chunk(x0, y0, w, h):
+            calls.append((x0, y0, w, h))
+            return img[y0:y0 + h, x0:x0 + w]
+
+        data = encode_streaming(chunk, 2500, 300, distance=1.0)
+        # Bounded memory: exactly one call per DC-group chunk.
+        assert calls == [(0, 0, 2048, 300), (2048, 0, 452, 300)]
+        out = decode(data).pixels
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() < 64
+        assert np.sqrt((err.astype(float) ** 2).mean()) < 12
+
+    def test_single_chunk_roundtrip(self):
+        from libjxl_tpu.api.simple import decode, encode_streaming
+        img = self._image(64, 96, seed=9)
+        data = encode_streaming(lambda x0, y0, w, h:
+                                img[y0:y0 + h, x0:x0 + w],
+                                96, 64, distance=1.0)
+        out = decode(data).pixels
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() < 64
+
+    def test_toc_permutation_roundtrip(self):
+        from libjxl_tpu.base.frame_dimensions import FrameDimensions
+        from libjxl_tpu.bitstream.bit_io import BitReader, BitWriter
+        from libjxl_tpu.bitstream.toc import read_toc, write_toc
+        from libjxl_tpu.frame.streaming_encode import streaming_permutation
+        fd = FrameDimensions.make(2500, 300)
+        perm = streaming_permutation(fd)
+        n = 2 + fd.num_dc_groups + fd.num_groups
+        assert sorted(perm) == list(range(n))
+        # ACGlobal is the last section in the stream.
+        assert perm[1 + fd.num_dc_groups] == n - 1
+        sizes_canonical = [10 + 3 * i for i in range(n)]
+        stream_order = [0] * n
+        for old, new in enumerate(perm):
+            stream_order[new] = old
+        sizes_stream = [sizes_canonical[old] for old in stream_order]
+        w = BitWriter()
+        write_toc(sizes_stream, w, permutation=perm)
+        w.align_to_byte()
+        r = BitReader(w.get_bytes())
+        sizes, offsets = read_toc(n, r)
+        assert list(sizes) == sizes_canonical
+
+    def test_ref_decodes_streamed_output(self):
+        from libjxl_tpu.api.simple import decode, encode_streaming
+        from libjxl_tpu.extras import refjxl
+        if not refjxl.available():
+            import pytest
+            pytest.skip("system libjxl unavailable")
+        img = self._image(300, 2500)
+        data = encode_streaming(lambda x0, y0, w, h:
+                                img[y0:y0 + h, x0:x0 + w],
+                                2500, 300, distance=1.0)
+        ours = decode(data).pixels
+        ref = refjxl.decode(data, dtype="uint8").pixels
+        d = np.abs(ref.astype(int) - ours.astype(int))
+        assert (d > 2).sum() == 0
