@@ -36,6 +36,9 @@ class DecodeResult:
     metadata: CodecMetadata
     lossless: bool
     preview: np.ndarray | None = None   # decoded preview frame, if any
+    # All decoded extra channels as (ExtraChannelInfo, (H, W) array)
+    # pairs, in signalling order (alpha included).
+    extra: list = dataclasses.field(default_factory=list)
 
     @property
     def icc(self) -> bytes | None:
@@ -69,13 +72,19 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            preview: bool = False,
            dc_frame: bool = False, hdr: str | None = None,
            icc: bytes | None = None,
-           photon_noise_iso: float | None = None) -> bytes:
+           photon_noise_iso: float | None = None,
+           extra_channels: list | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
     distance: butteraugli target for the lossy path (0 => lossless).
     effort: >= 8 enables the butteraugli-guided quant-field iteration
     (enc_heuristics FindBestQuantization analogue, ~3x encode time).
+    extra_channels: additional named channels beyond the in-image
+    alpha, each {"type": "alpha"|"depth"|"spot_color"|"black"|
+    "thermal"|"cfa"|"optional", "data": (H, W) uint array,
+    "name": str, "spot_color": (r, g, b, blend)} — the
+    JxlEncoderSetExtraChannelInfo surface (encode.cc:1003).
     """
     if distance == 0:
         lossless = True
@@ -118,6 +127,37 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         meta.icc_profile = icc
     if has_alpha:
         meta.m.set_alpha_bits(bits)
+    ec_planes: list = []
+    if extra_channels:
+        from libjxl_tpu.frame.headers import (
+            BitDepth as _BD, ExtraChannelInfo, ExtraChannelType)
+        type_names = {
+            "alpha": ExtraChannelType.ALPHA,
+            "depth": ExtraChannelType.DEPTH,
+            "spot_color": ExtraChannelType.SPOT_COLOR,
+            "selection_mask": ExtraChannelType.SELECTION_MASK,
+            "black": ExtraChannelType.BLACK,
+            "cfa": ExtraChannelType.CFA,
+            "thermal": ExtraChannelType.THERMAL,
+            "optional": ExtraChannelType.OPTIONAL,
+        }
+        for spec in extra_channels:
+            ctype = spec.get("type", "optional")
+            if isinstance(ctype, str):
+                ctype = type_names[ctype.lower()]
+            plane = np.asarray(spec["data"])
+            if plane.shape != (h, w):
+                raise ValueError("extra channel shape mismatch")
+            ec_bits = int(spec.get("bits", bits))
+            eci = ExtraChannelInfo(all_default=False, type=int(ctype),
+                                   bit_depth=_BD.uint(ec_bits),
+                                   name=spec.get("name", ""))
+            if "spot_color" in spec:
+                eci.spot_color = tuple(float(x)
+                                       for x in spec["spot_color"])
+            meta.m.extra_channel_info.append(eci)
+            ec_planes.append(plane.astype(np.int32))
+        meta.m.all_default = False
     pw_img = None
     if preview and not lossless:
         div = max(1, (max(h, w) + 127) // 128)
@@ -144,6 +184,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         channels = [image[:, :, c].astype(np.int32) for c in range(ncolor)]
         if has_alpha:
             channels.append(image[:, :, -1].astype(np.int32))
+        channels.extend(ec_planes)
         if effort <= 3:
             # Fast-lossless path (fjxl analogue): fixed YCoCg + fixed
             # gradient tree, no search.
@@ -184,7 +225,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         else:
             linear = srgb_to_linear(srgb).transpose(2, 0, 1)
         xyb = linear_rgb_to_xyb(linear)
-        extra = [image[:, :, -1].astype(np.int32)] if has_alpha else None
+        extra = [image[:, :, -1].astype(np.int32)] if has_alpha else []
+        extra = (extra + ec_planes) or None
         if photon_noise_iso:
             # JXL_ENC_FRAME_SETTING_PHOTON_NOISE: ISO-based grain model
             # (enc_photon_noise.cc SimulatePhotonNoise).
@@ -197,7 +239,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling,
-                            ar_sharpness=effort >= 6)
+                            ar_sharpness=effort >= 6, effort=effort)
         if dc_frame and resampling == 1:
             # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
             # image as a kDCFrame, then reference it from the main
@@ -338,8 +380,25 @@ def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
     return arr
 
 
+def _render_spot(color3: np.ndarray, meta, ecs: list) -> np.ndarray:
+    """Blends spot-color extra channels into (3, H, W) float color
+    (render_pipeline/stage_spot.cc: mix = blend * s;
+    p = mix * spot_rgb + (1 - mix) * p)."""
+    for i, eci in enumerate(meta.m.extra_channel_info):
+        if int(eci.type) != 2 or i >= len(ecs):  # SPOT_COLOR
+            continue
+        ec_max = (1 << eci.bit_depth.bits_per_sample) - 1
+        mix = (np.asarray(ecs[i], np.float32) / ec_max) \
+            * float(eci.spot_color[3])
+        for c in range(3):
+            color3[c] = mix * float(eci.spot_color[c]) \
+                + (1.0 - mix) * color3[c]
+    return color3
+
+
 def decode(data: bytes, device: bool = False,
-           float_out: bool = False) -> DecodeResult:
+           float_out: bool = False,
+           render_spotcolors: bool = True) -> DecodeResult:
     if is_container(data):
         data = unpack_container(data).codestream
     r = BitReader(data)
@@ -388,11 +447,29 @@ def decode(data: bytes, device: bool = False,
             arr = _apply_orientation(arr.transpose(1, 2, 0),
                                      meta.m.orientation)
             return DecodeResult(pixels=arr, metadata=meta, lossless=False)
-        arr = np.stack(frame.modular_channels, axis=-1)
+        chans = frame.modular_channels
+        nec = meta.m.num_extra_channels
+        ecinfo = meta.m.extra_channel_info
+        ncolor = len(chans) - nec
+        keep = ncolor
+        if nec and int(ecinfo[0].type) == 0:  # leading alpha -> pixels
+            keep += 1
+        extra_list = [(ecinfo[i], np.asarray(chans[ncolor + i]))
+                      for i in range(nec)]
+        spotty = render_spotcolors and ncolor >= 3 and any(
+            int(e.type) == 2 for e in ecinfo)
+        if spotty:
+            color = np.stack([np.asarray(c, np.float32) / maxval
+                              for c in chans[:3]])
+            color = _render_spot(color, meta,
+                                 [a for _, a in extra_list])
+            for c in range(3):
+                chans[c] = np.round(color[c] * maxval).astype(np.int64)
+        arr = np.stack(chans[:keep], axis=-1)
         arr = np.clip(arr, 0, maxval).astype(dtype)
         arr = _apply_orientation(arr, meta.m.orientation)
         return DecodeResult(pixels=arr, metadata=meta, lossless=True,
-                            preview=preview)
+                            preview=preview, extra=extra_list)
 
     from libjxl_tpu.frame.frame_header import ColorTransform as _CT
     if frame.header.color_transform == _CT.YCBCR:
@@ -402,6 +479,8 @@ def decode(data: bytes, device: bool = False,
                                     frame.xyb[2]), 0.0, 1.0)
     else:
         linear = xyb_to_linear_rgb(frame.xyb)
+        if render_spotcolors and frame.extra_channels:
+            linear = _render_spot(linear, meta, frame.extra_channels)
         tf_enum = meta.m.color_encoding.tf.transfer_function \
             if not meta.m.color_encoding.tf.have_gamma else None
         from libjxl_tpu.color.color_encoding import TransferFunction as _TF
@@ -423,24 +502,27 @@ def decode(data: bytes, device: bool = False,
             srgb = hlg_encoded_from_display(scene).astype(np.float32)
         else:
             srgb = linear_to_srgb(linear)
+    ecinfo = meta.m.extra_channel_info
+    ecs = frame.extra_channels or []
+    extra_list = [(ecinfo[i], np.asarray(ecs[i])) for i in range(len(ecs))]
+    lead_alpha = ecs and int(ecinfo[0].type) == 0
     if float_out:
         arr = np.clip(srgb, 0.0, 1.0).astype(np.float32).transpose(1, 2, 0)
-        if frame.extra_channels:
-            alpha = (np.clip(frame.extra_channels[0], 0, maxval)
+        if lead_alpha:
+            alpha = (np.clip(ecs[0], 0, maxval)
                      .astype(np.float32) / maxval)[:, :, None]
             arr = np.concatenate([arr, alpha], axis=-1)
         arr = _apply_orientation(arr, meta.m.orientation)
         return DecodeResult(pixels=arr, metadata=meta, lossless=False,
-                            preview=preview)
+                            preview=preview, extra=extra_list)
     arr = np.clip(np.round(srgb * maxval), 0, maxval).astype(dtype)
     arr = arr.transpose(1, 2, 0)
-    if frame.extra_channels:
-        alpha = np.clip(frame.extra_channels[0], 0, maxval
-                        ).astype(dtype)[:, :, None]
+    if lead_alpha:
+        alpha = np.clip(ecs[0], 0, maxval).astype(dtype)[:, :, None]
         arr = np.concatenate([arr, alpha], axis=-1)
     arr = _apply_orientation(arr, meta.m.orientation)
     return DecodeResult(pixels=arr, metadata=meta, lossless=False,
-                        preview=preview)
+                        preview=preview, extra=extra_list)
 
 
 def _frame_to_float(frame, meta) -> tuple[np.ndarray, np.ndarray | None]:

@@ -511,6 +511,45 @@ def lz77_worth_trying(val: np.ndarray) -> bool:
     return uniq < 0.6 * len(h)
 
 
+def _apply_lz77_native(ctx, v, distance_multiplier, min_length,
+                       match_min):
+    """Native hash-chain matcher. Returns False when the native lib is
+    unavailable, else the same (ctx, val, is_len) | None contract as
+    apply_lz77."""
+    import ctypes as C
+
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return False
+    if lib is None:
+        return False
+    n = len(v)
+    ctx64 = np.ascontiguousarray(ctx, np.int64)
+    v64 = np.ascontiguousarray(v, np.int64)
+    if distance_multiplier:
+        special = np.array(
+            [special_distance(i, distance_multiplier)
+             for i in range(NUM_SPECIAL_DISTANCES)], np.int64)
+    else:
+        special = np.zeros(1, np.int64)
+    out_ctx = np.empty(n + 2, np.int64)
+    out_val = np.empty(n + 2, np.int64)
+    out_len = np.empty(n + 2, np.uint8)
+    p = C.POINTER(C.c_int64)
+    m = lib.lz77_match(
+        ctx64.ctypes.data_as(p), v64.ctypes.data_as(p), n,
+        special.ctypes.data_as(p),
+        NUM_SPECIAL_DISTANCES if distance_multiplier else 0,
+        min_length, match_min,
+        out_ctx.ctypes.data_as(p), out_val.ctypes.data_as(p),
+        out_len.ctypes.data_as(C.POINTER(C.c_uint8)))
+    if m <= 0:
+        return None
+    return out_ctx[:m], out_val[:m], out_len[:m]
+
+
 def apply_lz77(ctx: np.ndarray, val: np.ndarray,
                distance_multiplier: int = 0, min_length: int = 3,
                match_min: int = 4) -> tuple | None:
@@ -522,6 +561,10 @@ def apply_lz77(ctx: np.ndarray, val: np.ndarray,
     if n < 32:
         return None
     v = np.asarray(val, np.int64)
+    native = _apply_lz77_native(ctx, v, distance_multiplier,
+                                min_length, match_min)
+    if native is not False:
+        return native
     num_special = NUM_SPECIAL_DISTANCES if distance_multiplier else 0
     special_lut = {}
     if num_special:

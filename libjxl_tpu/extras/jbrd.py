@@ -845,7 +845,10 @@ def decode_jbrd(payload: bytes, icc_profile: bytes | None = None,
     jd = deserialize_jpeg_data(r)
     r.align_to_byte()
     consumed = r.bits_consumed // 8
-    tail = brotli.decompress(bytes(payload[consumed:]))
+    try:
+        tail = brotli.decompress(bytes(payload[consumed:]))
+    except ValueError as e:
+        raise JbrdError(f"bad brotli blob stream: {e}") from e
     off = 0
 
     def take(n):

@@ -32,7 +32,8 @@ def _bits_proxy(q: np.ndarray, axis) -> np.ndarray:
 def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
                       quantizer, *, enable_16: bool = True,
                       enable_32: bool = True,
-                      enable_rect: bool = True) -> np.ndarray:
+                      enable_rect: bool = True,
+                      enable_64: bool = True) -> np.ndarray:
     """Returns per-8x8-block strategy map (-1 marks covered non-first
     blocks). planes: (3, H, W) XYB padded to blocks."""
     _, h, w = planes.shape
@@ -108,7 +109,8 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
                     strategies[b0y, b0x] = acs.DCT32X32
 
         # ---- 64x64 pass over regions fully covered by accepted 32s ----
-        if enable_32 and accept32_grid is not None and by >= 8 and bx >= 8:
+        if enable_32 and enable_64 and accept32_grid is not None \
+                and by >= 8 and bx >= 8:
             accept32, bits32 = accept32_grid
             qy, qx = accept32.shape
             oy, ox = qy // 2, qx // 2

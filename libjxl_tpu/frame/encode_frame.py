@@ -66,15 +66,32 @@ class VarDCTEncodeState:
 
 def compute_vardct_encoding(planes, fd, fh, distance,
                             qf_adjust=None, external_dc=None,
-                            quantizer=None):
+                            quantizer=None, effort=7):
     """The per-region VarDCT encoding computation: adaptive quant,
     ACS selection, forward transforms, CfL fit, coefficient
     quantization (enc_frame.cc ComputeEncodingData's VarDCT half).
     Position-independent, so the streaming encoder runs it per
-    2048x2048 DC-group chunk (enc_frame.cc:2047)."""
+    2048x2048 DC-group chunk (enc_frame.cc:2047).
+
+    effort maps to the reference's speed tiers
+    (enc_params.h SpeedTier, enc_ac_strategy.cc:1010 gating):
+      1-2 lightning/thunder: flat quant field, 8x8 only, no CfL fit
+      3   falcon:            adaptive quant, 8x8 only
+      4   cheetah:           + 16x16 transforms
+      5   hare:              + 32x32
+      6   wombat:            + rectangular transforms, EPF sharpness
+      7+  squirrel..:        + 64x64 (and, at 8+, the butteraugli
+                             quant-field iteration in the caller)."""
     from libjxl_tpu.frame.adaptive_quant import (
         initial_quant_dc as aq_dc, initial_quant_field as aq_field)
-    qf = aq_field(distance, planes)
+    if effort <= 2:
+        # Flat quant field for the fastest tiers (enc_heuristics.cc:1107
+        # uses 0.79/distance; rescaled to this encoder's AQ-field
+        # calibration, whose mean at a given distance is ~0.52/d).
+        qf = np.full((fd.ysize_blocks, fd.xsize_blocks),
+                     0.52 / max(distance, 0.1), np.float32)
+    else:
+        qf = aq_field(distance, planes)
     if qf_adjust is not None:
         # Per-block multiplier from the butteraugli-guided outer loop
         # (enc_heuristics FindBestQuantization analogue).
@@ -103,9 +120,15 @@ def compute_vardct_encoding(planes, fd, fh, distance,
         # need dc_from_llf-domain values, so stick to 8x8 blocks.
         strategies = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
                               np.int32)
+    elif effort <= 3:
+        strategies = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
+                              np.int32)
     else:
         from libjxl_tpu.frame.acs_select import select_strategies
-        strategies = select_strategies(planes, raw_quant, quantizer)
+        strategies = select_strategies(
+            planes, raw_quant, quantizer,
+            enable_32=effort >= 5, enable_rect=effort >= 6,
+            enable_64=effort >= 7)
     # AdjustQuantField: uniform qf within a multi-block strategy (max).
     for by0, bx0 in zip(*np.nonzero(strategies > 0)):
         s = int(strategies[by0, bx0])
@@ -173,11 +196,17 @@ def compute_vardct_encoding(planes, fd, fh, distance,
                       / mul_dc[2]).astype(np.int32)
 
     # Fit per-tile chroma-from-luma factors (fast least squares).
-    from libjxl_tpu.frame.cfl_fit import fit_cfl_maps
     flat_table = table.reshape(3, 64)
     flat_inv = inv_table.reshape(3, 64)
-    ytox_map, ytob_map = fit_cfl_maps(coeffs, flat_inv, raw_quant,
-                                      quantizer.global_scale_float)
+    if effort <= 2:
+        ty = (fd.ysize_blocks + 7) // 8
+        tx = (fd.xsize_blocks + 7) // 8
+        ytox_map = np.zeros((ty, tx), np.int32)
+        ytob_map = np.zeros((ty, tx), np.int32)
+    else:
+        from libjxl_tpu.frame.cfl_fit import fit_cfl_maps
+        ytox_map, ytob_map = fit_cfl_maps(coeffs, flat_inv, raw_quant,
+                                          quantizer.global_scale_float)
 
     # Quantize AC, vectorized over all blocks. Y first; X/B have the
     # (quantize-dequantized) Y scaled by the CfL factors subtracted
@@ -276,7 +305,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         is_preview: bool = False,
                         dc_frame_level: int | None = None,
                         external_dc: np.ndarray | None = None,
-                        ar_sharpness: bool = False) -> None:
+                        ar_sharpness: bool = False,
+                        effort: int = 7) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -366,7 +396,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
 
     enc = compute_vardct_encoding(planes, fd, fh, distance,
                                   qf_adjust=qf_adjust,
-                                  external_dc=external_dc)
+                                  external_dc=external_dc,
+                                  effort=effort)
     matrices = enc["matrices"]
     quantizer = enc["quantizer"]
     ctx_map = enc["ctx_map"]

@@ -147,6 +147,8 @@ def learn_tree(channels: list, chan_indices: list | None = None,
                max_leaves: int = 64, max_samples: int = 1 << 16) -> Tree:
     """Learns an MA tree over the given channel arrays (one per modular
     channel, in stream order). Returns a BFS-serialized tree."""
+    total_px = sum(c.size for c in channels)
+    step = max(1, total_px // max_samples)
     feats = []
     classes = []
     for ci, c in enumerate(channels):
@@ -155,8 +157,12 @@ def learn_tree(channels: list, chan_indices: list | None = None,
             continue
         props = property_planes(c, idx)
         res = predictor_residuals(c)
-        f = np.stack([props[p].ravel() for p in _LEARN_PROPS])
-        k = np.stack([_token_class(res[p].ravel()) for p in _PREDICTORS])
+        # Subsample BEFORE stacking: the stacked full-image feature
+        # matrix dominates learn time on megapixel inputs.
+        sub = slice(None, None, step)
+        f = np.stack([props[p].ravel()[sub] for p in _LEARN_PROPS])
+        k = np.stack([_token_class(res[p].ravel()[sub])
+                      for p in _PREDICTORS])
         feats.append(f)
         classes.append(k)
     if not feats:
@@ -164,14 +170,11 @@ def learn_tree(channels: list, chan_indices: list | None = None,
     feat = np.concatenate(feats, axis=1)     # (nprops, N)
     cls = np.concatenate(classes, axis=1)    # (npred, N)
     n = feat.shape[1]
-    if n > max_samples:
-        step = n // max_samples + 1
-        feat = feat[:, ::step]
-        cls = cls[:, ::step]
-        n = feat.shape[1]
 
     # Recursive greedy induction on index masks.
     nodes = []  # (prop|-1, splitval, left_ref, right_ref, pred)
+
+    k_pred = len(_PREDICTORS)
 
     def build(sel: np.ndarray, depth: int, leaves_left: list) -> dict:
         base_cost, base_k = _cost(cls[:, sel])
@@ -182,21 +185,54 @@ def learn_tree(channels: list, chan_indices: list | None = None,
         best = None
         fsel = feat[:, sel]
         csel = cls[:, sel]
+        # All candidate cuts of one property share a single
+        # (bucket, predictor, class) bincount; left/right histograms
+        # are prefix sums over the cut buckets.
+        base_comb = np.arange(k_pred, dtype=np.int64)[:, None] \
+            * _MAX_CLASSES + csel
         for pi, prop in enumerate(_LEARN_PROPS):
             vals = fsel[pi]
             qs = np.unique(np.percentile(
                 vals, [6, 12, 25, 37, 50, 63, 75, 88, 94]).astype(np.int64))
-            for sv in qs:
-                mask = vals > sv
-                cnt = int(mask.sum())
-                if cnt == 0 or cnt == vals.size:
-                    continue
-                lcost, lk = _cost(csel[:, mask])
-                rcost, rk = _cost(csel[:, ~mask])
-                gain = base_cost - lcost - rcost
-                if gain > best_gain:
-                    best_gain = gain
-                    best = (prop, int(sv), mask, lk, rk)
+            nb = len(qs) + 1
+            # Integer vals/qs: side="left" makes bucket == #{q < v},
+            # so vals <= qs[j] <=> bucket <= j (side="right" would put
+            # boundary values one bucket too high).
+            bucket = np.searchsorted(qs, vals, side="left")
+            comb = (bucket[None] * (k_pred * _MAX_CLASSES)
+                    + base_comb).ravel()
+            counts = np.bincount(
+                comb, minlength=nb * k_pred * _MAX_CLASSES
+            ).reshape(nb, k_pred, _MAX_CLASSES)
+            pref = counts.cumsum(axis=0)
+            total = pref[-1]
+            # Cut j: right side (vals <= qs[j]) = pref[j],
+            # left side (vals > qs[j]) = total - pref[j].
+            right = pref[:-1]
+            left = total[None] - right
+            with np.errstate(divide="ignore", invalid="ignore"):
+                def bits(cnts):
+                    tot = cnts.sum(-1, keepdims=True)
+                    logp = np.log2(cnts / np.where(tot > 0, tot, 1))
+                    ent = -(cnts * np.where(cnts > 0, logp, 0.0)).sum(-1)
+                    return ent + (cnts * _RAW_BITS).sum(-1) \
+                        + cnts[..., 1:].sum(-1)
+                lbits = bits(left)    # (ncuts, k_pred)
+                rbits = bits(right)
+            lsz = left.sum(axis=(1, 2)) // k_pred
+            rsz = right.sum(axis=(1, 2)) // k_pred
+            valid = (lsz > 0) & (rsz > 0)
+            if not valid.any():
+                continue
+            lk_all = lbits.argmin(axis=1)
+            rk_all = rbits.argmin(axis=1)
+            gain = base_cost - lbits.min(axis=1) - rbits.min(axis=1)
+            gain[~valid] = -np.inf
+            j = int(np.argmax(gain))
+            if gain[j] > best_gain:
+                best_gain = float(gain[j])
+                best = (prop, int(qs[j]), vals > qs[j],
+                        int(lk_all[j]), int(rk_all[j]))
         if best is None:
             return node
         prop, sv, mask, lk, rk = best

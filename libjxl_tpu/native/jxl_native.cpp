@@ -957,3 +957,105 @@ int64_t vardct_tokenize_ac(int bw, int bh, int num_blocks,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LZ77 token matcher (enc_ans.cc ApplyLZ77_LZ77's hash-chain search).
+// Greedy: at each position, walk a bounded hash chain of previous
+// positions with the same 3-token prefix, take the longest extension.
+
+#include <unordered_map>
+
+extern "C" {
+
+// Returns the number of output tokens written, or 0 when matches cover
+// <5% of the stream (caller falls back to the plain token stream).
+// out_* must have room for n + 2 entries.
+// special: precomputed special-distance table (may be null, num_special
+// == 0) used to remap short structured distances.
+int64_t lz77_match(const int64_t* ctx, const int64_t* val, int64_t n,
+                   const int64_t* special, int64_t num_special,
+                   int64_t min_length, int64_t match_min,
+                   int64_t* out_ctx, int64_t* out_val,
+                   uint8_t* out_is_len) {
+  if (n < 32) return 0;
+  std::unordered_map<int64_t, int64_t> special_lut;
+  for (int64_t i = 0; i < num_special; i++) {
+    special_lut.emplace(special[i], i);  // first occurrence wins
+  }
+  std::unordered_map<uint64_t, int64_t> heads;
+  heads.reserve(static_cast<size_t>(n));
+  std::vector<int64_t> prev(n, -1);
+  auto key = [&](int64_t i) -> uint64_t {
+    uint64_t h = static_cast<uint64_t>(val[i]) * 0x9E3779B97F4A7C15ull;
+    h ^= static_cast<uint64_t>(val[i + 1]) * 0xC2B2AE3D27D4EB4Full;
+    h ^= (static_cast<uint64_t>(val[i + 2]) + 0x165667B19E3779F9ull) *
+         0x27D4EB2F165667C5ull;
+    return h;
+  };
+  const int64_t threshold = std::max(min_length, match_min);
+  int64_t m = 0;
+  int64_t matched = 0;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t best_len = 0, best_dist = 0;
+    if (i + 3 <= n) {
+      auto it = heads.find(key(i));
+      int64_t cand = (it == heads.end()) ? -1 : it->second;
+      int tries = 0;
+      while (cand >= 0 && tries < 16) {
+        int64_t length = 0;
+        const int64_t limit = std::min<int64_t>(n - i, 65535);
+        while (length < limit && val[cand + length] == val[i + length]) {
+          length++;  // overlapping copies allowed (cand+length >= i ok)
+        }
+        if (length > best_len) {
+          best_len = length;
+          best_dist = i - cand;
+        }
+        cand = prev[cand];
+        tries++;
+      }
+    }
+    if (best_len >= threshold) {
+      out_ctx[m] = ctx[i];
+      out_val[m] = best_len;
+      out_is_len[m] = 1;
+      m++;
+      auto sit = special_lut.find(best_dist);
+      int64_t raw = (sit != special_lut.end())
+                        ? sit->second
+                        : best_dist - 1 + num_special;
+      out_ctx[m] = -1;
+      out_val[m] = raw;
+      out_is_len[m] = 0;
+      m++;
+      const int64_t end = i + best_len;
+      while (i < end) {
+        if (i + 3 <= n) {
+          uint64_t k = key(i);
+          auto it = heads.find(k);
+          prev[i] = (it == heads.end()) ? -1 : it->second;
+          heads[k] = i;
+        }
+        i++;
+      }
+      matched += best_len;
+    } else {
+      out_ctx[m] = ctx[i];
+      out_val[m] = val[i];
+      out_is_len[m] = 0;
+      m++;
+      if (i + 3 <= n) {
+        uint64_t k = key(i);
+        auto it = heads.find(k);
+        prev[i] = (it == heads.end()) ? -1 : it->second;
+        heads[k] = i;
+      }
+      i++;
+    }
+  }
+  if (matched < n / 20) return 0;
+  return m;
+}
+
+}  // extern "C"

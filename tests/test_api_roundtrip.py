@@ -318,3 +318,66 @@ def test_lossy_16bit_input():
     assert res.pixels.dtype == np.uint16
     err = np.abs(res.pixels.astype(int) - img16.astype(int)).mean()
     assert err < 2.5 * 257
+
+
+class TestExtraChannels:
+    """Multi extra-channel encode/decode (image_metadata.cc
+    ExtraChannelInfo; render_pipeline/stage_spot.cc)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(3)
+        H, W = 72, 96
+        img = np.clip(rng.normal(128, 40, (H, W, 3)), 0, 255
+                      ).astype(np.uint8)
+        depth = (np.mgrid[0:H, 0:W][0] * 255 // H).astype(np.uint8)
+        spot = np.zeros((H, W), np.uint8)
+        spot[20:40, 30:60] = 200
+        ecs = [{"type": "depth", "data": depth, "name": "depth"},
+               {"type": "spot_color", "data": spot, "name": "ink",
+                "spot_color": (1.0, 0.1, 0.2, 0.8)}]
+        return img, depth, spot, ecs
+
+    def test_multi_ec_lossless_roundtrip(self):
+        from libjxl_tpu.api.simple import decode, encode
+        img, depth, spot, ecs = self._setup()
+        data = encode(img, lossless=True, extra_channels=ecs)
+        res = decode(data, render_spotcolors=False)
+        assert np.array_equal(res.pixels, img)
+        assert [int(i.type) for i, _ in res.extra] == [1, 2]
+        assert res.extra[0][0].name == "depth"
+        assert np.array_equal(res.extra[0][1], depth)
+        assert np.array_equal(res.extra[1][1], spot)
+
+    def test_multi_ec_vardct_extras_lossless(self):
+        from libjxl_tpu.api.simple import decode, encode
+        img, depth, spot, ecs = self._setup()
+        data = encode(img, distance=1.0, extra_channels=ecs)
+        res = decode(data)
+        assert np.array_equal(res.extra[0][1], depth)
+        assert np.array_equal(res.extra[1][1], spot)
+
+    def test_spot_rendering_matches_reference(self):
+        from libjxl_tpu.api.simple import decode, encode
+        from libjxl_tpu.extras import refjxl
+        if not refjxl.available():
+            pytest.skip("system libjxl unavailable")
+        img, _, _, ecs = self._setup()
+        for kw in (dict(distance=1.0), dict(lossless=True)):
+            data = encode(img, extra_channels=ecs, **kw)
+            ours = decode(data).pixels[..., :3]
+            ref = refjxl.decode(data, dtype="uint8").pixels
+            assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+    def test_alpha_plus_depth(self):
+        from libjxl_tpu.api.simple import decode, encode
+        img, depth, _, _ = self._setup()
+        rng = np.random.default_rng(9)
+        rgba = np.concatenate(
+            [img, rng.integers(0, 256, img.shape[:2] + (1,)
+                               ).astype(np.uint8)], -1)
+        data = encode(rgba, lossless=True,
+                      extra_channels=[{"type": "depth", "data": depth}])
+        res = decode(data)
+        assert np.array_equal(res.pixels, rgba)
+        assert [int(i.type) for i, _ in res.extra] == [0, 1]
+        assert np.array_equal(res.extra[1][1], depth)
