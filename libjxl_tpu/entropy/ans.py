@@ -519,21 +519,18 @@ def init_alias_table(distribution: list[int], log_alpha_size: int) -> AliasTable
             offsets1[i] -= cutoffs[i]
             final_cutoff[i] = cutoffs[i]
 
-    dist_arr = dist + [0] * (table_size - len(dist))
-    for i in range(table_size):
-        base = i * entry_size
-        c = final_cutoff[i]
-        for pos in range(entry_size):
-            res = base + pos
-            if pos >= c:
-                sym = right_value[i]
-                value[res] = sym
-                offset[res] = offsets1[i] + pos
-                freq[res] = dist_arr[sym]
-            else:
-                value[res] = i
-                offset[res] = pos
-                freq[res] = dist_arr[i]
+    dist_arr = np.array(dist + [0] * (table_size - len(dist)), np.int64)
+    idx = np.arange(ANS_TAB_SIZE, dtype=np.int64)
+    slot = idx >> (ANS_LOG_TAB_SIZE - log_alpha_size)
+    pos = idx & (entry_size - 1)
+    rv = np.asarray(right_value, np.int64)[slot]
+    use_right = pos >= np.asarray(final_cutoff, np.int64)[slot]
+    sym = np.where(use_right, rv, slot)
+    value = sym.astype(np.uint16)
+    offset = np.where(use_right,
+                      np.asarray(offsets1, np.int64)[slot] + pos,
+                      pos).astype(np.uint16)
+    freq = dist_arr[sym]
     return AliasTable(value=value, offset=offset,
                       freq=freq.astype(np.uint32))
 

@@ -296,12 +296,25 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         sl = brect.slices()
         prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
                               orders)
+        # Device feed v2 + single pass: keep the native decoder's flat
+        # coefficient buffer (no per-block objects on the hot path).
+        want_flat = bool(device) and device != "feed_v1" \
+            and num_passes == 1 and shift == 0
         native = native_decode_group(br.raw_data, br.bits_consumed,
                                      ac_codes, brect.xsize, brect.ysize,
-                                     prep, ctx_map, ctx_offset)
+                                     prep, ctx_map, ctx_offset,
+                                     as_blocks=not want_flat)
         if native is not None:
             blocks, new_pos = native
             br.seek_bits(new_pos)
+            if want_flat:
+                mrect0 = fd.group_rect(g)
+                prect0 = Rect(mrect0.x0, mrect0.y0, fd.group_dim,
+                              fd.group_dim)
+                mfd.decode_group(prect0, br, min_s, max_s,
+                                 stream_modular_ac(g, p, fd))
+                group_blocks[g] = ("flat", blocks, prep)
+                return
         else:
             reader = SymbolReader(ac_codes, br)
             blocks = decode_group_coeffs(

@@ -222,7 +222,14 @@ class ModularFrameDecoder:
         acs_vals = img.channel[2].data[0]
         qf_vals = img.channel[2].data[1]
         epf = img.channel[3].data
-        # Expand acs/qf streams into per-block maps.
+        # Expand acs/qf streams into per-block maps (native fast path;
+        # the Python scan below is the bit-identical oracle).
+        native = _acs_expand_native(acs_vals, qf_vals, rect, fd)
+        if native is not None:
+            strategies, raw_quant = native
+            return {"ytox": ytox, "ytob": ytob,
+                    "strategies": strategies,
+                    "raw_quant": raw_quant, "epf": epf}
         strategies = np.full((rect.ysize, rect.xsize), -1, np.int32)
         raw_quant = np.ones((rect.ysize, rect.xsize), np.int32)
         covered = np.zeros((rect.ysize, rect.xsize), bool)
@@ -256,6 +263,42 @@ class ModularFrameDecoder:
         return {"ytox": ytox, "ytob": ytob, "strategies": strategies,
                 "raw_quant": raw_quant, "epf": epf}
 
+
+
+def _acs_expand_native(acs_vals, qf_vals, rect, fd):
+    """Native AC-metadata expansion; None => Python fallback."""
+    import ctypes as C
+
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    from libjxl_tpu.vardct import ac_strategy as acs_mod
+    av = np.ascontiguousarray(acs_vals, np.int32)
+    qv = np.ascontiguousarray(qf_vals, np.int32)
+    cov_x = np.asarray(acs_mod.COVERED_X, np.int32)
+    cov_y = np.asarray(acs_mod.COVERED_Y, np.int32)
+    strategies = np.empty((rect.ysize, rect.xsize), np.int32)
+    raw_quant = np.empty((rect.ysize, rect.xsize), np.int32)
+    p32 = C.POINTER(C.c_int32)
+    rc = lib.acs_expand(
+        av.ctypes.data_as(p32), qv.ctypes.data_as(p32), len(av),
+        rect.xsize, rect.ysize, rect.x0, rect.y0, fd.group_dim // 8,
+        cov_x.ctypes.data_as(p32), cov_y.ctypes.data_as(p32),
+        acs_mod.NUM_STRATEGIES,
+        strategies.ctypes.data_as(p32), raw_quant.ctypes.data_as(p32))
+    if rc < 0:
+        msgs = {-1: "AC metadata stream too short",
+                -2: "invalid AC strategy",
+                -3: "AC strategy crosses group",
+                -4: "AC strategy out of bounds",
+                -5: "AC strategy overlap",
+                -6: "AC metadata count mismatch"}
+        raise BitstreamError(msgs.get(int(rc), "AC metadata error"))
+    return strategies, raw_quant
 
 # ---------------------------------------------------------------------------
 # Encoder side

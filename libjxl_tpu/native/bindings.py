@@ -69,6 +69,12 @@ def get_lib():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int,
         C.POINTER(C.c_uint32), C.POINTER(C.c_uint32), C.POINTER(C.c_uint32),
         C.c_int, C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int64)]
+    lib.acs_expand.restype = C.c_int64
+    lib.acs_expand.argtypes = [
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.c_int64, C.c_int64,
+        C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.c_int64,
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32)]
     lib.lz77_match.restype = C.c_int64
     lib.lz77_match.argtypes = [
         C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.c_int64,

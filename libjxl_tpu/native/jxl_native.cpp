@@ -1059,3 +1059,57 @@ int64_t lz77_match(const int64_t* ctx, const int64_t* val, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// AC-metadata expansion (dec_modular.cc:467-563's strategy/qf scan):
+// sequential cover-skipping scan expanding per-block streams into maps.
+
+extern "C" {
+
+// Returns number of consumed entries, or a negative error:
+// -1 stream too short, -2 invalid strategy, -3 crosses group,
+// -4 out of bounds, -5 overlap, -6 count mismatch.
+int64_t acs_expand(const int32_t* acs_vals, const int32_t* qf_vals,
+                   int64_t count, int64_t w, int64_t h, int64_t x0,
+                   int64_t y0, int64_t gdb, const int32_t* covered_x,
+                   const int32_t* covered_y, int64_t num_strategies,
+                   int32_t* strategies, int32_t* raw_quant) {
+  std::vector<uint8_t> covered(static_cast<size_t>(w * h), 0);
+  for (int64_t i = 0; i < w * h; i++) {
+    strategies[i] = -1;
+    raw_quant[i] = 1;
+  }
+  int64_t num = 0;
+  for (int64_t iy = 0; iy < h; iy++) {
+    for (int64_t ix = 0; ix < w; ix++) {
+      if (covered[iy * w + ix]) continue;
+      if (num >= count) return -1;
+      int32_t s = acs_vals[num];
+      if (s < 0 || s >= num_strategies) return -2;
+      int64_t cx = covered_x[s], cy = covered_y[s];
+      if (((x0 + ix) % gdb) + cx > gdb || ((y0 + iy) % gdb) + cy > gdb) {
+        return -3;
+      }
+      if (iy + cy > h || ix + cx > w) return -4;
+      for (int64_t dy = 0; dy < cy; dy++) {
+        for (int64_t dx = 0; dx < cx; dx++) {
+          if (covered[(iy + dy) * w + ix + dx]) return -5;
+        }
+      }
+      int32_t q = qf_vals[num];
+      q = 1 + (q < 0 ? 0 : (q > 255 ? 255 : q));
+      strategies[iy * w + ix] = s;
+      for (int64_t dy = 0; dy < cy; dy++) {
+        for (int64_t dx = 0; dx < cx; dx++) {
+          covered[(iy + dy) * w + ix + dx] = 1;
+          raw_quant[(iy + dy) * w + ix + dx] = q;
+        }
+      }
+      num++;
+    }
+  }
+  if (num != count) return -6;
+  return num;
+}
+
+}  // extern "C"

@@ -239,6 +239,11 @@ def build_feed2(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
           ).astype(np.float32)
     mat_ids = np.zeros((BH, BW), np.int8)
 
+    cv = coeff_img.reshape(3, BH, 8, BW, 8)
+    slot_lut = np.full(64, -1, np.int64)
+    for s_, slot_ in _FAMILY8_SLOT.items():
+        slot_lut[s_] = slot_
+
     fam_by_slot: dict = {}
     big_by_key: dict = {}
     for g in range(fd.num_groups):
@@ -247,6 +252,32 @@ def build_feed2(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
         if blocks is None:
             continue
         gy0, gx0 = brect.y0, brect.x0
+        if isinstance(blocks, tuple) and blocks[0] == "flat":
+            # Flat native-decoder output: vectorized scatter of the
+            # 8x8-family blocks straight from the coefficient buffer.
+            _, flat, prep = blocks
+            strat = prep["strat"]
+            offs = prep["blk_coeff_off"]
+            slots = slot_lut[strat]
+            fam = slots >= 0
+            if fam.any():
+                bys = prep["blk_by"][fam].astype(np.int64) + gy0
+                bxs = prep["blk_bx"][fam].astype(np.int64) + gx0
+                gather = offs[fam][:, None] + np.arange(192)
+                cf = flat[gather].reshape(-1, 3, 8, 8)
+                cv[:, bys, :, bxs, :] = cf
+                mat_ids[bys, bxs] = slots[fam]
+            for i in np.nonzero(~fam)[0]:
+                s = int(strat[i])
+                size = 3 * acs.COVERED_X[s] * acs.COVERED_Y[s] * 64
+                off = int(offs[i])
+                big_by_key.setdefault(s, ([], []))
+                big_by_key[s][0].append(
+                    (gy0 + int(prep["blk_by"][i]),
+                     gx0 + int(prep["blk_bx"][i])))
+                big_by_key[s][1].append(
+                    flat[off:off + size].reshape(3, size // 3))
+            continue
         for blk in blocks:
             s = int(blk.strategy)
             slot = _FAMILY8_SLOT.get(s)
@@ -255,8 +286,6 @@ def build_feed2(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
             tgt.setdefault(key, ([], []))
             tgt[key][0].append((gy0 + blk.by, gx0 + blk.bx))
             tgt[key][1].append(blk.coeffs)
-
-    cv = coeff_img.reshape(3, BH, 8, BW, 8)
     for slot, (anchors, coeffs) in fam_by_slot.items():
         ab = np.asarray(anchors, np.int64)
         bys, bxs = ab[:, 0], ab[:, 1]

@@ -72,22 +72,41 @@ def prepare_blocks(strategies: np.ndarray, raw_quant: np.ndarray,
         off += len(arr)
     flat_orders = np.concatenate(order_parts) if order_parts \
         else np.zeros(1, np.int32)
+    # Vectorized per-block context + order-offset computation
+    # (ac_context.h BlockCtxMap::Context over all blocks at once).
+    ord_b = np.asarray(acs.STRATEGY_ORDER, np.int64)[strat]
+    sizes = (np.asarray(acs.COVERED_X, np.int64)[strat]
+             * np.asarray(acs.COVERED_Y, np.int64)[strat] * 64)
+    qf = np.asarray(raw_quant)[ys, xs].astype(np.int64)
+    qf_ths = np.asarray(sorted(ctx_map.qf_thresholds), np.int64)
+    qf_idx = np.searchsorted(qf_ths, qf, side="left") \
+        if len(qf_ths) else np.zeros(n, np.int64)
+    if qdc is not None and ctx_map.num_dc_ctxs > 1:
+        dc_idx = np.zeros(n, np.int64)
+        for c in (0, 1, 2):
+            ths = np.asarray(sorted(ctx_map.dc_thresholds[c]), np.int64)
+            bucket = np.searchsorted(ths, qdc[c, ys, xs], side="left") \
+                if len(ths) else np.zeros(n, np.int64)
+            dc_idx = dc_idx * (len(ths) + 1) + bucket
+    else:
+        dc_idx = np.zeros(n, np.int64)
+    nqf = len(ctx_map.qf_thresholds) + 1
+    cmap_arr = np.asarray(ctx_map.ctx_map, np.int32)
+    from libjxl_tpu.vardct.ac_strategy import NUM_ORDERS
     blk_ctx = np.zeros((n, 3), np.int32)
     blk_order_off = np.zeros((n, 3), np.int32)
+    order_lut = np.zeros((NUM_ORDERS, 3), np.int32)
+    for (ob, c), off_v in order_index.items():
+        order_lut[ob, c] = off_v
+    for c in range(3):
+        cidx = (c ^ 1) if c < 2 else 2
+        idx = ((cidx * NUM_ORDERS + ord_b) * nqf + qf_idx) \
+            * ctx_map.num_dc_ctxs + dc_idx
+        blk_ctx[:, c] = cmap_arr[idx]
+        blk_order_off[:, c] = order_lut[ord_b, c]
     blk_coeff_off = np.zeros(n, np.int64)
-    total = 0
-    for i in range(n):
-        s = int(strat[i])
-        ord_b = acs.STRATEGY_ORDER[s]
-        size = acs.COVERED_X[s] * acs.COVERED_Y[s] * 64
-        dc_idx = ctx_map.dc_context(qdc[:, blk_by[i], blk_bx[i]]) \
-            if qdc is not None else 0
-        for c in range(3):
-            blk_ctx[i, c] = ctx_map.context(
-                dc_idx, int(raw_quant[blk_by[i], blk_bx[i]]), ord_b, c)
-            blk_order_off[i, c] = order_index[(ord_b, c)]
-        blk_coeff_off[i] = total
-        total += 3 * size
+    np.cumsum(3 * sizes[:-1], out=blk_coeff_off[1:])
+    total = int(3 * sizes.sum())
     return {
         "n": n, "blk_bx": blk_bx, "blk_by": blk_by, "blk_cx": blk_cx,
         "blk_cy": blk_cy, "strat": strat, "blk_ctx": blk_ctx,
@@ -98,8 +117,13 @@ def prepare_blocks(strategies: np.ndarray, raw_quant: np.ndarray,
 
 def native_decode_group(data: bytes, bit_pos: int, codes, bw: int, bh: int,
                         prep: dict, ctx_map: BlockCtxMap,
-                        ctx_offset: int) -> tuple[list, int] | None:
-    """Returns (blocks, new_bit_pos) or None on fallback."""
+                        ctx_offset: int,
+                        as_blocks: bool = True
+                        ) -> tuple[list, int] | None:
+    """Returns (blocks, new_bit_pos) or None on fallback. With
+    as_blocks=False, returns (flat_coeffs, new_bit_pos) and the caller
+    slices per-block data via prep["blk_coeff_off"] — skips the
+    per-block materialization on the device-feed hot path."""
     lib = _lib()
     if lib is None or codes.use_prefix_code:
         return None
@@ -124,6 +148,8 @@ def native_decode_group(data: bytes, bit_pos: int, codes, bw: int, bh: int,
         pos = dec.bit_pos()
     finally:
         dec.close()
+    if not as_blocks:
+        return coeffs, pos
     blocks = []
     for i in range(prep["n"]):
         s = int(prep["strat"][i])

@@ -381,3 +381,17 @@ class TestExtraChannels:
         assert np.array_equal(res.pixels, rgba)
         assert [int(i.type) for i, _ in res.extra] == [0, 1]
         assert np.array_equal(res.extra[1][1], depth)
+
+
+def test_lossy_rate_strictly_monotone_large():
+    """ADVICE r1: strict rate monotonicity on a photographic-size image
+    where heuristic noise is negligible (the 64x64 test above keeps the
+    relaxed per-step bound for tiny images)."""
+    rng = np.random.default_rng(12)
+    yy, xx = np.mgrid[0:256, 0:256]
+    base = (128 + 70 * np.sin(yy / 19) * np.cos(xx / 23)
+            + rng.normal(0, 6, (256, 256)))[..., None]
+    img = np.clip(np.repeat(base, 3, axis=2), 0, 255).astype(np.uint8)
+    sizes = [len(encode(img, distance=d)) for d in (0.5, 1.0, 2.0, 4.0)]
+    for a, b in zip(sizes, sizes[1:]):
+        assert b < a, sizes
