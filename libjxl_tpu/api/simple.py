@@ -73,7 +73,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            dc_frame: bool = False, hdr: str | None = None,
            icc: bytes | None = None,
            photon_noise_iso: float | None = None,
-           extra_channels: list | None = None) -> bytes:
+           extra_channels: list | None = None,
+           aux_out=None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -185,6 +186,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         if has_alpha:
             channels.append(image[:, :, -1].astype(np.int32))
         channels.extend(ec_planes)
+        pos0 = writer.bits_written
         if effort <= 3:
             # Fast-lossless path (fjxl analogue): fixed YCoCg + fixed
             # gradient tree, no search.
@@ -199,6 +201,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
             transforms = select_modular_transforms(channels, bits)
             encode_modular_frame(channels, meta, writer,
                                  transforms=transforms)
+        if aux_out is not None:
+            aux_out.add("modular_global", writer.bits_written - pos0)
     else:
         meta.m.xyb_encoded = True
         write_codestream_headers(meta, writer)
@@ -239,7 +243,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         frame_kwargs = dict(distance=distance, extra_channels=extra,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling,
-                            ar_sharpness=effort >= 6, effort=effort)
+                            ar_sharpness=effort >= 6, effort=effort,
+                            aux_out=aux_out)
         if dc_frame and resampling == 1:
             # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
             # image as a kDCFrame, then reference it from the main

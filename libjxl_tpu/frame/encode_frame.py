@@ -306,7 +306,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         dc_frame_level: int | None = None,
                         external_dc: np.ndarray | None = None,
                         ar_sharpness: bool = False,
-                        effort: int = 7) -> None:
+                        effort: int = 7,
+                        aux_out=None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -453,10 +454,13 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
             strategies, fd, distance,
             mask1x1=mask1x1[:fd.ysize, :fd.xsize])
 
+    if aux_out is not None:
+        aux_out.count_strategies(strategies)
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map, ytob_map, extra_channels, noise_lut,
-                           patches, splines, sharpness_map)
+                           patches, splines, sharpness_map,
+                           aux_out=aux_out)
 
 
 def _split_pass_blocks(blocks_per_group: dict, shifts: list,
@@ -485,7 +489,7 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map=None, ytob_map=None,
                            extra_channels=None, noise_lut=None, patches=None,
-                           splines=None, sharpness_map=None):
+                           splines=None, sharpness_map=None, aux_out=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -495,20 +499,30 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
 
     mod_state = {}
 
+    def _mark(sw, layer, state=[0]):
+        if aux_out is not None:
+            aux_out.add(layer, sw.bits_written - state[0])
+            state[0] = sw.bits_written
+
     def write_lf_global(sw):
+        pos = [sw.bits_written]
         if patches is not None:
             from libjxl_tpu.frame.patches import encode_patches
             encode_patches(patches, metadata.m.num_extra_channels, sw)
+        _mark(sw, "dictionary", pos)
         if splines is not None:
             from libjxl_tpu.frame.splines import encode_splines
             encode_splines(splines, sw)
+        _mark(sw, "splines", pos)
         if noise_lut is not None:
             from libjxl_tpu.frame.noise import encode_noise
             encode_noise(noise_lut, sw)
+        _mark(sw, "noise", pos)
         quantizer.dequant.encode_dc(sw)
         quantizer.encode(sw)
         ctx_map.encode(sw)
         cmap.encode_dc(sw)
+        _mark(sw, "quant", pos)
         if extra_channels:
             full = ModularImage.from_planes(extra_channels,
                                             metadata.m.bit_depth.bits_per_sample)
@@ -517,8 +531,10 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                 mod_state.update(st)
         else:
             mfe.encode_global_info(sw)
+        _mark(sw, "modular_global", pos)
 
     def write_dc_group(sw, g):
+        pos = [sw.bits_written]
         rect = fd.dc_group_rect(g)
         sl = rect.slices()
         if not (fh.flags & FrameFlags.USE_DC_FRAME):
@@ -539,8 +555,10 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
         else:
             # Fast path: constant sharpness 4 (enc_heuristics.cc:907).
             epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
+        _mark(sw, "dc", pos)
         mfe.encode_ac_metadata(sw, rect, ytox, ytob,
                                strategies[sl], raw_quant[sl], epf, bitdepth)
+        _mark(sw, "control_fields", pos)
 
     # Tokenize all groups up-front (shared histograms live in ACGlobal).
     num_passes = fh.passes.num_passes
@@ -577,7 +595,9 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     ac_codes_holder = {}
 
     def write_ac_global(sw):
+        pos = [sw.bits_written]
         quantizer.dequant.encode(sw)
+        _mark(sw, "quant", pos)
         num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
             if fd.num_groups > 1 else 0
         if num_histo_bits:
@@ -586,18 +606,23 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
         codes = []
         for p in range(num_passes):
             write_used_orders(0, sw)  # natural orders everywhere
+            _mark(sw, "coeff_order", pos)
             codes.append(build_and_encode_histograms(
                 num_contexts, pass_tokens[p], sw))
+            _mark(sw, "ac", pos)
         ac_codes_holder["codes"] = codes
 
     def write_ac_group(sw, g, p):
+        pos = [sw.bits_written]
         # single histogram set: no selector bits
         write_tokens(pass_tokens[p][g], ac_codes_holder["codes"][p], sw)
+        _mark(sw, "ac_tokens", pos)
         if mod_state:
             min_s, max_s = fh.passes.downsampling_bracket(p)
             mrect = fd.group_rect(g)
             prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
             mfe.encode_group(sw, mod_state, prect, min_s, max_s)
+            _mark(sw, "modular_ac_group", pos)
 
     parts = [write_lf_global]
     parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)
@@ -605,10 +630,10 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     parts += [write_ac_global]
     parts += [(lambda g, p: (lambda sw: write_ac_group(sw, g, p)))(g, p)
               for p in range(num_passes) for g in range(fd.num_groups)]
-    _emit_sections(w, fh, fd, parts, num_passes)
+    _emit_sections(w, fh, fd, parts, num_passes, aux_out=aux_out)
 
 
-def _emit_sections(w, fh, fd, parts, num_passes: int = 1):
+def _emit_sections(w, fh, fd, parts, num_passes: int = 1, aux_out=None):
     """Write frame header + TOC + sections. Single-TOC-entry frames
     concatenate all parts bit-unaligned in one section
     (enc_frame.cc one-shot small-frame path); otherwise each section is
@@ -616,14 +641,20 @@ def _emit_sections(w, fh, fd, parts, num_passes: int = 1):
     from libjxl_tpu.bitstream.toc import num_toc_entries
 
     toc_entries = num_toc_entries(fd.num_groups, fd.num_dc_groups, num_passes)
+    pos0 = w.bits_written
     bundle_write(fh, w)
+    if aux_out is not None:
+        aux_out.add("header", w.bits_written - pos0)
     if toc_entries == 1:
         pw = BitWriter()
         for f in parts:
             f(pw)
         pw.align_to_byte()
         payload = pw.get_bytes()
+        pos0 = w.bits_written
         write_toc([len(payload)], w)
+        if aux_out is not None:
+            aux_out.add("toc", w.bits_written - pos0)
         w.append_bytes(payload)
     else:
         sections = []
@@ -632,7 +663,10 @@ def _emit_sections(w, fh, fd, parts, num_passes: int = 1):
             f(sw)
             sw.align_to_byte()
             sections.append(sw.get_bytes())
+        pos0 = w.bits_written
         write_toc([len(s) for s in sections], w)
+        if aux_out is not None:
+            aux_out.add("toc", w.bits_written - pos0)
         for s in sections:
             w.append_bytes(s)
 

@@ -295,3 +295,56 @@ class TestStreamingEncode:
         ref = refjxl.decode(data, dtype="uint8").pixels
         d = np.abs(ref.astype(int) - ours.astype(int))
         assert (d > 2).sum() == 0
+
+
+class TestEncoderStatsAndSettings:
+    """enc_aux_out.h AuxOut / include/jxl/stats.h JxlEncoderStats and
+    the JxlEncoderFrameSettingId option surface (encode.h:1312)."""
+
+    def test_stats_account_every_bit(self):
+        from libjxl_tpu.api.encoder import Encoder
+        rng = np.random.default_rng(0)
+        img = np.clip(rng.normal(128, 40, (120, 160, 3)),
+                      0, 255).astype(np.uint8)
+        enc = Encoder(collect_stats=True)
+        enc.add_image_frame(img)
+        data = enc.process_output()
+        st = enc.stats()
+        assert st["total_bits"] == len(data) * 8 - (-st["total_bits"] % 8) \
+            or abs(st["total_bits"] - len(data) * 8) < 64
+        assert st["layers_bits"]["ac_tokens"] > 0
+        assert st["layers_bits"]["dc"] > 0
+        assert st["layers_bits"]["header"] > 0
+        assert st["num_blocks"] > 0
+        assert 0 < st["bpp"] < 24
+
+    def test_frame_setting_ids(self):
+        from libjxl_tpu.api.encoder import FrameSettingId, FrameSettings
+        fs = FrameSettings()
+        fs.set_option(FrameSettingId.EFFORT, 3)
+        assert fs.effort == 3
+        fs.set_option(FrameSettingId.RESAMPLING, 2)
+        assert fs.resampling == 2
+        fs.set_option(FrameSettingId.PHOTON_NOISE, 800)
+        assert fs.photon_noise_iso == 800
+        fs.set_option(FrameSettingId.PATCHES, 0)
+        assert fs.patches is False
+        fs.set_option(FrameSettingId.BROTLI_EFFORT, 9)  # recorded
+        assert fs.options[FrameSettingId.BROTLI_EFFORT] == 9
+        with pytest.raises(ValueError):
+            fs.set_option(FrameSettingId.EFFORT, 11)
+        fs.set_distance(0.0)
+        assert fs.lossless
+        with pytest.raises(ValueError):
+            fs.set_distance(26.0)
+        # All 37 ids exist, mirroring the C enum.
+        assert len(FrameSettingId) == 37
+
+    def test_stats_lossless(self):
+        from libjxl_tpu.api.encoder import Encoder, FrameSettings
+        img = _img()
+        enc = Encoder(collect_stats=True)
+        enc.add_image_frame(img, FrameSettings(lossless=True))
+        data = enc.process_output()
+        st = enc.stats()
+        assert st["layers_bits"]["modular_global"] > 0
