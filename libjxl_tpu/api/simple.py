@@ -74,7 +74,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            icc: bytes | None = None,
            photon_noise_iso: float | None = None,
            extra_channels: list | None = None,
-           aux_out=None) -> bytes:
+           color_encoding=None, aux_out=None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -120,6 +120,20 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         meta.m.color_encoding = ce
         meta.m.tone_mapping.intensity_target =             10000.0 if hdr.lower() == "pq" else 1000.0
         meta.m.tone_mapping.all_default = False
+    if color_encoding is not None:
+        # cjxl -x color_space= hint: samples are in the described
+        # space (lib/extras color hints; lossless passthrough only —
+        # the lossy path's XYB transform assumes sRGB input).
+        if isinstance(color_encoding, str):
+            from libjxl_tpu.color.color_description import (
+                parse_color_description)
+            color_encoding = parse_color_description(color_encoding)
+        if not lossless:
+            raise ValueError(
+                "color_encoding hints require lossless=True; use hdr= "
+                "or icc= for the lossy path")
+        color_encoding.all_default = False
+        meta.m.color_encoding = color_encoding
     if icc is not None:
         # Embedded ICC: samples are in the profile's space
         # (color_encoding want_icc + compressed-ICC payload).
@@ -175,7 +189,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     writer = BitWriter()
     if lossless:
         meta.m.xyb_encoded = False
-        if hdr is None and icc is None:
+        if hdr is None and icc is None and color_encoding is None:
             meta.m.color_encoding = ColorEncoding.srgb(
                 is_gray=(nchan - (1 if has_alpha else 0)) == 1)
         if image.dtype not in (np.uint8, np.uint16):

@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                    help="detect isolated dots and encode them as patches")
     p.add_argument("--container", action="store_true",
                    help="wrap the codestream in an ISOBMFF container")
+    p.add_argument("-x", "--dec-hints", action="append", default=[],
+                   metavar="key=value",
+                   help="decoder hints, e.g. color_space="
+                        "RGB_D65_SRG_Rel_SRG (lossless only)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -51,6 +55,7 @@ def main(argv=None) -> int:
 
     from libjxl_tpu.api import encode
 
+    hints = dict(h.split("=", 1) for h in args.dec_hints if "=" in h)
     distance = args.distance
     if args.quality is not None:
         distance = quality_to_distance(args.quality)
@@ -90,7 +95,8 @@ def main(argv=None) -> int:
     data = encode(arr, distance=distance, lossless=lossless,
                   effort=args.effort, progressive=args.progressive,
                   resampling=args.resampling, noise=noise,
-                  dots=args.dots, container=args.container)
+                  dots=args.dots, container=args.container,
+                  color_encoding=hints.get("color_space"))
     dt = time.time() - t0
     with open(args.output, "wb") as f:
         f.write(data)

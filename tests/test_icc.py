@@ -82,3 +82,55 @@ def test_codestream_with_icc():
     res = decode(w.get_bytes())
     assert res.metadata.icc_profile == meta.icc_profile
     np.testing.assert_array_equal(res.pixels, img)
+
+
+class TestColorDescription:
+    """lib/extras/dec/color_description.cc ParseDescription."""
+
+    def test_parse_roundtrip(self):
+        from libjxl_tpu.color.color_description import (
+            describe_color_encoding, parse_color_description)
+        for s in ("RGB_D65_SRG_Rel_SRG", "RGB_D65_202_Rel_PeQ",
+                  "Gra_D65_Rel_SRG", "XYB_Per", "RGB_D65_DCI_Rel_SRG",
+                  "RGB_0.3127;0.329_SRG_Rel_g2.2"):
+            assert describe_color_encoding(parse_color_description(s)) == s
+
+    def test_aliases(self):
+        from libjxl_tpu.color.color_description import (
+            parse_color_description)
+        from libjxl_tpu.color.color_encoding import (
+            Primaries, TransferFunction, WhitePoint)
+        srgb = parse_color_description("sRGB")
+        assert srgb.primaries == Primaries.SRGB
+        assert srgb.tf.transfer_function == TransferFunction.SRGB
+        p3 = parse_color_description("DisplayP3")
+        assert p3.primaries == Primaries.P3
+        pro = parse_color_description("ProPhoto")
+        assert pro.white_point == WhitePoint.CUSTOM
+        assert abs(pro.white.as_float()[0] - 0.345669) < 1e-6
+        assert pro.tf.have_gamma
+
+    def test_bad_strings(self):
+        from libjxl_tpu.base.errors import JxlError
+        from libjxl_tpu.color.color_description import (
+            parse_color_description)
+        import pytest
+        for s in ("BOGUS_D65_SRG_Rel_SRG", "RGB", "RGB_D65_SRG_Rel_XXX",
+                  "RGB_D65_SRG_Nope_SRG", "RGB_1;2;3_SRG_Rel_SRG"):
+            with pytest.raises(JxlError):
+                parse_color_description(s)
+
+    def test_encode_with_description(self):
+        import numpy as np
+
+        from libjxl_tpu.api.simple import decode, encode
+        from libjxl_tpu.color.color_encoding import TransferFunction
+        rng = np.random.default_rng(2)
+        img = np.clip(rng.normal(128, 30, (32, 40, 3)), 0, 255
+                      ).astype(np.uint8)
+        data = encode(img, lossless=True,
+                      color_encoding="RGB_D65_202_Rel_PeQ")
+        res = decode(data)
+        np.testing.assert_array_equal(res.pixels, img)
+        ce = res.metadata.m.color_encoding
+        assert ce.tf.transfer_function == TransferFunction.PQ
