@@ -45,14 +45,42 @@ class DecodeResult:
         """Embedded ICC profile of the pixel data, if any."""
         return getattr(self.metadata, "icc_profile", None)
 
+    @property
+    def is_cmyk(self) -> bool:
+        """True when a kBlack extra channel is present (CMYK data;
+        color_encoding_internal.h IsCMYK)."""
+        return any(int(i.type) == 4 for i, _ in self.extra)
+
+    def to_cmyk(self) -> np.ndarray:
+        """(H, W, 4) ink fractions in [0, 1] (C, M, Y, K)."""
+        if not self.is_cmyk:
+            raise ValueError("no kBlack extra channel")
+        maxval = float(np.iinfo(self.pixels.dtype).max) \
+            if self.pixels.dtype.kind == "u" else 1.0
+        inv = self.pixels[..., :3].astype(np.float32) / maxval
+        for info, plane in self.extra:
+            if int(info.type) == 4:
+                kmax = (1 << info.bit_depth.bits_per_sample) - 1
+                k = plane.astype(np.float32) / kmax
+                break
+        return 1.0 - np.concatenate([inv, k[..., None]], axis=-1)
+
     def to_srgb(self) -> np.ndarray:
         """Pixels converted to sRGB float32 via the CMS (embedded ICC
         or synthesized enum-space profile; jxl_cms DoColorSpaceTransform
-        analogue)."""
+        analogue). CMYK data (kBlack extra channel) converts through
+        the embedded CMYK profile, or a naive composite without one."""
         from libjxl_tpu.color import cms
         maxval = float(np.iinfo(self.pixels.dtype).max) \
             if self.pixels.dtype.kind == "u" else 1.0
         px = self.pixels[..., :3].astype(np.float32) / maxval
+        if self.is_cmyk:
+            inv4 = 1.0 - self.to_cmyk()
+            if self.icc is not None and cms.icc_is_cmyk(self.icc) \
+                    and cms.available():
+                return cms.convert_cmyk_pixels(inv4, self.icc,
+                                               cms.srgb_icc())
+            return cms.cmyk_to_rgb_naive(inv4)
         ce = self.metadata.m.color_encoding
         src = self.icc if ce.want_icc else cms.synthesize_icc(ce)
         return cms.convert_pixels(px, src, cms.srgb_icc())
@@ -74,7 +102,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            icc: bytes | None = None,
            photon_noise_iso: float | None = None,
            extra_channels: list | None = None,
-           color_encoding=None, aux_out=None) -> bytes:
+           color_encoding=None, cmyk: bool = False,
+           aux_out=None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -89,6 +118,21 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     """
     if distance == 0:
         lossless = True
+    if cmyk:
+        # CMYK input: (H, W, 4) ink fractions (or uint8/16). The JXL
+        # convention stores inverted samples (1.0 = white / no ink,
+        # jxl_cms.cc:260) as 3 color channels + a kBlack extra channel.
+        if image.ndim != 3 or image.shape[2] != 4:
+            raise ValueError("cmyk=True expects an (H, W, 4) image")
+        if image.dtype.kind == "u":
+            mv = np.iinfo(image.dtype).max
+            inv = (mv - image.astype(np.int64)).astype(image.dtype)
+        else:
+            inv = (1.0 - image).astype(image.dtype)
+        extra_channels = list(extra_channels or [])
+        extra_channels.insert(0, {"type": "black", "data": inv[:, :, 3],
+                                  "name": "K"})
+        image = np.ascontiguousarray(inv[:, :, :3])
     if image.ndim == 2:
         image = image[:, :, None]
     h, w, nchan = image.shape

@@ -182,3 +182,54 @@ def convert_pixels(pixels: np.ndarray, src_icc: bytes, dst_icc: bytes,
     finally:
         _lcms.cmsCloseProfile(src)
         _lcms.cmsCloseProfile(dst)
+
+
+# lcms2.h TYPE_CMYK_FLT: FLOAT_SH(1)|COLORSPACE_SH(PT_CMYK)|CHANNELS_SH(4)|BYTES_SH(4)
+_TYPE_CMYK_FLT = (1 << 22) | (6 << 16) | (4 << 3) | 4
+
+
+def icc_is_cmyk(icc: bytes) -> bool:
+    """ICC header data color space signature == 'CMYK' (the check
+    jxl_cms.cc:1044 does via skcms data_color_space)."""
+    return len(icc) >= 20 and icc[16:20] == b"CMYK"
+
+
+def convert_cmyk_pixels(pixels: np.ndarray, src_icc: bytes,
+                        dst_icc: bytes,
+                        intent: int = INTENT_RELATIVE_COLORIMETRIC,
+                        ) -> np.ndarray:
+    """(H, W, 4) JXL-convention CMYK (1.0 = white / no ink) in src_icc
+    -> (H, W, 3) RGB in dst_icc. Mirrors jxl_cms.cc:260: lcms wants
+    0 = white, 100 = max ink, so samples map via 100 - 100*v."""
+    if _lcms is None:
+        raise RuntimeError("liblcms2 not available")
+    src = _lcms.cmsOpenProfileFromMem(src_icc, len(src_icc))
+    dst = _lcms.cmsOpenProfileFromMem(dst_icc, len(dst_icc))
+    if not src or not dst:
+        raise ValueError("invalid ICC profile")
+    try:
+        xf = _lcms.cmsCreateTransform(src, _TYPE_CMYK_FLT, dst,
+                                      _TYPE_RGB_FLT, intent, 0x0400)
+        if not xf:
+            raise ValueError("cmsCreateTransform failed (CMYK)")
+        try:
+            inp = 100.0 - 100.0 * np.ascontiguousarray(pixels, np.float32)
+            inp = np.ascontiguousarray(inp, np.float32)
+            h, w = inp.shape[:2]
+            out = np.empty((h, w, 3), np.float32)
+            _lcms.cmsDoTransform(xf, inp.ctypes.data_as(ctypes.c_void_p),
+                                 out.ctypes.data_as(ctypes.c_void_p),
+                                 h * w)
+            return out
+        finally:
+            _lcms.cmsDeleteTransform(xf)
+    finally:
+        _lcms.cmsCloseProfile(src)
+        _lcms.cmsCloseProfile(dst)
+
+
+def cmyk_to_rgb_naive(pixels: np.ndarray) -> np.ndarray:
+    """Profile-less composite for JXL-convention CMYK (1.0 = white):
+    rgb = stored_cmy * stored_k (equivalent to (1-C)(1-K) in ink
+    fractions)."""
+    return np.clip(pixels[..., :3] * pixels[..., 3:4], 0.0, 1.0)

@@ -107,3 +107,42 @@ def test_brob_box_roundtrip():
     assert u.exif == exif
     assert u.xml == [b"<meta/>" * 40]
     assert u.codestream == cs
+
+
+class TestCmyk:
+    """CMYK via kBlack extra channel (color_encoding_internal.h IsCMYK,
+    jxl_cms.cc:260 inverted-sample convention)."""
+
+    def test_cmyk_lossless_roundtrip(self):
+        from libjxl_tpu.api.simple import decode, encode
+        rng = np.random.default_rng(5)
+        cmyk8 = (rng.random((48, 64, 4)) * 255).astype(np.uint8)
+        data = encode(cmyk8, lossless=True, cmyk=True)
+        res = decode(data)
+        assert res.is_cmyk
+        back = np.round(res.to_cmyk() * 255).astype(np.uint8)
+        assert np.array_equal(back, cmyk8)
+
+    def test_cmyk_to_srgb_naive(self):
+        from libjxl_tpu.api.simple import decode, encode
+        cmyk = np.zeros((8, 8, 4), np.uint8)
+        cmyk[:, :, 3] = 255  # full black ink
+        data = encode(cmyk, lossless=True, cmyk=True)
+        srgb = decode(data).to_srgb()
+        assert srgb.max() < 1e-3  # pure black
+        cmyk[:] = 0  # no ink = white
+        srgb = decode(encode(cmyk, lossless=True, cmyk=True)).to_srgb()
+        assert srgb.min() > 0.99
+
+    def test_cmyk_lossy(self):
+        from libjxl_tpu.api.simple import decode, encode
+        rng = np.random.default_rng(6)
+        base = np.clip(rng.normal(128, 30, (40, 56, 1)), 0, 255)
+        cmyk8 = np.repeat(base, 4, 2).astype(np.uint8)
+        data = encode(cmyk8, distance=1.0, cmyk=True)
+        res = decode(data)
+        back = np.round(res.to_cmyk() * 255)
+        assert np.abs(back - cmyk8).mean() < 4.0
+        # K channel is coded losslessly (extra channels are modular).
+        assert np.array_equal(np.round(res.to_cmyk()[..., 3] * 255),
+                              cmyk8[..., 3])
