@@ -61,8 +61,11 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     fh.nonserialized_is_preview = is_preview
     bundle_read(r, fh)
     if fh.frame_type not in (FrameType.REGULAR, FrameType.REFERENCE_ONLY,
-                             FrameType.DC_FRAME):
-        raise UnsupportedError("skip-progressive frames not supported yet")
+                             FrameType.DC_FRAME,
+                             FrameType.SKIP_PROGRESSIVE):
+        raise UnsupportedError(f"unknown frame type {fh.frame_type}")
+    # kSkipProgressive decodes exactly like a regular frame; the flag
+    # only suppresses progressive previews (dec_frame.cc).
     if reference_frames is None:
         reference_frames = [None] * 4
     if dc_frames is None:
@@ -72,9 +75,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         external_dc = dc_frames[fh.dc_level + 1]
         if external_dc is None:
             raise BitstreamError("kUseDcFrame without a saved DC frame")
-    if fh.upsampling != 1 and metadata.m.num_extra_channels:
-        raise UnsupportedError(
-            "extra channels with frame upsampling not supported yet")
+
     fd = fh.to_frame_dimensions()
 
     num_passes = fh.passes.num_passes
@@ -431,6 +432,17 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     if metadata.m.num_extra_channels:
         gi = mfd.finalize()
         extra = [c.data for c in gi.channel]
+        # Per-channel extra-channel upsampling (stage_upsampling over
+        # the EC planes; frame_header extra_channel_upsampling).
+        ecups = fh.extra_channel_upsampling or []
+        for i, up in enumerate(ecups):
+            if up != 1 and i < len(extra):
+                from libjxl_tpu.pipeline.upsample import upsample_plane
+                ec = upsample_plane(
+                    extra[i].astype(np.float32), up)
+                extra[i] = np.round(
+                    ec[:fd.ysize_upsampled, :fd.xsize_upsampled]
+                ).astype(extra[i].dtype)
 
     # Patches before noise (dec_cache.cc stage order: EPF -> patches ->
     # splines -> noise).

@@ -325,6 +325,18 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         padded = np.pad(xyb, ((0, 0), (0, py), (0, px)), mode="edge")
         xyb = padded.reshape(3, (fy + py) // n, n, (fx + px) // n, n) \
             .mean(axis=(2, 4))
+        if extra_channels:
+            # Extra channels follow the frame resampling
+            # (extra_channel_upsampling; ec_up must be >= upsampling).
+            ds = []
+            for ec in extra_channels:
+                eh, ew = ec.shape
+                pey, pex = (-eh) % n, (-ew) % n
+                pecc = np.pad(ec, ((0, pey), (0, pex)), mode="edge")
+                ds.append(np.round(
+                    pecc.reshape((eh + pey) // n, n, (ew + pex) // n, n)
+                    .mean(axis=(1, 3))).astype(ec.dtype))
+            extra_channels = ds
     _, ysize, xsize = xyb.shape
     fh = FrameHeader(nonserialized_metadata=metadata)
     fh.nonserialized_is_preview = is_preview
@@ -332,6 +344,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         fh.is_last = False
         is_last = False
     fh.upsampling = resampling
+    if resampling != 1 and extra_channels:
+        fh.extra_channel_upsampling = [resampling] * len(extra_channels)
     fh.encoding = FrameEncoding.VARDCT
     fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
     noise_lut = None

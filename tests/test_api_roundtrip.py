@@ -395,3 +395,32 @@ def test_lossy_rate_strictly_monotone_large():
     sizes = [len(encode(img, distance=d)) for d in (0.5, 1.0, 2.0, 4.0)]
     for a, b in zip(sizes, sizes[1:]):
         assert b < a, sizes
+
+
+def test_alpha_with_resampling():
+    """Extra-channel upsampling (frame_header extra_channel_upsampling;
+    formerly an unsupported-feature trapdoor)."""
+    rng = np.random.default_rng(7)
+    H, W = 80, 120
+    base = np.clip(rng.normal(128, 30, (H, W, 3)), 0, 255).astype(np.uint8)
+    alpha = ((np.mgrid[0:H, 0:W][1] * 255) // W).astype(np.uint8)
+    rgba = np.concatenate([base, alpha[..., None]], -1)
+    res = decode(encode(rgba, distance=1.0, resampling=2))
+    assert res.pixels.shape == (H, W, 4)
+    a_err = np.abs(res.pixels[..., 3].astype(int) - alpha.astype(int))
+    assert a_err.mean() < 1.0
+
+
+def test_alpha_with_resampling_ref_interop():
+    from libjxl_tpu.extras import refjxl
+    if not refjxl.available():
+        pytest.skip("system libjxl unavailable")
+    rng = np.random.default_rng(7)
+    H, W = 80, 120
+    base = np.clip(rng.normal(128, 30, (H, W, 3)), 0, 255).astype(np.uint8)
+    alpha = ((np.mgrid[0:H, 0:W][1] * 255) // W).astype(np.uint8)
+    rgba = np.concatenate([base, alpha[..., None]], -1)
+    data = encode(rgba, distance=1.0, resampling=2)
+    ours = decode(data).pixels
+    ref = refjxl.decode(data, dtype="uint8").pixels
+    assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
