@@ -64,6 +64,115 @@ class VarDCTEncodeState:
     ytob_map: np.ndarray
 
 
+
+
+def _deadzone_thresholds(rows: int, cols: int, chroma: bool,
+                         covered: int) -> np.ndarray:
+    """Per-coefficient dead-zone thresholds (enc_group.cc:336-360,503):
+    quadrant values {0.56, 0.62, 0.62, 0.62} for Y and
+    {0.58, 0.62, 0.62, 0.62} for X/B, the chroma set lowered by
+    0.00744 * covered_blocks (min 0.5) on multi-block transforms."""
+    thr = np.array([0.58, 0.62, 0.62, 0.62] if chroma
+                   else [0.56, 0.62, 0.62, 0.62], np.float32)
+    if chroma and covered >= 4:
+        thr = np.maximum(thr - 0.00744 * covered, 0.5)
+    yy = (np.arange(rows) >= rows // 2).astype(np.int64) * 2
+    xx = (np.arange(cols) >= cols // 2).astype(np.int64)
+    return thr[yy[:, None] + xx[None, :]]
+
+
+def _quantize_deadzone(val: np.ndarray, thr: np.ndarray) -> np.ndarray:
+    """QuantizeBlockAC: values under the dead-zone threshold snap to 0
+    (enc_group.cc:97 nzero_mask)."""
+    return np.where(np.abs(val) >= thr, np.round(val), 0.0)
+
+
+def _adjust_quant_blocks(coeffs, flat_inv, raw_quant, inv_gs,
+                         x_mul, b_mul, dct8_mask, quant_max):
+    """AdjustQuantBlockAC (enc_group.cc:104-330), vectorized over the
+    batched 8x8 blocks: trial-quantization statistics drive per-block
+    quant tweaks (dead-zone error bound, high-frequency pattern boost,
+    flat-block blockiness fix, activity-based reduction).
+
+    Returns (adjusted raw_quant (BY,BX) int32,
+             per-block Y thresholds (BY,BX, 4) float32)."""
+    pos = np.arange(64)
+    row, col = pos // 8, pos % 8
+    quad = ((row >= 4).astype(np.int64) * 2 + (col >= 4))
+    notllf = pos != 0
+    hf_region = (((row >= 7) & (col >= 7))
+                 | (((row == 7) | (col == 7)) & (row >= 4) & (col >= 4)))
+    quad_masks = [(quad == i) & notllf for i in range(4)]
+
+    quant0 = raw_quant.astype(np.float64)
+    scale0 = quant0 / inv_gs
+    qmul = {1: 1.0, 0: x_mul, 2: b_mul}
+    hf_mul = {0: 70.0, 1: 30.0, 2: 60.0}
+    trial_thr = np.array([0.58, 0.64, 0.64, 0.64])
+
+    quant_final = np.zeros_like(quant0)  # max over channel results
+    thr_y = np.broadcast_to(trial_thr, raw_quant.shape + (4,)).copy()
+    for c in (1, 0, 2):
+        thr = np.broadcast_to(trial_thr, raw_quant.shape + (4,)).copy()
+        val = coeffs[c] * flat_inv[c] * (scale0 * qmul[c])[..., None]
+        v = _quantize_deadzone(val, trial_thr[quad])
+        av = np.abs(v) * notllf
+        err = np.abs(val - v) * notllf
+        hfnz = np.stack([np.where(m, av, 0).sum(-1)
+                         for m in quad_masks], -1)      # (BY,BX,4)
+        sum_vals = av.sum(-1)
+        sum_hf = np.where((v != 0) & hf_region & notllf,
+                          np.abs(val), 0).sum(-1)
+        quant = quant0.copy()
+        if c == 1:
+            hfme = np.stack(
+                [np.where(m & (v == 0), err, 0).max(-1)
+                 for m in quad_masks], -1)
+            allzero = sum_vals * 8 < 1.0
+            bump = allzero & ((hfnz[..., 1:] == 0)
+                              & (hfme[..., 1:] > 0.46)).any(-1)
+            new_quant = quant + bump
+            ratio = new_quant / quant
+            cond3 = allzero & (hfnz[..., 3] == 0) & (hfme[..., 3] > 0.46)
+            cond12 = allzero & ~cond3 & (
+                ((hfnz[..., 1] == 0) & (hfme[..., 1] > 0.46))
+                | ((hfnz[..., 2] == 0) & (hfme[..., 2] > 0.46)))
+            cond0 = allzero & ~cond3 & ~cond12 \
+                & (hfnz[..., 0] == 0) & (hfme[..., 0] > 0.46)
+            thr[..., 3] = np.where(
+                cond3, 0.9999 * hfme[..., 3] * ratio, thr[..., 3])
+            t12 = 0.9999 * np.maximum(hfme[..., 1], hfme[..., 2]) * ratio
+            thr[..., 1] = np.where(cond12, t12, thr[..., 1])
+            thr[..., 2] = np.where(cond12, t12, thr[..., 2])
+            thr[..., 0] = np.where(
+                cond0, 0.9999 * hfme[..., 0] * ratio, thr[..., 0])
+            quant = new_quant
+        # High-frequency pattern boost (enc_group.cc:208-218).
+        allnz = hfnz.sum(-1) + 1.0
+        boost = hf_mul[c] * sum_hf
+        quant = np.where(boost >= allnz,
+                         np.minimum(quant + np.trunc(boost / allnz),
+                                    quant_max - 1), quant)
+        # Flat-DCT8 blockiness fix (cc:219-228).
+        quant = np.where(hfnz.sum(-1) < 11,
+                         np.minimum(quant + 1, quant_max - 1), quant)
+        # Activity-based reduction (cc:306-327).
+        min_hf = hfnz.min(-1)
+        activity = np.where(min_hf < 15.0,
+                            np.trunc(min_hf), 15.0)
+        if c == 1:
+            thr[..., 1:] += 0.01 * activity[..., None]
+            thr_y = thr
+        qp = quant - activity
+        limit = np.maximum(4, np.trunc(quant / 2))
+        qp = np.maximum(qp, limit)
+        quant_final = np.maximum(quant_final, qp)
+
+    new_rq = np.where(dct8_mask, quant_final,
+                      raw_quant).astype(np.int32)
+    return new_rq, thr_y.astype(np.float32)
+
+
 def compute_vardct_encoding(planes, fd, fh, distance,
                             qf_adjust=None, external_dc=None,
                             quantizer=None, effort=7):
@@ -219,8 +328,26 @@ def compute_vardct_encoding(planes, fd, fh, distance,
               + ytox_map[np.ix_(tile_y, tile_x)] * cmap.color_scale)
     ytob_b = (cmap.base_correlation_b
               + ytob_map[np.ix_(tile_y, tile_x)] * cmap.color_scale)
+    thr_c8 = _deadzone_thresholds(8, 8, True, 1).reshape(64)
+    if effort >= 5:
+        # Hare-and-slower: per-block quant adjustment from trial-
+        # quantization stats (enc_group.cc QuantizeRoundtripYBlockAC's
+        # AdjustQuantBlockAC loop over {Y, X, B}).
+        from libjxl_tpu.vardct.quantizer import QUANT_MAX
+        raw_quant, thr_y_quad = _adjust_quant_blocks(
+            coeffs, flat_inv, raw_quant, quantizer.inv_global_scale,
+            x_mul, b_mul, strategies == acs.DCT8X8, QUANT_MAX)
+        rq = raw_quant.astype(np.float32)
+        scale = rq / quantizer.inv_global_scale
+        pos64 = np.arange(64)
+        quad64 = ((pos64 // 8 >= 4).astype(np.int64) * 2
+                  + (pos64 % 8 >= 4))
+        thr_y8 = thr_y_quad[..., quad64]        # (BY,BX,64)
+    else:
+        thr_y8 = _deadzone_thresholds(8, 8, False, 1).reshape(64)
     sc = scale[..., None]
-    qy = np.round(coeffs[1] * flat_inv[1] * sc).astype(np.int32)
+    qy = _quantize_deadzone(coeffs[1] * flat_inv[1] * sc,
+                            thr_y8).astype(np.int32)
     # AdjustQuantBias for the y channel (bias index 1).
     xq = qy.astype(np.float32)
     by_bias = 1.0 - 0.07005449891748593
@@ -232,10 +359,12 @@ def compute_vardct_encoding(planes, fd, fh, distance,
     dq_y = biased_y * flat_table[1] / sc
     # X/B coefficients are stored scaled UP by the qm multiplier; the
     # decoder divides it back out (enc_cache.cc:78, dec_cache.h:161).
-    qx = np.round((coeffs[0] - ytox_b[..., None] * dq_y)
-                  * flat_inv[0] * (sc * x_mul)).astype(np.int32)
-    qb = np.round((coeffs[2] - ytob_b[..., None] * dq_y)
-                  * flat_inv[2] * (sc * b_mul)).astype(np.int32)
+    qx = _quantize_deadzone((coeffs[0] - ytox_b[..., None] * dq_y)
+                            * flat_inv[0] * (sc * x_mul),
+                            thr_c8).astype(np.int32)
+    qb = _quantize_deadzone((coeffs[2] - ytob_b[..., None] * dq_y)
+                            * flat_inv[2] * (sc * b_mul),
+                            thr_c8).astype(np.int32)
     qall = np.stack([qx, qy, qb], axis=0)  # (3,BY,BX,64)
     qall[..., 0] = 0  # LLF slot not coded
 
@@ -254,13 +383,17 @@ def compute_vardct_encoding(planes, fd, fh, distance,
         ytox0 = cmap.ytox(int(ytox_map[by0 // 8, bx0 // 8]))
         ytob0 = cmap.ytob(int(ytob_map[by0 // 8, bx0 // 8]))
         q = np.zeros((3, size), np.int32)
-        q[1] = np.round(cblock[1] * inv_s[1] * sc_s)
+        thr_yb = _deadzone_thresholds(ly * 8, lx * 8, False,
+                                      cx * cy).reshape(size)
+        thr_cb = _deadzone_thresholds(ly * 8, lx * 8, True,
+                                      cx * cy).reshape(size)
+        q[1] = _quantize_deadzone(cblock[1] * inv_s[1] * sc_s, thr_yb)
         dqy = adjust_quant_bias(q[None, 1].repeat(3, 0))[1] \
             * t_s[1] / sc_s
-        q[0] = np.round((cblock[0] - ytox0 * dqy) * inv_s[0]
-                        * (sc_s * x_mul))
-        q[2] = np.round((cblock[2] - ytob0 * dqy) * inv_s[2]
-                        * (sc_s * b_mul))
+        q[0] = _quantize_deadzone((cblock[0] - ytox0 * dqy) * inv_s[0]
+                                  * (sc_s * x_mul), thr_cb)
+        q[2] = _quantize_deadzone((cblock[2] - ytob0 * dqy) * inv_s[2]
+                                  * (sc_s * b_mul), thr_cb)
         # Zero LLF slots (first cy x cx of the layout grid).
         grid = q.reshape(3, ly * 8, lx * 8)
         grid[:, :ly, :lx] = 0

@@ -53,13 +53,21 @@ def test_lossy_roundtrip_quality(distance, max_mean_err):
 
 
 def test_lossy_rate_quality_tradeoff():
+    from libjxl_tpu.metrics.butteraugli import butteraugli_distance
     img = _gradient_image(64, 64)
-    sizes = [len(encode(img, distance=d)) for d in (0.5, 1.0, 2.0, 4.0)]
-    # Rate decreases with distance (tiny images tolerate a few bytes of
-    # heuristic noise between adjacent distances).
-    for a, b in zip(sizes, sizes[1:]):
-        assert b <= a * 1.05 + 32, sizes
+    dists = (0.5, 1.0, 2.0, 4.0)
+    streams = [encode(img, distance=d) for d in dists]
+    sizes = [len(s) for s in streams]
+    # On tiny images the per-block quant adjustments
+    # (AdjustQuantBlockAC analogue) can locally invert adjacent byte
+    # sizes; QUALITY must still be ordered and the endpoints monotone.
+    # Strict per-step rate monotonicity is asserted on a 256x256 image
+    # in test_lossy_rate_strictly_monotone_large.
+    bas = [butteraugli_distance(img, decode(s).pixels) for s in streams]
+    for a, b in zip(bas, bas[1:]):
+        assert b >= a - 0.05, bas
     assert sizes[-1] < sizes[0], sizes
+    assert sizes[-1] < sizes[1] and sizes[-2] < sizes[0], sizes
 
 
 def test_lossy_multigroup():
