@@ -45,7 +45,7 @@ def get_lib():
     lib.mod_decoder_create.restype = C.c_void_p
     lib.mod_decoder_create.argtypes = [
         C.c_char_p, C.c_uint64, C.c_uint64,
-        C.POINTER(C.c_uint16), C.POINTER(C.c_uint16), C.POINTER(C.c_uint32),
+        C.POINTER(C.c_uint64),
         C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int,
         C.c_int, C.c_uint32, C.c_uint32, C.c_uint32, C.POINTER(C.c_int32),
         C.c_uint32]
@@ -119,16 +119,24 @@ class NativeModularDecoder:
     def __init__(self, data: bytes, bit_pos: int, codes, distance_mult: int):
         lib = get_lib()
         n = codes.num_histograms
-        self._value = np.concatenate(
-            [t.value for t in codes.alias_tables]).astype(np.uint16)
-        self._offset = np.concatenate(
-            [t.offset for t in codes.alias_tables]).astype(np.uint16)
-        self._freq = np.concatenate(
-            [t.freq for t in codes.alias_tables]).astype(np.uint32)
-        self._cmap = np.array(codes.context_map, np.uint8)
-        self._cfgs = np.array(
-            [[c.split_exponent, c.msb_in_token, c.lsb_in_token]
-             for c in codes.uint_configs], np.int32)
+        cached = getattr(codes, "_native_cache", None)
+        if cached is None:
+            # Interleaved alias slots (value | offset<<16 | freq<<32),
+            # built once per EntropyCodes and reused across sections.
+            value = np.concatenate(
+                [t.value for t in codes.alias_tables]).astype(np.uint64)
+            offset = np.concatenate(
+                [t.offset for t in codes.alias_tables]).astype(np.uint64)
+            freq = np.concatenate(
+                [t.freq for t in codes.alias_tables]).astype(np.uint64)
+            packed = (value | (offset << 16) | (freq << 32))
+            cmap = np.array(codes.context_map, np.uint8)
+            cfgs = np.array(
+                [[c.split_exponent, c.msb_in_token, c.lsb_in_token]
+                 for c in codes.uint_configs], np.int32)
+            cached = (np.ascontiguousarray(packed), cmap, cfgs)
+            codes._native_cache = cached
+        self._packed, self._cmap, self._cfgs = cached
         lz = codes.lz77
         self._lzcfg = np.array(
             [lz.length_uint_config.split_exponent,
@@ -137,8 +145,8 @@ class NativeModularDecoder:
         self._data = data  # keep alive
         self.handle = lib.mod_decoder_create(
             data, len(data), bit_pos,
-            _as_ptr(self._value, C.c_uint16), _as_ptr(self._offset, C.c_uint16),
-            _as_ptr(self._freq, C.c_uint32), _as_ptr(self._cmap, C.c_uint8),
+            _as_ptr(self._packed, C.c_uint64),
+            _as_ptr(self._cmap, C.c_uint8),
             _as_ptr(self._cfgs, C.c_int32), n,
             1 if lz.enabled else 0, lz.min_symbol, lz.min_length,
             codes.lz77_distance_ctx if lz.enabled else 0,

@@ -40,6 +40,18 @@ struct BitReaderC {
   bool overread;
 
   void refill(uint32_t need) {
+    if (bits >= need) return;
+    if (pos + 8 <= size) {
+      // Bulk refill: one unaligned 64-bit load tops the buffer up to
+      // >= 56 bits (need is always <= 32).
+      uint64_t chunk;
+      __builtin_memcpy(&chunk, data + pos, 8);
+      buf |= chunk << bits;
+      uint32_t nbytes = (63 - bits) >> 3;
+      pos += nbytes;
+      bits += nbytes * 8;
+      return;
+    }
     while (bits < need) {
       if (pos < size) {
         buf |= static_cast<uint64_t>(data[pos++]) << bits;
@@ -81,9 +93,9 @@ struct UintCfg {
 struct AnsDecoderC {
   BitReaderC* br;
   uint32_t state;
-  const uint16_t* alias_value;   // [clusters][4096]
-  const uint16_t* alias_offset;
-  const uint32_t* alias_freq;
+  // Interleaved alias slots: value | offset<<16 | freq<<32 — one
+  // 8-byte load per symbol instead of three table hits.
+  const uint64_t* alias_packed;  // [clusters][4096]
   const uint8_t* context_map;    // ctx -> cluster
   const UintCfg* cfgs;           // per cluster
   int use_prefix;                // prefix codes unsupported natively
@@ -101,9 +113,10 @@ struct AnsDecoderC {
   inline uint32_t read_symbol(uint32_t cluster) {
     uint32_t res = state & (kAnsTabSize - 1);
     const size_t base = static_cast<size_t>(cluster) * kAnsTabSize + res;
-    uint32_t freq = alias_freq[base];
-    uint32_t off = alias_offset[base];
-    uint32_t sym = alias_value[base];
+    const uint64_t slot = alias_packed[base];
+    uint32_t sym = static_cast<uint32_t>(slot & 0xFFFF);
+    uint32_t off = static_cast<uint32_t>((slot >> 16) & 0xFFFF);
+    uint32_t freq = static_cast<uint32_t>(slot >> 32);
     state = freq * (state >> kAnsLogTabSize) + off;
     if (state < (1u << 16)) {
       state = (state << 16) | br->peek16();
@@ -410,8 +423,7 @@ struct ModularDecoderHandle {
 
 ModularDecoderHandle* mod_decoder_create(
     const uint8_t* data, uint64_t size, uint64_t bit_pos,
-    const uint16_t* alias_value, const uint16_t* alias_offset,
-    const uint32_t* alias_freq, const uint8_t* context_map,
+    const uint64_t* alias_packed, const uint8_t* context_map,
     const int32_t* uint_cfgs /* [clusters][3] */, int num_clusters,
     int lz77_enabled, uint32_t lz77_min_symbol, uint32_t lz77_min_length,
     uint32_t lz77_ctx, const int32_t* lz77_cfg /* [3] */,
@@ -439,9 +451,7 @@ ModularDecoderHandle* mod_decoder_create(
                          static_cast<uint32_t>(uint_cfgs[i * 3 + 2])};
   }
   h->ans.br = &h->br;
-  h->ans.alias_value = alias_value;
-  h->ans.alias_offset = alias_offset;
-  h->ans.alias_freq = alias_freq;
+  h->ans.alias_packed = alias_packed;
   h->ans.context_map = context_map;
   h->ans.cfgs = h->cfg_storage.data();
   h->ans.use_prefix = 0;
