@@ -103,7 +103,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            photon_noise_iso: float | None = None,
            extra_channels: list | None = None,
            color_encoding=None, cmyk: bool = False,
-           aux_out=None) -> bytes:
+           aux_out=None, debug_dir: str | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
     image: (H, W, 3) or (H, W); uint8, uint16 or float in [0, 1].
@@ -302,7 +302,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling,
                             ar_sharpness=effort >= 6, effort=effort,
-                            aux_out=aux_out)
+                            aux_out=aux_out, debug_dir=debug_dir)
         if dc_frame and resampling == 1:
             # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
             # image as a kDCFrame, then reference it from the main
@@ -461,7 +461,36 @@ def _render_spot(color3: np.ndarray, meta, ecs: list) -> np.ndarray:
 
 def decode(data: bytes, device: bool = False,
            float_out: bool = False,
-           render_spotcolors: bool = True) -> DecodeResult:
+           render_spotcolors: bool = True,
+           dtype=None) -> DecodeResult:
+    """dtype: None (native bit depth), or one of np.uint8/np.uint16/
+    np.float16/np.float32 — the JxlPixelFormat data_type surface
+    (dec_external_image.h ConvertToExternal)."""
+    if dtype is not None:
+        dtype = np.dtype(dtype)
+        if dtype.kind == "f":
+            res = _decode_impl(data, device, True, render_spotcolors)
+            px = res.pixels
+            if px.dtype.kind == "u":
+                # Modular path returns native integers; normalize.
+                px = px.astype(np.float64) / np.iinfo(px.dtype).max
+            res.pixels = px.astype(dtype)
+            return res
+        res = decode(data, device=device,
+                     render_spotcolors=render_spotcolors)
+        if res.pixels.dtype != dtype:
+            src_max = float(np.iinfo(res.pixels.dtype).max)
+            dst_max = float(np.iinfo(dtype).max)
+            res.pixels = np.clip(np.round(
+                res.pixels.astype(np.float64) * (dst_max / src_max)),
+                0, dst_max).astype(dtype)
+        return res
+    return _decode_impl(data, device, float_out, render_spotcolors)
+
+
+def _decode_impl(data: bytes, device: bool = False,
+                 float_out: bool = False,
+                 render_spotcolors: bool = True) -> DecodeResult:
     if is_container(data):
         data = unpack_container(data).codestream
     r = BitReader(data)

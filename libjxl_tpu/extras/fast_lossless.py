@@ -1,0 +1,31 @@
+"""Standalone fast-lossless encoder (fjxl).
+
+Reference: lib/jxl/enc_fast_lossless.{h,cc} JxlFastLosslessEncode — a
+self-contained effort-1 streaming lossless encoder: fixed YCoCg-style
+RCT, clamped-gradient prediction with a fixed tree, no search. This
+module exposes the same standalone-API shape over this codec's
+fast-lossless path (the `effort<=3` branch of the main encoder, which
+shares those exact choices).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def fast_lossless_encode(pixels: np.ndarray, *,
+                         big_endian: bool = False) -> bytes:
+    """JxlFastLosslessEncode (enc_fast_lossless.h:51): (H, W, 1|2|3|4)
+    uint8/uint16 samples -> complete JPEG XL codestream, single shot,
+    no options. Raises on unsupported shapes/dtypes like the C API
+    returns 0."""
+    from libjxl_tpu.api.simple import encode
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (H, W, {1,2,3,4}) samples")
+    if pixels.dtype not in (np.uint8, np.uint16):
+        raise ValueError("expected uint8 or uint16 samples")
+    if big_endian and pixels.dtype == np.uint16:
+        pixels = pixels.byteswap()
+    return encode(np.ascontiguousarray(pixels), lossless=True, effort=1)

@@ -440,7 +440,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         external_dc: np.ndarray | None = None,
                         ar_sharpness: bool = False,
                         effort: int = 7,
-                        aux_out=None) -> None:
+                        aux_out=None,
+                        debug_dir: str | None = None) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -603,11 +604,41 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
 
     if aux_out is not None:
         aux_out.count_strategies(strategies)
+    if debug_dir is not None:
+        _dump_debug_images(debug_dir, enc, sharpness_map, fd)
     _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map, ytob_map, extra_channels, noise_lut,
                            patches, splines, sharpness_map,
                            aux_out=aux_out)
+
+
+
+def _dump_debug_images(debug_dir, enc, sharpness_map, fd) -> None:
+    """DumpPlaneNormalized-style debug dumps (enc_debug_image.cc /
+    cparams.debug_image usage): raw quant field, AC-strategy map, CfL
+    maps and the EPF sharpness field as normalized PNGs."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(debug_dir, exist_ok=True)
+
+    def dump(name, plane):
+        plane = np.asarray(plane, np.float64)
+        lo, hi = plane.min(), plane.max()
+        norm = (plane - lo) / (hi - lo) if hi > lo \
+            else np.zeros_like(plane)
+        Image.fromarray(np.round(norm * 255).astype(np.uint8)).save(
+            os.path.join(debug_dir, name + ".png"))
+
+    dump("raw_quant_field", enc["raw_quant"])
+    dump("ac_strategy", np.maximum(enc["strategies"], 0))
+    dump("ytox_map", enc["ytox_map"])
+    dump("ytob_map", enc["ytob_map"])
+    dump("dc_y", enc["qdc"][1])
+    if sharpness_map is not None:
+        dump("epf_sharpness", sharpness_map)
 
 
 def _split_pass_blocks(blocks_per_group: dict, shifts: list,

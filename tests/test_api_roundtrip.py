@@ -432,3 +432,45 @@ def test_alpha_with_resampling_ref_interop():
     ours = decode(data).pixels
     ref = refjxl.decode(data, dtype="uint8").pixels
     assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+
+def test_decode_dtype_surface():
+    """JxlPixelFormat data_type analogue (dec_external_image.h)."""
+    img = _gradient_image(24, 32)
+    data = encode(img, lossless=True)
+    assert np.array_equal(decode(data, dtype=np.uint8).pixels, img)
+    u16 = decode(data, dtype=np.uint16).pixels
+    assert np.array_equal(u16 >> 8, img)
+    f32 = decode(data, dtype=np.float32).pixels
+    assert f32.dtype == np.float32
+    assert np.allclose(f32 * 255, img, atol=0.51)
+    f16 = decode(data, dtype=np.float16).pixels
+    assert f16.dtype == np.float16
+
+
+def test_fast_lossless_standalone():
+    """enc_fast_lossless.h JxlFastLosslessEncode shape."""
+    from libjxl_tpu.extras.fast_lossless import fast_lossless_encode
+    rng = np.random.default_rng(5)
+    for shape in ((16, 24), (16, 24, 3), (16, 24, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = fast_lossless_encode(img)
+        out = decode(data).pixels
+        ref = img if img.ndim == 3 else img[:, :, None]
+        np.testing.assert_array_equal(out[..., :ref.shape[2]], ref)
+    img16 = rng.integers(0, 65536, (12, 18, 3), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        decode(fast_lossless_encode(img16)).pixels, img16)
+    with pytest.raises(ValueError):
+        fast_lossless_encode(img16.astype(np.float32))
+
+
+def test_debug_image_dumps(tmp_path):
+    """enc_debug_image analogue: encode(debug_dir=...) dumps the
+    internal maps."""
+    import os
+    img = _gradient_image(64, 80)
+    encode(img, distance=1.0, effort=6, debug_dir=str(tmp_path))
+    files = set(os.listdir(tmp_path))
+    assert {"raw_quant_field.png", "ac_strategy.png",
+            "ytox_map.png", "ytob_map.png"} <= files
