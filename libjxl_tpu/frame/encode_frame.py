@@ -441,7 +441,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         ar_sharpness: bool = False,
                         effort: int = 7,
                         aux_out=None,
-                        debug_dir: str | None = None) -> None:
+                        debug_dir: str | None = None,
+                        decoding_speed: int = 0) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -518,18 +519,27 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         fh.passes.num_passes = len(pass_shifts)
         for i, s in enumerate(pass_shifts):
             fh.passes.shift[i] = s
-    # Loop filters: gaborish + 2 EPF passes, like the reference's
-    # defaults for photographic content (loop_filter.h, enc_heuristics).
-    # DC frames skip them: smoothing would corrupt the block means they
-    # exist to carry.
+    # Loop filters (enc_frame.cc:315-345): gaborish at hare-or-slower
+    # when distance > 0.5 (and decoding_speed < 4); EPF iteration count
+    # from the distance thresholds {0.7, 1.5, 4.0}, reduced by the
+    # decoding-speed tier. DC frames skip them: smoothing would corrupt
+    # the block means they exist to carry.
     if dc_frame_level is not None:
         fh.loop_filter.all_default = False
         fh.loop_filter.gab = False
         fh.loop_filter.epf_iters = 0
     else:
-        fh.loop_filter.all_default = distance > 0.0
-        fh.loop_filter.gab = True
-        fh.loop_filter.epf_iters = 2
+        gab = effort >= 5 and distance > 0.5 and decoding_speed < 4
+        epf_iters = 0
+        if decoding_speed < 3:
+            for i in range(1 if decoding_speed == 2 else 0, 3):
+                if distance >= (0.7, 1.5, 4.0)[i]:
+                    epf_iters += 1
+        fh.loop_filter.gab = gab
+        fh.loop_filter.epf_iters = epf_iters
+        fh.loop_filter.all_default = (gab and epf_iters == 2)
+        fh.x_qm_scale, fh.b_qm_scale = _chromacity_adjustments(
+            xyb, distance, effort)
     fd = fh.to_frame_dimensions()
 
     # Pad to whole blocks by edge replication.
@@ -639,6 +649,39 @@ def _dump_debug_images(debug_dir, enc, sharpness_map, fd) -> None:
     dump("dc_y", enc["qdc"][1])
     if sharpness_map is not None:
         dump("epf_sharpness", sharpness_map)
+
+
+
+def _chromacity_adjustments(xyb: np.ndarray, distance: float,
+                            effort: int) -> tuple[int, int]:
+    """ComputeChromacityAdjustments (enc_frame.cc:665-692): distance-
+    stepped x_qm_scale plus pixel-stats escalation from worst-case
+    neighbor deltas of the X plane / B-Y exposure."""
+    x_qm = 3
+    for step in (2.5, 5.5, 9.5):
+        if distance > step:
+            x_qm += 1
+    b_qm = 2
+    if effort >= 7 and xyb.shape[1] > 1 and xyb.shape[2] > 1:
+        x_pl = xyb[0]
+        dx = max(float(np.abs(np.diff(x_pl, axis=1)).max()),
+                 float(np.abs(np.diff(x_pl, axis=0)).max()))
+        x_level = 3 if dx >= 0.026 else 2 if dx >= 0.022 \
+            else 1 if dx >= 0.015 else 0
+        x_qm = max(x_qm, 2 + x_level)
+        yp, bp = xyb[1], xyb[2]
+        diff_b = bp - yp
+        db = max(float(np.abs(np.diff(diff_b, axis=1)).max()),
+                 float(np.abs(np.diff(diff_b, axis=0)).max()))
+        exposed = bp - yp * 1.2
+        act = (np.abs(np.diff(bp, axis=1, prepend=bp[:, :1]))
+               + np.abs(np.diff(bp, axis=0, prepend=bp[:1])))
+        eb = float(np.where(exposed >= 0, exposed * act, 0.0)[1:, 1:].max())
+        add = 1 if eb >= 0.13 else 0
+        b_level = (2 + add) if db > 0.38 else (1 + add) if db > 0.33 \
+            else add if db > 0.28 else 0
+        b_qm = 2 + b_level
+    return min(x_qm, 7), min(b_qm, 3)
 
 
 def _split_pass_blocks(blocks_per_group: dict, shifts: list,

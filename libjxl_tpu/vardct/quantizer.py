@@ -56,19 +56,29 @@ class Quantizer:
 
     def set_quant_field(self, quant_dc: float, qf: np.ndarray
                         ) -> np.ndarray:
-        """Quantizer::SetQuantField (quantizer.cc): choose global_scale
-        so the max qf maps near the top of the raw range, then raw
-        quant = round(qf / Scale()) clamped to [1, 256]. Returns the
-        raw int quant field."""
+        """Quantizer::SetQuantField (quantizer.cc:45-115): global_scale
+        chosen so the qf MEDIAN (reduced by its median absolute
+        deviation) maps to raw value kQuantFieldTarget=5 — small raw
+        values keep the coded field cheap and give the integer quant
+        adjustments their intended ~20% granularity. Returns the raw
+        int quant field."""
         qf = np.asarray(qf, np.float32)
-        max_qf = float(qf.max())
-        # quantizer.cc: scale chosen so that max qf maps to ~0.8 * 255.
-        self.global_scale = max(1, min(
-            int(max_qf * GLOBAL_SCALE_DENOM / (QUANT_MAX - 1) + 0.5),
-            1 << 15))
-        scale = self.global_scale / GLOBAL_SCALE_DENOM
-        self.quant_dc = int(np.clip(round(quant_dc / scale), 1, 1 << 16))
-        raw = np.clip(np.round(qf / scale), 1, QUANT_MAX).astype(np.int32)
+        flat = np.sort(qf.ravel())
+        median = float(flat[flat.size // 2])
+        absd = np.sort(np.abs(qf.ravel() - median))
+        mad = float(absd[absd.size // 2])
+        k_quant_field_target = 5.0
+        k_global_scale_numerator = 4096
+        scale = GLOBAL_SCALE_DENOM * (median - mad) / k_quant_field_target
+        scale = max(1.0, min(scale, float(1 << 15)))
+        new_gs = int(scale)
+        scaled_quant_dc = int(quant_dc * k_global_scale_numerator * 1.6)
+        if new_gs > scaled_quant_dc:
+            new_gs = max(scaled_quant_dc, 1)
+        self.global_scale = new_gs
+        inv = GLOBAL_SCALE_DENOM / new_gs
+        self.quant_dc = int(min(quant_dc * inv + 0.5, float(1 << 16)))
+        raw = np.clip(qf * inv + 0.5, 1, QUANT_MAX).astype(np.int32)
         return raw
 
     def decode(self, r: BitReader) -> None:
