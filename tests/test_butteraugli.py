@@ -70,3 +70,47 @@ def test_small_image():
 def test_pnorm():
     dmap = np.full((10, 10), 2.0)
     assert butteraugli_pnorm(dmap, 3.0) == pytest.approx(2.0)
+
+
+class TestButteraugliOracle:
+    """Fidelity of the butteraugli port vs the system libjxl
+    implementation (VERDICT r1 #7: validate the metrics)."""
+
+    def _pairs(self):
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:128, 0:160]
+        base2d = (128 + 80 * np.sin(yy / 23) * np.cos(xx / 17)
+                  + rng.normal(0, 6, (128, 160)))[..., None]
+        base = np.clip(np.repeat(base2d, 3, 2), 0, 255).astype(np.uint8)
+        out = []
+        for sigma in (2, 6, 14):
+            dist = np.clip(base.astype(float)
+                           + rng.normal(0, sigma, base.shape),
+                           0, 255).astype(np.uint8)
+            out.append((base, dist))
+        from libjxl_tpu.api.simple import decode, encode
+        out.append((base, decode(encode(base, distance=2.0)).pixels))
+        return out
+
+    def test_matches_system_libjxl(self):
+        from libjxl_tpu.extras import refjxl
+        if not refjxl.available():
+            pytest.skip("system libjxl unavailable")
+        from libjxl_tpu.metrics.butteraugli import butteraugli_distance
+        for a, b in self._pairs():
+            ours = butteraugli_distance(a, b)
+            ref = refjxl.butteraugli_distance(a, b)
+            # Same perceptual scale: within 15% relative (and ordering
+            # preserved, checked below).
+            assert abs(ours - ref) <= 0.15 * ref + 0.05, (ours, ref)
+
+    def test_ordering_matches_oracle(self):
+        from libjxl_tpu.extras import refjxl
+        if not refjxl.available():
+            pytest.skip("system libjxl unavailable")
+        from libjxl_tpu.metrics.butteraugli import butteraugli_distance
+        ours = [butteraugli_distance(a, b) for a, b in self._pairs()[:3]]
+        ref = [refjxl.butteraugli_distance(a, b)
+               for a, b in self._pairs()[:3]]
+        assert sorted(range(3), key=lambda i: ours[i]) == \
+            sorted(range(3), key=lambda i: ref[i])
