@@ -86,6 +86,7 @@ class FrameSettings:
     photon_noise_iso: float | None = None
     dots: bool = False
     patches: bool = True
+    modular: bool = False
     options: dict = dataclasses.field(default_factory=dict)
 
     def set_option(self, option, value) -> None:
@@ -107,6 +108,8 @@ class FrameSettings:
             self.dots = value == 1
         elif option == FrameSettingId.PATCHES:
             self.patches = value != 0
+        elif option == FrameSettingId.MODULAR:
+            self.modular = value == 1
         elif option in (FrameSettingId.PROGRESSIVE_AC,
                         FrameSettingId.QPROGRESSIVE_AC):
             self.progressive = value == 1
@@ -181,7 +184,7 @@ class Encoder:
                                 progressive=s.progressive,
                                 noise=s.noise, resampling=s.resampling,
                                 effort=s.effort, dots=s.dots,
-                                patches=s.patches,
+                                patches=s.patches, modular=s.modular,
                                 photon_noise_iso=s.photon_noise_iso,
                                 aux_out=self._stats)
         else:

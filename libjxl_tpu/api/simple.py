@@ -103,6 +103,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            photon_noise_iso: float | None = None,
            extra_channels: list | None = None,
            color_encoding=None, cmyk: bool = False,
+           modular: bool = False,
            aux_out=None, debug_dir: str | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
@@ -118,6 +119,11 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     """
     if distance == 0:
         lossless = True
+    if modular and not lossless:
+        # Lossy modular (cjxl -m with -d > 0): RCT + full squeeze,
+        # post-squeeze residuals snapped to quality-scaled multiples
+        # (enc_modular.cc:980 "responsive" mode).
+        return _encode_modular_lossy(image, distance, container)
     if cmyk:
         # CMYK input: (H, W, 4) ink fractions (or uint8/16). The JXL
         # convention stores inverted samples (1.0 = white / no ink,
@@ -442,6 +448,38 @@ def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
         return arr.transpose(1, 0, 2)[::-1]
     return arr
 
+
+
+def _encode_modular_lossy(image: np.ndarray, distance: float,
+                          container: bool) -> bytes:
+    from libjxl_tpu.frame.encode_frame import encode_modular_frame
+    from libjxl_tpu.modular.codec import Transform, TransformId
+
+    if image.ndim == 2:
+        image = image[:, :, None]
+    h, w, nchan = image.shape
+    if image.dtype not in (np.uint8, np.uint16):
+        raise ValueError("modular encode expects integer samples")
+    bits = 8 if image.dtype == np.uint8 else 16
+    meta = CodecMetadata()
+    meta.size.set(w, h)
+    meta.m.bit_depth = BitDepth.uint(bits)
+    meta.m.xyb_encoded = False
+    meta.m.color_encoding = ColorEncoding.srgb(is_gray=nchan == 1)
+    writer = BitWriter()
+    write_codestream_headers(meta, writer)
+    channels = [image[:, :, c].astype(np.int32)
+                for c in range(min(nchan, 3))]
+    transforms = []
+    if len(channels) >= 3:
+        transforms.append(Transform(id=TransformId.RCT, begin_c=0,
+                                    rct_type=6))
+    transforms.append(Transform(id=TransformId.SQUEEZE, squeezes=[]))
+    encode_modular_frame(channels, meta, writer, transforms=transforms,
+                         lossy_distance=distance)
+    writer.align_to_byte()
+    data = writer.get_bytes()
+    return pack_container(data) if container else data
 
 def _render_spot(color3: np.ndarray, meta, ecs: list) -> np.ndarray:
     """Blends spot-color extra channels into (3, H, W) float color

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                    help="encoder effort 1-9 (<=3 fast-lossless; >=8 "
                         "butteraugli-guided quantization)")
     p.add_argument("--lossless", action="store_true")
+    p.add_argument("-m", "--modular", action="store_true",
+                   help="modular mode (lossless at -d 0; responsive "
+                        "squeeze-quantized at -d > 0)")
     p.add_argument("-p", "--progressive", action="store_true",
                    help="progressive (multi-pass) encoding")
     p.add_argument("--resampling", type=int, default=1, choices=[1, 2, 4, 8],
@@ -96,6 +99,7 @@ def main(argv=None) -> int:
                   effort=args.effort, progressive=args.progressive,
                   resampling=args.resampling, noise=noise,
                   dots=args.dots, container=args.container,
+                  modular=args.modular,
                   color_encoding=hints.get("color_space"))
     dt = time.time() - t0
     with open(args.output, "wb") as f:

@@ -49,9 +49,21 @@ def main(argv=None) -> int:
           f"{'gamma %.4f' % (ce.tf.gamma / 1e7) if ce.tf.have_gamma else TransferFunction(ce.tf.transfer_function).name}")
     print(f"orientation: {m.orientation}")
     if m.extra_channel_info:
+        from libjxl_tpu.frame.headers import ExtraChannelType
         for i, eci in enumerate(m.extra_channel_info):
-            print(f"extra channel {i}: type {eci.type} "
-                  f"{eci.bit_depth.bits_per_sample}-bit name='{eci.name}'")
+            try:
+                tname = ExtraChannelType(eci.type).name.lower()
+            except ValueError:
+                tname = f"type{eci.type}"
+            extra = ""
+            if eci.type == ExtraChannelType.SPOT_COLOR:
+                extra = " rgba=(%.3g,%.3g,%.3g,%.3g)" % eci.spot_color
+            elif eci.type == ExtraChannelType.ALPHA and \
+                    eci.alpha_associated:
+                extra = " premultiplied"
+            print(f"extra channel {i}: {tname} "
+                  f"{eci.bit_depth.bits_per_sample}-bit "
+                  f"name='{eci.name}'{extra}")
     if m.have_animation:
         a = m.animation
         print(f"animation: {a.tps_numerator}/{a.tps_denominator} tps, "

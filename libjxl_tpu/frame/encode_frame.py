@@ -892,12 +892,46 @@ def _emit_sections(w, fh, fd, parts, num_passes: int = 1, aux_out=None):
             w.append_bytes(s)
 
 
+def _squeeze_lossy_quantizer(distance: float, maxval: int,
+                             nb_meta: int):
+    """Per-channel post-squeeze quantization (enc_modular.cc:980-1035):
+    residual channels snap to multiples of q, where q follows the
+    squeeze level (hshift+vshift) via the luma/chroma q-tables."""
+    sq_quality_factor = 0.35
+    sq_luma_factor = 1.1
+    luma_qtable = [163.84 / (1 << i) for i in range(16)]
+    chroma_qtable = [min(1024.0 / (1 << i), 0.5) if 1024.0 / (1 << i) < 0.5
+                     else 1024.0 / (1 << i) for i in range(16)]
+    chroma_qtable = [max(v, 0.5) for v in chroma_qtable]
+    base = 0.25 * (distance ** 1.2) * (maxval / 255.0)
+
+    def quantize(i, ch):
+        shift = min(ch.hshift + ch.vshift, 16)
+        if shift > 0:
+            shift -= 1
+        component = getattr(ch, "component", i - nb_meta) % 3
+        if component in (1, 2):
+            q = base * sq_quality_factor * chroma_qtable[shift]
+        else:
+            q = base * sq_quality_factor * sq_luma_factor \
+                * luma_qtable[shift]
+        q = max(1, int(q))
+        if q == 1:
+            return
+        d = ch.data.astype(np.int64)
+        ch.data = (np.where(d < 0, -((-d + q // 2) // q),
+                            (d + q // 2) // q) * q).astype(ch.data.dtype)
+
+    return quantize
+
+
 def encode_modular_frame(channels: list, metadata: CodecMetadata,
                          w: BitWriter, *, transforms: list | None = None,
                          predictor: int = P_GRADIENT,
                          is_last: bool = True, duration: int = 0,
                          ycbcr_subsampling: list | None = None,
-                         learn_tree: bool = True) -> None:
+                         learn_tree: bool = True,
+                         lossy_distance: float = 0.0) -> None:
     """Lossless modular frame from int channel planes.
 
     ycbcr_subsampling: channel_mode triple (e.g. [0, 1, 0] for 4:2:0;
@@ -925,8 +959,13 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
     mfe = ModularFrameEncoder(fd)
     from libjxl_tpu.frame.modular_frame import (
         stream_modular_ac, stream_modular_dc)
+    quantize = None
+    if lossy_distance > 0:
+        maxval = (1 << metadata.m.bit_depth.bits_per_sample) - 1
+        quantize = _squeeze_lossy_quantizer(lossy_distance, maxval,
+                                            img.nb_meta_channels)
     state = mfe.prepare_global_tree(img, transforms or [], fh,
-                                    learn=learn_tree)
+                                    learn=learn_tree, quantize=quantize)
 
     def write_lf_global(sw):
         DequantMatrices().encode_dc(sw)

@@ -402,10 +402,15 @@ class ModularFrameEncoder:
 
     def prepare_global_tree(self, full_image: ModularImage,
                             transforms: list, fh,
-                            learn: bool = True) -> dict:
+                            learn: bool = True,
+                            quantize: "callable|None" = None) -> dict:
         """Applies transforms, learns a global MA tree, and tokenizes
         every stream up-front so LfGlobal can carry the shared tree +
-        clustered histograms."""
+        clustered histograms.
+
+        quantize: optional fn(channel_index, Channel) -> None mutating
+        each non-meta channel AFTER the forward transforms — the lossy
+        modular hook (enc_modular.cc:1010-1035 QuantizeChannel)."""
         from libjxl_tpu.entropy.codes import stream_arrays
         from libjxl_tpu.frame.ma_learn import learn_tree
         from libjxl_tpu.modular.codec import encode_channels_tokens
@@ -415,6 +420,9 @@ class ModularFrameEncoder:
         for t in transforms:
             _apply_forward_transform(work, t)
 
+        if quantize is not None:
+            for i in range(work.nb_meta_channels, len(work.channel)):
+                quantize(i, work.channel[i])
         first_big = work.nb_meta_channels
         while first_big < len(work.channel):
             fc = work.channel[first_big]

@@ -17,6 +17,9 @@ class Channel:
     data: np.ndarray  # int32 (h, w)
     hshift: int = 0
     vshift: int = 0
+    # Originating color/extra component (modular_image.h:39); squeeze
+    # residual channels inherit it for the lossy quantization tables.
+    component: int = -1
 
     @property
     def w(self) -> int:
@@ -46,13 +49,15 @@ class ModularImage:
     def from_planes(planes: list[np.ndarray], bitdepth: int) -> "ModularImage":
         h, w = planes[0].shape
         img = ModularImage(w, h, bitdepth, 0)
-        img.channel = [Channel(np.asarray(p, np.int32).copy())
-                       for p in planes]
+        img.channel = [Channel(np.asarray(p, np.int32).copy(),
+                               component=i)
+                       for i, p in enumerate(planes)]
         return img
 
     def clone(self) -> "ModularImage":
         img = ModularImage(self.w, self.h, self.bitdepth, 0)
         img.nb_meta_channels = self.nb_meta_channels
-        img.channel = [Channel(c.data.copy(), c.hshift, c.vshift)
+        img.channel = [Channel(c.data.copy(), c.hshift, c.vshift,
+                               c.component)
                        for c in self.channel]
         return img

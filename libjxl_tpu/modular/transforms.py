@@ -455,6 +455,7 @@ def _average(a, b):
 
 def fwd_h_squeeze(image: ModularImage, c: int, rc: int) -> None:
     chin = image.channel[c]
+    _comp = chin.component
     data = chin.data.astype(np.int64)
     w_half = (chin.w + 1) // 2
     res_w = chin.w - w_half
@@ -478,13 +479,14 @@ def fwd_h_squeeze(image: ModularImage, c: int, rc: int) -> None:
         tendency = _smooth_tendency_vec(left, avg[:, x], next_avg)
         res[:, x] = diff[:, x] - tendency
     image.channel[c] = Channel(out.astype(np.int32), chin.hshift + 1,
-                               chin.vshift)
+                               chin.vshift, component=_comp)
     image.channel.insert(rc, Channel(res.astype(np.int32), chin.hshift + 1,
-                                     chin.vshift))
+                                     chin.vshift, component=_comp))
 
 
 def fwd_v_squeeze(image: ModularImage, c: int, rc: int) -> None:
     chin = image.channel[c]
+    _comp = chin.component
     data = chin.data.astype(np.int64)
     h_half = (chin.h + 1) // 2
     res_h = chin.h - h_half
@@ -508,9 +510,9 @@ def fwd_v_squeeze(image: ModularImage, c: int, rc: int) -> None:
         tendency = _smooth_tendency_vec(top, avg[y], next_avg)
         res[y] = diff[y] - tendency
     image.channel[c] = Channel(out.astype(np.int32), chin.hshift,
-                               chin.vshift + 1)
+                               chin.vshift + 1, component=_comp)
     image.channel.insert(rc, Channel(res.astype(np.int32), chin.hshift,
-                                     chin.vshift + 1))
+                                     chin.vshift + 1, component=_comp))
 
 
 def fwd_squeeze(image: ModularImage, squeezes: list) -> None:

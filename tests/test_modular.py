@@ -184,3 +184,42 @@ def test_modular_negative_values():
     img = ModularImage.from_planes(planes, 16)
     out, _ = _roundtrip(img, predictor=P_GRADIENT)
     np.testing.assert_array_equal(img.channel[0].data, out.channel[0].data)
+
+
+class TestLossyModular:
+    """Responsive (squeeze-quantized) modular mode
+    (enc_modular.cc:980-1035)."""
+
+    def _img(self):
+        rng = np.random.default_rng(4)
+        yy, xx = np.mgrid[0:200, 0:280]
+        return np.clip(
+            np.stack([128 + 80 * np.sin(yy / 31) * np.cos(xx / 23)] * 3,
+                     -1) + rng.normal(0, 5, (200, 280, 3)),
+            0, 255).astype(np.uint8)
+
+    def test_rate_quality_and_interop(self):
+        from libjxl_tpu.api.simple import decode, encode
+        img = self._img()
+        sizes = []
+        for d in (1.0, 2.0, 4.0):
+            data = encode(img, distance=d, modular=True)
+            out = decode(data).pixels
+            err = np.abs(out.astype(int) - img.astype(int))
+            assert err.mean() < 2.5 * d + 4.0, (d, err.mean())
+            sizes.append(len(data))
+        assert sizes[0] > sizes[1] > sizes[2], sizes
+        lossless = len(encode(img, lossless=True))
+        assert sizes[0] < lossless / 3
+
+    def test_ref_decodes_lossy_modular(self):
+        from libjxl_tpu.api.simple import decode, encode
+        from libjxl_tpu.extras import refjxl
+        if not refjxl.available():
+            import pytest
+            pytest.skip("system libjxl unavailable")
+        img = self._img()
+        data = encode(img, distance=1.5, modular=True)
+        ours = decode(data).pixels
+        ref = refjxl.decode(data, dtype="uint8").pixels
+        assert np.array_equal(ref, ours)
