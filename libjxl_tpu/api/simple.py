@@ -290,6 +290,12 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                 scene = hlg_display_from_encoded(enc01)
                 disp = hlg_ootf(scene, hlg_ootf_gamma(it))
                 linear = (disp * (it / 255.0)).astype(np.float32)
+        elif image.dtype == np.uint8 and scale == 255.0:
+            from libjxl_tpu.color.xyb import srgb_to_linear_u8
+            src = image[:, :, :min(ncolor, 3)]
+            if ncolor == 1:
+                src = np.repeat(src, 3, axis=2)
+            linear = srgb_to_linear_u8(src).transpose(2, 0, 1)
         else:
             linear = srgb_to_linear(srgb).transpose(2, 0, 1)
         xyb = linear_rgb_to_xyb(linear)

@@ -49,6 +49,19 @@ def xyb_to_linear_rgb(xyb: np.ndarray,
     return rgb.astype(np.float32)
 
 
+_SRGB_LUT8 = None
+
+
+def srgb_to_linear_u8(img: np.ndarray) -> np.ndarray:
+    """sRGB EOTF via a 256-entry LUT for uint8 samples (bit-identical
+    to srgb_to_linear(img / 255))."""
+    global _SRGB_LUT8
+    if _SRGB_LUT8 is None:
+        _SRGB_LUT8 = srgb_to_linear(np.arange(256, dtype=np.float64)
+                                    / 255.0)
+    return _SRGB_LUT8[img]
+
+
 def srgb_to_linear(srgb: np.ndarray) -> np.ndarray:
     """sRGB EOTF (cms/transfer_functions-inl.h TF_SRGB)."""
     srgb = np.asarray(srgb, np.float64)

@@ -269,25 +269,62 @@ def compute_vardct_encoding(planes, fd, fh, distance,
         coeffs[c] = coef.reshape(fd.ysize_blocks, fd.xsize_blocks, 64)
         dc_float[c] = coef[:, :, 0, 0]
 
-    # Large/rect blocks: per-strategy transforms + DC-from-LLF.
+    # Large/rect blocks: batched per-strategy transforms + DC-from-LLF
+    # (one einsum per distinct strategy instead of a per-block loop).
+    from libjxl_tpu.vardct.dct import idct_matrix, resample_scales
     from libjxl_tpu.vardct.reconstruct import transform_from_pixels
     big_blocks = {}
-    for by0, bx0 in zip(*np.nonzero(strategies > 0)):
-        s = int(strategies[by0, bx0])
+    ys_all, xs_all = np.nonzero(strategies > 0)
+    strat_vals = strategies[ys_all, xs_all]
+    _PURE_DCT = {st for st in range(acs.NUM_STRATEGIES)
+                 if acs.COVERED_X[st] * acs.COVERED_Y[st] > 1}
+    for s in (int(v) for v in np.unique(strat_vals)):
+        sel = strat_vals == s
+        bys, bxs = ys_all[sel], xs_all[sel]
         cx, cy = acs.covered_blocks(s)
         ly, lx = acs.coefficient_layout(cy, cx)
-        region = planes[:, by0 * 8:(by0 + cy) * 8, bx0 * 8:(bx0 + cx) * 8]
-        cblock = np.zeros((3, cx * cy * 64), np.float32)
-        for c in range(3):
-            cf = transform_from_pixels(s, region[c].astype(np.float64))
-            cblock[c] = cf
-            grid = cf.reshape(ly * 8, lx * 8)
-            llf = grid[:ly, :lx]
-            if cy >= cx:
-                llf = llf.T
-            dc_float[c, by0:by0 + cy, bx0:bx0 + cx] = \
-                dc_from_llf(llf, cy * 8, cx * 8)
-        big_blocks[(by0, bx0)] = cblock
+        H8, W8 = cy * 8, cx * 8
+        if s not in _PURE_DCT:
+            for by0, bx0 in zip(bys, bxs):
+                region = planes[:, by0 * 8:by0 * 8 + H8,
+                                bx0 * 8:bx0 * 8 + W8]
+                cblock = np.stack([
+                    transform_from_pixels(s, region[c].astype(np.float64))
+                    for c in range(3)]).astype(np.float32)
+                big_blocks[(int(by0), int(bx0))] = cblock
+                for c in range(3):
+                    grid = cblock[c].reshape(ly * 8, lx * 8)
+                    llf = grid[:ly, :lx]
+                    if cy >= cx:
+                        llf = llf.T
+                    dc_float[c, by0:by0 + cy, bx0:bx0 + cx] = \
+                        dc_from_llf(llf, H8, W8)
+            continue
+        n = len(bys)
+        regions = np.empty((n, 3, H8, W8), np.float64)
+        for i in range(n):
+            regions[i] = planes[:, bys[i] * 8:bys[i] * 8 + H8,
+                                bxs[i] * 8:bxs[i] * 8 + W8]
+        mr, mc = dct_matrix(H8), dct_matrix(W8)
+        coef = np.einsum("ui,ncij,wj->ncuw", mr, regions, mc,
+                         optimize=True)
+        if cy >= cx:
+            coef = coef.transpose(0, 1, 3, 2)
+        cflat = np.ascontiguousarray(coef.reshape(n, 3, -1), np.float32)
+        # Batched DC-from-LLF.
+        llf = coef[:, :, :ly, :lx]
+        if cy >= cx:
+            llf = llf.transpose(0, 1, 3, 2)
+        sy = resample_scales(cy, H8)
+        sx = resample_scales(cx, W8)
+        ir, ic = idct_matrix(cy), idct_matrix(cx)
+        dc_blk = np.einsum("yu,ncuv,xv->ncyx", ir,
+                           llf / (sy[:, None] * sx[None, :]), ic,
+                           optimize=True)
+        for i in range(n):
+            by0, bx0 = int(bys[i]), int(bxs[i])
+            big_blocks[(by0, bx0)] = cflat[i]
+            dc_float[:, by0:by0 + cy, bx0:bx0 + cx] = dc_blk[i]
 
     if external_dc is not None:
         # DC comes from the saved DC frame; overwrite the source DC so
@@ -368,36 +405,47 @@ def compute_vardct_encoding(planes, fd, fh, distance,
     qall = np.stack([qx, qy, qb], axis=0)  # (3,BY,BX,64)
     qall[..., 0] = 0  # LLF slot not coded
 
-    # Quantize the large blocks (per-strategy tables, with CfL).
-    from libjxl_tpu.vardct.quantizer import adjust_quant_bias
+    # Quantize the large blocks, batched per strategy (same math as the
+    # old per-block loop: per-strategy tables, CfL from the tile maps).
     big_q = {}
-    for (by0, bx0), cblock in big_blocks.items():
-        s = int(strategies[by0, bx0])
+    by_bias2 = 1.0 - 0.07005449891748593
+    for s in (int(v) for v in np.unique(strat_vals)):
+        sel = strat_vals == s
+        bys, bxs = ys_all[sel], xs_all[sel]
         cx, cy = acs.covered_blocks(s)
         ly, lx = acs.coefficient_layout(cy, cx)
         size = cx * cy * 64
         t_s = matrices.table(s).reshape(3, size)
         inv_s = 1.0 / t_s
-        rqv = int(raw_quant[by0, bx0])
-        sc_s = rqv / quantizer.inv_global_scale
-        ytox0 = cmap.ytox(int(ytox_map[by0 // 8, bx0 // 8]))
-        ytob0 = cmap.ytob(int(ytob_map[by0 // 8, bx0 // 8]))
-        q = np.zeros((3, size), np.int32)
+        cb = np.stack([big_blocks[(int(b), int(x))]
+                       for b, x in zip(bys, bxs)])      # (n, 3, size)
+        sc_s = (raw_quant[bys, bxs].astype(np.float64)
+                / quantizer.inv_global_scale)[:, None]
+        ytox_v = (cmap.base_correlation_x
+                  + ytox_map[bys // 8, bxs // 8]
+                  * cmap.color_scale)[:, None]
+        ytob_v = (cmap.base_correlation_b
+                  + ytob_map[bys // 8, bxs // 8]
+                  * cmap.color_scale)[:, None]
         thr_yb = _deadzone_thresholds(ly * 8, lx * 8, False,
                                       cx * cy).reshape(size)
         thr_cb = _deadzone_thresholds(ly * 8, lx * 8, True,
                                       cx * cy).reshape(size)
-        q[1] = _quantize_deadzone(cblock[1] * inv_s[1] * sc_s, thr_yb)
-        dqy = adjust_quant_bias(q[None, 1].repeat(3, 0))[1] \
+        q1 = _quantize_deadzone(cb[:, 1] * inv_s[1] * sc_s, thr_yb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gen2 = q1 - 0.145 / np.where(q1 == 0, 1, q1)
+        dqy = np.where(q1 == 0, 0.0,
+                       np.where(q1 == 1, by_bias2,
+                                np.where(q1 == -1, -by_bias2, gen2))) \
             * t_s[1] / sc_s
-        q[0] = _quantize_deadzone((cblock[0] - ytox0 * dqy) * inv_s[0]
-                                  * (sc_s * x_mul), thr_cb)
-        q[2] = _quantize_deadzone((cblock[2] - ytob0 * dqy) * inv_s[2]
-                                  * (sc_s * b_mul), thr_cb)
-        # Zero LLF slots (first cy x cx of the layout grid).
-        grid = q.reshape(3, ly * 8, lx * 8)
-        grid[:, :ly, :lx] = 0
-        big_q[(by0, bx0)] = q
+        q0 = _quantize_deadzone((cb[:, 0] - ytox_v * dqy) * inv_s[0]
+                                * (sc_s * x_mul), thr_cb)
+        q2 = _quantize_deadzone((cb[:, 2] - ytob_v * dqy) * inv_s[2]
+                                * (sc_s * b_mul), thr_cb)
+        qn = np.stack([q0, q1, q2], axis=1).astype(np.int32)
+        qn.reshape(-1, 3, ly * 8, lx * 8)[:, :, :ly, :lx] = 0
+        for i, (b, x) in enumerate(zip(bys, bxs)):
+            big_q[(int(b), int(x))] = qn[i]
 
     blocks_per_group: dict = {}
     for g in range(fd.num_groups):
