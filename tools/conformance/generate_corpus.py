@@ -57,6 +57,38 @@ def main(out_dir: str) -> int:
                            preview=True))
     emit("effort8", encode(img, distance=1.0, effort=8))
 
+    # Differential cases (ADVICE r1: the corpus must not be fully
+    # self-golden): streams produced by the INDEPENDENT system libjxl
+    # encoder with goldens from its own decoder — our decoder must
+    # match them; plus our streams with system-libjxl-decoded goldens.
+    try:
+        from libjxl_tpu.extras import refjxl
+        have_ref = refjxl.available()
+    except Exception:
+        have_ref = False
+    if have_ref:
+        def emit_ref_encoded(name, data, tolerance):
+            with open(os.path.join(out_dir, name + ".jxl"), "wb") as f:
+                f.write(data)
+            golden = refjxl.decode(data, dtype="uint8").pixels
+            np.save(os.path.join(out_dir, name + ".npy"),
+                    golden.astype(np.float32) / 255.0)
+            cases[name] = {"rmse": tolerance,
+                           "peak": tolerance * 4 + 1e-6}
+
+        for e in (1, 3, 7):
+            emit_ref_encoded(f"ref_encoded_d1_e{e}",
+                             refjxl.encode(img, distance=1.0, effort=e),
+                             tolerance=0.004)
+        emit_ref_encoded("ref_encoded_lossless",
+                         refjxl.encode(img, lossless=True, effort=3),
+                         tolerance=0.0)
+        emit_ref_encoded("ref_golden_our_stream",
+                         encode(img, distance=1.0), tolerance=0.004)
+    else:
+        print("warning: system libjxl unavailable; corpus is "
+              "self-golden only", file=sys.stderr)
+
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(cases, f, indent=1)
     print(f"wrote {len(cases)} cases to {out_dir}")
