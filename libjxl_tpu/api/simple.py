@@ -103,7 +103,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            photon_noise_iso: float | None = None,
            extra_channels: list | None = None,
            color_encoding=None, cmyk: bool = False,
-           modular: bool = False,
+           modular: bool = False, group_order: bool | tuple = False,
            aux_out=None, debug_dir: str | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
@@ -314,7 +314,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                             pass_shifts=[2, 0] if progressive else None,
                             noise=noise, resampling=resampling,
                             ar_sharpness=effort >= 6, effort=effort,
-                            aux_out=aux_out, debug_dir=debug_dir)
+                            aux_out=aux_out, debug_dir=debug_dir,
+                            group_order_center=group_order or None)
         if dc_frame and resampling == 1:
             # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
             # image as a kDCFrame, then reference it from the main

@@ -490,7 +490,9 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         effort: int = 7,
                         aux_out=None,
                         debug_dir: str | None = None,
-                        decoding_speed: int = 0) -> None:
+                        decoding_speed: int = 0,
+                        group_order_center: tuple | bool | None = None
+                        ) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -668,7 +670,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map, ytob_map, extra_channels, noise_lut,
                            patches, splines, sharpness_map,
-                           aux_out=aux_out)
+                           aux_out=aux_out,
+                           group_order_center=group_order_center)
 
 
 
@@ -758,7 +761,8 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            qdc, raw_quant, strategies, blocks_per_group,
                            ytox_map=None, ytob_map=None,
                            extra_channels=None, noise_lut=None, patches=None,
-                           splines=None, sharpness_map=None, aux_out=None):
+                           splines=None, sharpness_map=None, aux_out=None,
+                           group_order_center=None):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -899,10 +903,53 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     parts += [write_ac_global]
     parts += [(lambda g, p: (lambda sw: write_ac_group(sw, g, p)))(g, p)
               for p in range(num_passes) for g in range(fd.num_groups)]
-    _emit_sections(w, fh, fd, parts, num_passes, aux_out=aux_out)
+    perm = None
+    if group_order_center is not None and group_order_center is not False \
+            and fd.num_groups > 1:
+        center = None if group_order_center is True else group_order_center
+        perm = _center_first_permutation(fd, num_passes, center)
+    _emit_sections(w, fh, fd, parts, num_passes, aux_out=aux_out,
+                   permutation=perm)
 
 
-def _emit_sections(w, fh, fd, parts, num_passes: int = 1, aux_out=None):
+
+def _center_first_permutation(fd, num_passes: int,
+                              center: tuple | None = None) -> list[int]:
+    """ComputePermutationForCenterFirst (enc_frame.cc:1725-1790):
+    AC groups ordered by concentric squares around the center group,
+    clockwise from the side nearest the requested center point."""
+    import math
+    perm = list(range(fd.num_dc_groups + 2))
+    gd = fd.group_dim
+    icx = center[0] if center is not None else fd.xsize // 2
+    icy = center[1] if center is not None else fd.ysize // 2
+    cx = (icx // gd) * gd + gd // 2
+    cy = (icy // gd) * gd + gd // 2
+    direction = -math.atan2(icy - cy, icx - cx)
+    side = int(math.fmod(direction + 5 * math.pi / 4, 2 * math.pi)
+               * 2 / math.pi)
+
+    def key(gid):
+        r = fd.group_rect(gid)
+        gcx, gcy = r.x0 + gd // 2, r.y0 + gd // 2
+        dx, dy = gcx - cx, gcy - cy
+        angle = math.remainder(
+            math.atan2(dy, dx) + math.pi / 4 + side * (math.pi / 2),
+            2 * math.pi)
+        return (max(abs(dx), abs(dy)), angle)
+
+    order = sorted(range(fd.num_groups), key=key)
+    inv = [0] * fd.num_groups
+    for i, v in enumerate(order):
+        inv[v] = i
+    for _ in range(num_passes):
+        base = len(perm)
+        perm.extend(base + v for v in inv)
+    return perm
+
+
+def _emit_sections(w, fh, fd, parts, num_passes: int = 1, aux_out=None,
+                   permutation: list | None = None):
     """Write frame header + TOC + sections. Single-TOC-entry frames
     concatenate all parts bit-unaligned in one section
     (enc_frame.cc one-shot small-frame path); otherwise each section is
@@ -933,6 +980,17 @@ def _emit_sections(w, fh, fd, parts, num_passes: int = 1, aux_out=None):
             sw.align_to_byte()
             sections.append(sw.get_bytes())
         pos0 = w.bits_written
+        if permutation is not None:
+            stream_order = [0] * len(permutation)
+            for old, new in enumerate(permutation):
+                stream_order[new] = old
+            write_toc([len(sections[o]) for o in stream_order], w,
+                      permutation=permutation)
+            if aux_out is not None:
+                aux_out.add("toc", w.bits_written - pos0)
+            for o in stream_order:
+                w.append_bytes(sections[o])
+            return
         write_toc([len(s) for s in sections], w)
         if aux_out is not None:
             aux_out.add("toc", w.bits_written - pos0)

@@ -348,3 +348,34 @@ class TestEncoderStatsAndSettings:
         data = enc.process_output()
         st = enc.stats()
         assert st["layers_bits"]["modular_global"] > 0
+
+
+def test_center_first_group_order():
+    """ComputePermutationForCenterFirst (enc_frame.cc:1725): the TOC
+    permutation reorders AC groups center-out; pixels are unchanged."""
+    from libjxl_tpu.api.simple import decode, encode
+    rng = np.random.default_rng(2)
+    img = np.clip(rng.normal(128, 40, (600, 800, 3)),
+                  0, 255).astype(np.uint8)
+    base = decode(encode(img, distance=1.0, effort=4)).pixels
+    for go in (True, (100, 50)):
+        data = encode(img, distance=1.0, effort=4, group_order=go)
+        np.testing.assert_array_equal(decode(data).pixels, base)
+
+
+def test_center_first_permutation_shape():
+    from libjxl_tpu.base.frame_dimensions import FrameDimensions
+    from libjxl_tpu.frame.encode_frame import _center_first_permutation
+    fd = FrameDimensions.make(800, 600)
+    perm = _center_first_permutation(fd, 1)
+    n = 2 + fd.num_dc_groups + fd.num_groups
+    assert sorted(perm) == list(range(n))
+    # The first AC group in the stream is the central one.
+    first_stream_ac = perm.index(2 + fd.num_dc_groups, 0)  # noqa: unused
+    order = [0] * fd.num_groups
+    for g in range(fd.num_groups):
+        order[perm[2 + fd.num_dc_groups + g] - 2 - fd.num_dc_groups] = g
+    center_g = order[0]
+    gy, gx = divmod(center_g, fd.xsize_groups)
+    assert abs(gx - fd.xsize_groups // 2) <= 1
+    assert abs(gy - fd.ysize_groups // 2) <= 1
