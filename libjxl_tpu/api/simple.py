@@ -104,6 +104,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            extra_channels: list | None = None,
            color_encoding=None, cmyk: bool = False,
            modular: bool = False, group_order: bool | tuple = False,
+           already_downsampled: bool = False,
            aux_out=None, debug_dir: str | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
@@ -154,7 +155,13 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
         scale = 1.0
 
     meta = CodecMetadata()
-    meta.size.set(w, h)
+    if already_downsampled and resampling != 1:
+        # ALREADY_DOWNSAMPLED: the supplied pixels are at the coded
+        # (1/N) resolution; the image header carries the full size
+        # (encode.h JXL_ENC_FRAME_SETTING_ALREADY_DOWNSAMPLED).
+        meta.size.set(w * resampling, h * resampling)
+    else:
+        meta.size.set(w, h)
     meta.m.bit_depth = BitDepth.uint(bits)
     if hdr is not None:
         # HDR signalling: BT.2100 primaries + PQ/HLG transfer and the
@@ -315,7 +322,8 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                             noise=noise, resampling=resampling,
                             ar_sharpness=effort >= 6, effort=effort,
                             aux_out=aux_out, debug_dir=debug_dir,
-                            group_order_center=group_order or None)
+                            group_order_center=group_order or None,
+                            already_downsampled=already_downsampled)
         if dc_frame and resampling == 1:
             # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
             # image as a kDCFrame, then reference it from the main
@@ -469,7 +477,13 @@ def _encode_modular_lossy(image: np.ndarray, distance: float,
         raise ValueError("modular encode expects integer samples")
     bits = 8 if image.dtype == np.uint8 else 16
     meta = CodecMetadata()
-    meta.size.set(w, h)
+    if already_downsampled and resampling != 1:
+        # ALREADY_DOWNSAMPLED: the supplied pixels are at the coded
+        # (1/N) resolution; the image header carries the full size
+        # (encode.h JXL_ENC_FRAME_SETTING_ALREADY_DOWNSAMPLED).
+        meta.size.set(w * resampling, h * resampling)
+    else:
+        meta.size.set(w, h)
     meta.m.bit_depth = BitDepth.uint(bits)
     meta.m.xyb_encoded = False
     meta.m.color_encoding = ColorEncoding.srgb(is_gray=nchan == 1)
@@ -759,7 +773,13 @@ def encode_animation(frames: list, *, durations: list | None = None,
     scale = 65535.0 if bits == 16 else 255.0
 
     meta = CodecMetadata()
-    meta.size.set(w, h)
+    if already_downsampled and resampling != 1:
+        # ALREADY_DOWNSAMPLED: the supplied pixels are at the coded
+        # (1/N) resolution; the image header carries the full size
+        # (encode.h JXL_ENC_FRAME_SETTING_ALREADY_DOWNSAMPLED).
+        meta.size.set(w * resampling, h * resampling)
+    else:
+        meta.size.set(w, h)
     meta.m.bit_depth = BitDepth.uint(bits)
     meta.m.have_animation = True
     meta.m.animation.tps_numerator = tps[0]

@@ -491,8 +491,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         aux_out=None,
                         debug_dir: str | None = None,
                         decoding_speed: int = 0,
-                        group_order_center: tuple | bool | None = None
-                        ) -> None:
+                        group_order_center: tuple | bool | None = None,
+                        already_downsampled: bool = False) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
@@ -501,7 +501,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     Writes frame header + TOC + sections into `w` (byte-aligned)."""
     if resampling not in (1, 2, 4, 8):
         raise ValueError("resampling must be 1, 2, 4 or 8")
-    if resampling != 1:
+    if resampling != 1 and not already_downsampled:
         # Box-downsample to the coded resolution (encoder freedom;
         # cjxl --resampling).
         n = resampling

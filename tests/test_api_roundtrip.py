@@ -474,3 +474,18 @@ def test_debug_image_dumps(tmp_path):
     files = set(os.listdir(tmp_path))
     assert {"raw_quant_field.png", "ac_strategy.png",
             "ytox_map.png", "ytob_map.png"} <= files
+
+
+def test_already_downsampled():
+    """JXL_ENC_FRAME_SETTING_ALREADY_DOWNSAMPLED: pixels supplied at
+    the coded 1/N resolution; header carries the full size."""
+    rng = np.random.default_rng(3)
+    small = np.clip(rng.normal(128, 30, (60, 80, 3)),
+                    0, 255).astype(np.uint8)
+    data = encode(small, distance=1.0, resampling=2,
+                  already_downsampled=True)
+    res = decode(data)
+    assert res.pixels.shape == (120, 160, 3)
+    # The decoded full-size image downsamples back near the input.
+    back = res.pixels.astype(float).reshape(60, 2, 80, 2, 3).mean((1, 3))
+    assert np.abs(back - small).mean() < 6.0
