@@ -479,9 +479,7 @@ def test_debug_image_dumps(tmp_path):
 def test_already_downsampled():
     """JXL_ENC_FRAME_SETTING_ALREADY_DOWNSAMPLED: pixels supplied at
     the coded 1/N resolution; header carries the full size."""
-    rng = np.random.default_rng(3)
-    small = np.clip(rng.normal(128, 30, (60, 80, 3)),
-                    0, 255).astype(np.uint8)
+    small = _gradient_image(60, 80)
     data = encode(small, distance=1.0, resampling=2,
                   already_downsampled=True)
     res = decode(data)
