@@ -88,11 +88,21 @@ def epf0(img: np.ndarray, lf, inv_sigma_blocks: np.ndarray) -> np.ndarray:
     X = img.copy()
     wsum = np.ones((h, w), np.float32)
     center = img
+    # Shared shifted-difference fields: |at(p) - at(s+p)| is the
+    # candidate-offset difference field shifted by p, so each SAD is 5
+    # slices of one precomputed array (identical sums, ~4x less work).
+    pw = p.shape[2]
+    ph = p.shape[1]
     for (sy, sx) in offsets:
+        dfull = (np.abs(p[:, max(0, -sy):ph - max(0, sy),
+                          max(0, -sx):pw - max(0, sx)]
+                        - p[:, max(0, sy):ph - max(0, -sy),
+                            max(0, sx):pw - max(0, -sx)])
+                 * scales).sum(axis=0)
+        oy, ox = 3 - max(0, -sy), 3 - max(0, -sx)
         sad = np.zeros((h, w), np.float32)
         for (py, px) in plus:
-            sad += (np.abs(at(py, px) - at(sy + py, sx + px))
-                    * scales).sum(axis=0)
+            sad += dfull[oy + py:oy + py + h, ox + px:ox + px + w]
         wgt = _weight(sad, inv_sigma)
         X += wgt[None] * at(sy, sx)
         wsum += wgt
@@ -119,11 +129,17 @@ def epf1(img: np.ndarray, lf, inv_sigma_blocks: np.ndarray) -> np.ndarray:
     cands = [(-1, 0), (0, -1), (0, 1), (1, 0)]
     X = img.copy()
     wsum = np.ones((h, w), np.float32)
+    ph, pw = p.shape[1], p.shape[2]
     for (sy, sx) in cands:
+        dfull = (np.abs(p[:, max(0, -sy):ph - max(0, sy),
+                          max(0, -sx):pw - max(0, sx)]
+                        - p[:, max(0, sy):ph - max(0, -sy),
+                            max(0, sx):pw - max(0, -sx)])
+                 * scales).sum(axis=0)
+        oy, ox = 2 - max(0, -sy), 2 - max(0, -sx)
         sad = np.zeros((h, w), np.float32)
         for (py, px) in plus:
-            sad += (np.abs(at(py, px) - at(sy + py, sx + px))
-                    * scales).sum(axis=0)
+            sad += dfull[oy + py:oy + py + h, ox + px:ox + px + w]
         wgt = _weight(sad, inv_sigma)
         X += wgt[None] * at(sy, sx)
         wsum += wgt
