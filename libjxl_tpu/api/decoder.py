@@ -33,6 +33,8 @@ class Event(enum.IntEnum):
     SUCCESS = 5
     ERROR = 6
     FRAME_PROGRESSION = 7
+    BOX = 8                     # JXL_DEC_BOX
+    JPEG_RECONSTRUCTION = 9     # JXL_DEC_JPEG_RECONSTRUCTION
 
 
 @dataclasses.dataclass
@@ -81,6 +83,11 @@ class Decoder:
         self._frame_starts: list = []    # bit positions of decoded frames
         self._skip = 0
         self._progress_groups = 0
+        self.box_type: bytes | None = None
+        self.box_contents: bytes | None = None
+        self.jpeg_bytes: bytes | None = None
+        self._boxes_pending: list | None = None
+        self._jbrd_seen = False
 
     def set_input(self, data: bytes) -> None:
         self._data += data
@@ -130,13 +137,26 @@ class Decoder:
                 return False
         if len(self._data) >= 12 and is_container(self._data):
             try:
-                self._codestream = unpack_container(self._data).codestream
+                content = unpack_container(self._data)
+                self._codestream = content.codestream
+                if self._boxes_pending is None:
+                    boxes = []
+                    if Event.BOX in self._events:
+                        if content.exif:
+                            boxes.append((b"Exif", content.exif))
+                        for x in getattr(content, "xml", []) or []:
+                            boxes.append((b"xml ", x))
+                    self._boxes_pending = boxes
+                    if content.jpeg_reconstruction:
+                        self._jbrd_seen = True
                 return True
             except JxlError:
                 if self._input_closed:
                     raise
                 return False
         self._codestream = self._data
+        if self._boxes_pending is None:
+            self._boxes_pending = []
         return True
 
     def _try_headers(self) -> bool:
@@ -312,7 +332,11 @@ class Decoder:
         try:
             while True:
                 if self._pending:
-                    return self._pending.pop(0)
+                    ev = self._pending.pop(0)
+                    if ev == Event.BOX and getattr(self, "_box_queue", None):
+                        self.box_type, self.box_contents = \
+                            self._box_queue.pop(0)
+                    return ev
                 if self._stage == 0:
                     if not self._data or not self._resolve_codestream() \
                             or not self._try_headers():
@@ -321,6 +345,17 @@ class Decoder:
                     for ev in (Event.BASIC_INFO, Event.COLOR_ENCODING):
                         if ev in self._events:
                             self._pending.append(ev)
+                    if self._jbrd_seen \
+                            and Event.JPEG_RECONSTRUCTION in self._events:
+                        # Byte-exact JPEG re-emission from the jbrd box
+                        # (decode.h JxlDecoderSetJPEGBuffer flow).
+                        from libjxl_tpu.extras.jpeg_transcode import (
+                            reconstruct_jpeg)
+                        self.jpeg_bytes = reconstruct_jpeg(self._data)
+                        self._pending.append(Event.JPEG_RECONSTRUCTION)
+                    for (btype, contents) in (self._boxes_pending or []):
+                        self._pending.append(Event.BOX)
+                    self._box_queue = list(self._boxes_pending or [])
                     continue
                 if self._stage == 1:
                     if not self._resolve_codestream():

@@ -773,13 +773,7 @@ def encode_animation(frames: list, *, durations: list | None = None,
     scale = 65535.0 if bits == 16 else 255.0
 
     meta = CodecMetadata()
-    if already_downsampled and resampling != 1:
-        # ALREADY_DOWNSAMPLED: the supplied pixels are at the coded
-        # (1/N) resolution; the image header carries the full size
-        # (encode.h JXL_ENC_FRAME_SETTING_ALREADY_DOWNSAMPLED).
-        meta.size.set(w * resampling, h * resampling)
-    else:
-        meta.size.set(w, h)
+    meta.size.set(w, h)
     meta.m.bit_depth = BitDepth.uint(bits)
     meta.m.have_animation = True
     meta.m.animation.tps_numerator = tps[0]

@@ -379,3 +379,51 @@ def test_center_first_permutation_shape():
     gy, gx = divmod(center_g, fd.xsize_groups)
     assert abs(gx - fd.xsize_groups // 2) <= 1
     assert abs(gy - fd.ysize_groups // 2) <= 1
+
+
+def test_decoder_box_event():
+    """JXL_DEC_BOX: container metadata boxes surface as events."""
+    img = _img()
+    enc = Encoder()
+    enc.add_image_frame(img, FrameSettings(lossless=True))
+    enc.add_box(b"Exif", b"\x00\x00\x00\x00MM\x00\x2aXX")
+    data = enc.process_output()
+    dec = Decoder(events={Event.BOX, Event.FULL_IMAGE})
+    dec.set_input(data)
+    dec.close_input()
+    seen = []
+    for _ in range(8):
+        ev = dec.process_input()
+        seen.append(ev)
+        if ev == Event.BOX:
+            assert dec.box_type == b"Exif"
+            assert dec.box_contents.endswith(b"XX")
+        if ev in (Event.SUCCESS, Event.ERROR):
+            break
+    assert Event.BOX in seen and seen[-1] == Event.SUCCESS
+
+
+def test_decoder_jpeg_reconstruction_event():
+    """JXL_DEC_JPEG_RECONSTRUCTION: byte-exact JPEG re-emission."""
+    import io
+
+    from PIL import Image
+
+    from libjxl_tpu.extras.jpeg_transcode import transcode_jpeg_container
+    img = _img(48, 64)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    jpg = buf.getvalue()
+    jxl = transcode_jpeg_container(jpg)
+    dec = Decoder(events={Event.JPEG_RECONSTRUCTION, Event.FULL_IMAGE})
+    dec.set_input(jxl)
+    dec.close_input()
+    got = None
+    for _ in range(8):
+        ev = dec.process_input()
+        if ev == Event.JPEG_RECONSTRUCTION:
+            got = dec.jpeg_bytes
+        if ev in (Event.SUCCESS, Event.ERROR):
+            assert ev == Event.SUCCESS
+            break
+    assert got == jpg
