@@ -219,3 +219,144 @@ def batch_feeds(feeds: list, nspace: int) -> tuple:
     args = (coeff, weight, llf, fx, fb, family8_matrices(), ids,
             feeds[0]["biases"])
     return args, big_keys, tuple(big_args)
+
+
+# ---------------------------------------------------------------------------
+# Slim-feed (v2) sharded decode: int16 coefficients + control maps on
+# the wire; dequant weights, CfL and LLF are reconstructed ON DEVICE
+# (~6 bytes/pixel host->device and DCN->ICI instead of ~40).
+
+
+def make_sharded_decode2(mesh, image_h: int, image_w: int,
+                         epf_iters: int = 1, gab: bool = True,
+                         class_keys: tuple = ()):
+    """Builds the slim-feed sharded decode step over ``mesh``
+    ('batch', 'space'). Per-image inputs (leading batch axis): int16
+    coeff_img, mat_ids/raw_quant/dc/fx/fb block maps, per-image
+    inv_global_scale + qmul, replicated table banks; big-ACS classes as
+    per-shard (B, S, cap) LOCAL anchor-block indices + masks
+    (batch_feeds2). Returns (jitted_fn, in_shardings)."""
+    jax, jnp = _mods()
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from libjxl_tpu.ops.decode_tpu import xyb_to_srgb8
+    from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
+    from libjxl_tpu.tpu.pipeline import decode_xyb2
+
+    nspace = mesh.shape["space"]
+    halo = 8
+    BWl = (image_w // nspace) // 8
+
+    def local_step(coeff, ids, rq, dc, fx, fb, inv_gs, qmul, inv_sigma,
+                   tables8, mat_bank, biases, *flat):
+        ntab = len(class_keys)
+        big_tables = {k: flat[i] for i, k in enumerate(class_keys)}
+
+        def one(c1, i1, r1, d1, f1, g1, gs1, qm1, *cls1):
+            classes = {k: (cls1[2 * j], cls1[2 * j + 1])
+                       for j, k in enumerate(class_keys)}
+            return decode_xyb2(c1, i1, r1, d1, f1, g1, gs1, qm1,
+                               tables8, mat_bank, big_tables, classes,
+                               biases, BWl)
+
+        cls_args = []
+        for j in range(len(class_keys)):
+            cls_args.append(flat[ntab + 2 * j][:, 0])   # (B, cap)
+            cls_args.append(flat[ntab + 2 * j + 1][:, 0])
+        pix = jax.vmap(one)(coeff, ids, rq, dc, fx, fb, inv_gs, qmul,
+                            *cls_args)
+        if gab or epf_iters > 0:
+            ext = _halo_exchange_w(pix, halo, "space", nspace)
+            sig_ext = _halo_exchange_w(inv_sigma, 1, "space", nspace)
+
+            def filt(img, sig):
+                return apply_loop_filters_tpu(
+                    img, sig, epf_iters=epf_iters, gab=gab)
+            pix = jax.vmap(filt)(ext, sig_ext)[..., halo:-halo]
+        return xyb_to_srgb8(pix)
+
+    spec_img = P("batch", None, None, "space")
+    spec_blk = P("batch", None, "space")
+    spec_blk3 = P("batch", None, None, "space")
+    spec_b = P("batch")
+    spec_big = P("batch", "space")
+    in_specs = [spec_img, spec_blk, spec_blk, spec_blk3, spec_blk,
+                spec_blk, spec_b, P(), spec_blk, P(), P(), P()]
+    in_specs[7] = P("batch", None)      # qmul per image (B, 3)
+    in_specs += [P()] * len(class_keys)            # big tables
+    in_specs += [spec_big] * (2 * len(class_keys))  # anchors + masks
+    fn = shard_map(local_step, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=P("batch", None, None, "space"),
+                   check_rep=False)
+    jitted = jax.jit(fn)
+    shardings = tuple(NamedSharding(mesh, s) for s in in_specs)
+    return jitted, shardings
+
+
+def batch_feeds2(feeds: list, nspace: int) -> tuple:
+    """Stack slim (v2) per-image feeds into the batched tensors for
+    make_sharded_decode2, partitioning big-ACS anchors per owning width
+    shard (group-aligned shards; LOCAL block indices).
+
+    Returns (args, class_keys): args in jitted-fn order."""
+    from libjxl_tpu.tpu.feed import FAMILY8, family8_matrices
+
+    B = len(feeds)
+    _, H, W = feeds[0]["coeff_img"].shape
+    if W % (8 * nspace):
+        raise ValueError("W must divide by 8 * space shards")
+    BW = W // 8
+    BWl = BW // nspace
+    coeff = np.stack([np.asarray(f["coeff_img"], np.int16)
+                      for f in feeds])
+    ids = np.stack([f["mat_ids"] for f in feeds])
+    rq = np.stack([f["raw_quant"] for f in feeds])
+    dc = np.stack([f["dc"] for f in feeds])
+    fx = np.stack([f["fx"] for f in feeds])
+    fb = np.stack([f["fb"] for f in feeds])
+    inv_gs = np.array([f["inv_gs"] for f in feeds], np.float32)
+    qmul = np.stack([f["qmul"] for f in feeds])
+    inv_sigma = np.stack([f["inv_sigma"] for f in feeds])
+    tables8 = feeds[0]["tables8"]
+    biases = feeds[0]["biases"]
+
+    class_keys = tuple(sorted({k for f in feeds for k in f["classes"]}))
+    big_tables = []
+    for key in class_keys:
+        tab = next(f["big_tables"][key] for f in feeds
+                   if key in f["big_tables"])
+        big_tables.append(tab)
+    cls_args = []
+    for key in class_keys:
+        cy, cx = key
+        entries: dict = {}
+        per = np.zeros((B, nspace), np.int64)
+        for b, f in enumerate(feeds):
+            if key not in f["classes"]:
+                continue
+            anchor_idx, mask = f["classes"][key]
+            for i in range(len(anchor_idx)):
+                if mask[i] == 0:
+                    continue
+                a = int(anchor_idx[i])
+                aby, abx = divmod(a, BW)
+                shard = abx // BWl
+                if abx + cx > (shard + 1) * BWl:
+                    raise ValueError("big block crosses a width shard")
+                local = aby * BWl + (abx - shard * BWl)
+                entries.setdefault((b, shard), []).append(local)
+                per[b, shard] += 1
+        cap = max(1, int(per.max()))
+        aidx = np.zeros((B, nspace, cap), np.int32)
+        amask = np.zeros((B, nspace, cap), np.float32)
+        for (b, shard), lst in entries.items():
+            for i, a in enumerate(lst):
+                aidx[b, shard, i] = a
+                amask[b, shard, i] = 1.0
+        cls_args.extend([aidx, amask])
+
+    args = (coeff, ids, rq, dc, fx, fb, inv_gs, qmul, inv_sigma,
+            tables8, family8_matrices(), biases,
+            *big_tables, *cls_args)
+    return args, class_keys

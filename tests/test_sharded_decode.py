@@ -11,3 +11,47 @@ def test_sharded_decode_matches_host():
         pytest.skip("needs 8 virtual devices")
     import __graft_entry__ as G
     G.dryrun_multichip(8)
+
+
+def test_sharded_decode2_slim_feed():
+    """Slim (v2) feed sharded over batch x space: int16 coefficients on
+    the wire, weights/CfL/LLF reconstructed inside the shard_map."""
+    import jax
+    from jax.sharding import Mesh
+
+    from libjxl_tpu.api.simple import decode, encode
+    from libjxl_tpu.bitstream.bit_io import BitReader
+    from libjxl_tpu.frame.decode_frame import decode_frame
+    from libjxl_tpu.frame.headers import read_codestream_headers
+    from libjxl_tpu.parallel.sharded_decode import (
+        batch_feeds2, make_sharded_decode2)
+
+    rng = np.random.default_rng(5)
+    H, W = 256, 1024  # 4 width shards, group aligned
+    imgs, feeds = [], []
+    for i in range(2):
+        yy, xx = np.mgrid[0:H, 0:W]
+        img = np.clip(np.stack([128 + 80 * np.sin(yy / (31 + i)),
+                                128 + 70 * np.cos(xx / 23),
+                                120 + 60 * np.sin((xx + yy) / 41)], -1)
+                      + rng.normal(0, 8, (H, W, 3)),
+                      0, 255).astype(np.uint8)
+        imgs.append(img)
+        data = encode(img, distance=1.0, effort=5)
+        r = BitReader(data)
+        meta = read_codestream_headers(r)
+        feeds.append(decode_frame(r, meta, device="feed").feed)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("batch", "space"))
+    args, class_keys = batch_feeds2(feeds, 4)
+    lf = feeds[0]["lf"]
+    fn, shardings = make_sharded_decode2(
+        mesh, H, W, epf_iters=int(lf.epf_iters), gab=bool(lf.gab),
+        class_keys=class_keys)
+    out = np.asarray(fn(*[jax.device_put(a, s)
+                          for a, s in zip(args, shardings)]))
+    for i, img in enumerate(imgs):
+        ref = decode(encode(img, distance=1.0, effort=5)).pixels
+        got = out[i].transpose(1, 2, 0)
+        d = np.abs(got.astype(int) - ref.astype(int))
+        assert d.max() <= 1 and (d > 1).mean() == 0
