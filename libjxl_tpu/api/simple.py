@@ -477,13 +477,7 @@ def _encode_modular_lossy(image: np.ndarray, distance: float,
         raise ValueError("modular encode expects integer samples")
     bits = 8 if image.dtype == np.uint8 else 16
     meta = CodecMetadata()
-    if already_downsampled and resampling != 1:
-        # ALREADY_DOWNSAMPLED: the supplied pixels are at the coded
-        # (1/N) resolution; the image header carries the full size
-        # (encode.h JXL_ENC_FRAME_SETTING_ALREADY_DOWNSAMPLED).
-        meta.size.set(w * resampling, h * resampling)
-    else:
-        meta.size.set(w, h)
+    meta.size.set(w, h)
     meta.m.bit_depth = BitDepth.uint(bits)
     meta.m.xyb_encoded = False
     meta.m.color_encoding = ColorEncoding.srgb(is_gray=nchan == 1)
