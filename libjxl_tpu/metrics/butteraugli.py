@@ -34,29 +34,46 @@ _WMUL = (400.0, 1.50815703118, 0.0,
 _GLOBAL_SCALE = 1.0 / (17.83 * 0.79079917404)
 
 
+_BLUR_NORM_CACHE: dict = {}
+
+
 def _blur(img: np.ndarray, sigma: float) -> np.ndarray:
     """Gaussian blur with border renormalization (ComputeKernel +
-    ConvolutionWithTranspose border handling)."""
+    ConvolutionWithTranspose border handling). The border
+    normalization term depends only on (shape, sigma), so it is cached;
+    the separable convolution itself runs through scipy when present."""
     m = 2.25
     diff = max(1, int(m * abs(sigma)))
     scaler = -1.0 / (2.0 * sigma * sigma)
     k = np.exp(scaler * np.arange(-diff, diff + 1) ** 2).astype(np.float64)
 
-    def conv1d(a, axis):
-        pad = [(0, 0), (0, 0)]
-        pad[axis] = (diff, diff)
-        ap = np.pad(a, pad)
-        ones = np.pad(np.ones_like(a), pad)
-        out = np.zeros_like(a, np.float64)
-        norm = np.zeros_like(a, np.float64)
-        for i, w in enumerate(k):
-            sl = [slice(None), slice(None)]
-            sl[axis] = slice(i, i + a.shape[axis])
-            out += w * ap[tuple(sl)]
-            norm += w * ones[tuple(sl)]
-        return out / norm
+    try:
+        from scipy.ndimage import correlate1d
 
-    return conv1d(conv1d(img.astype(np.float64), 0), 1)
+        def raw(a, axis):
+            return correlate1d(a, k, axis=axis, mode="constant", cval=0.0)
+    except ImportError:
+        def raw(a, axis):
+            pad = [(0, 0), (0, 0)]
+            pad[axis] = (diff, diff)
+            ap = np.pad(a, pad)
+            out = np.zeros_like(a, np.float64)
+            for i, w in enumerate(k):
+                sl = [slice(None), slice(None)]
+                sl[axis] = slice(i, i + a.shape[axis])
+                out += w * ap[tuple(sl)]
+            return out
+
+    key = (img.shape, round(float(sigma), 9))
+    norm = _BLUR_NORM_CACHE.get(key)
+    if norm is None:
+        ones = np.ones(img.shape, np.float64)
+        norm = raw(raw(ones, 0), 1)
+        if len(_BLUR_NORM_CACHE) > 64:
+            _BLUR_NORM_CACHE.clear()
+        _BLUR_NORM_CACHE[key] = norm
+
+    return raw(raw(img.astype(np.float64), 0), 1) / norm
 
 
 def _gamma(v: np.ndarray) -> np.ndarray:
