@@ -138,8 +138,16 @@ struct AnsDecoderC {
     return (((msb_part << nbits) | bits) << c.lsb) | low;
   }
 
+  // Fast path for streams with LZ77 disabled (the AC coefficient
+  // streams): no window bookkeeping, straight token+extra-bits read.
+  inline uint32_t read_clustered_nolz(uint32_t cluster) {
+    uint32_t token = read_symbol(cluster);
+    return read_uint_cfg(cfgs[cluster], token);
+  }
+
   // ReadHybridUintClustered with LZ77 window (dec_ans.h:288-353).
   uint32_t read_clustered(uint32_t cluster) {
+    if (!lz77_enabled) return read_clustered_nolz(cluster);
     if (lz77_enabled && num_to_copy > 0) {
       uint32_t ret = window[copy_pos++ & kWindowMask];
       num_to_copy--;
@@ -881,14 +889,27 @@ int vardct_decode_ac(ModularDecoderHandle* h, int bw, int bh,
       int32_t* block = out_coeffs + blk_coeff_off[b]
                        + static_cast<int64_t>(c) * size;
       const int32_t* order = orders + blk_order_off[b * 3 + c];
-      for (uint32_t k = covered; k < size && nzeros != 0; k++) {
-        const uint32_t ctx =
-            histo_offset
-            + zero_density_ctx(nzeros, k, covered, log2_covered, prev);
-        const uint32_t u = ans.read_clustered(ans.context_map[ctx]);
-        block[order[k]] += unpack_signed(u);
-        prev = u != 0 ? 1 : 0;
-        nzeros -= prev;
+      if (!ans.lz77_enabled) {
+        for (uint32_t k = covered; k < size && nzeros != 0; k++) {
+          const uint32_t ctx =
+              histo_offset
+              + zero_density_ctx(nzeros, k, covered, log2_covered, prev);
+          const uint32_t u =
+              ans.read_clustered_nolz(ans.context_map[ctx]);
+          block[order[k]] += unpack_signed(u);
+          prev = u != 0 ? 1 : 0;
+          nzeros -= prev;
+        }
+      } else {
+        for (uint32_t k = covered; k < size && nzeros != 0; k++) {
+          const uint32_t ctx =
+              histo_offset
+              + zero_density_ctx(nzeros, k, covered, log2_covered, prev);
+          const uint32_t u = ans.read_clustered(ans.context_map[ctx]);
+          block[order[k]] += unpack_signed(u);
+          prev = u != 0 ? 1 : 0;
+          nzeros -= prev;
+        }
       }
       if (nzeros != 0) return -11;
     }
