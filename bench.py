@@ -78,6 +78,29 @@ def main():
     jax.block_until_ready(outs[-1])
     t_device = (time.perf_counter() - t0) / reps
 
+    # Batched device throughput (BASELINE north star: batched VarDCT
+    # decode per chip): all images stacked into ONE dispatch via the
+    # slim-feed sharded step on a 1x1 mesh, feeds resident on device.
+    from jax.sharding import Mesh
+
+    from libjxl_tpu.parallel.sharded_decode import (
+        batch_feeds2, make_sharded_decode2)
+    lf = feeds[0]["lf"]
+    h0, w0 = feeds[0]["image_hw"]
+    bargs, class_keys = batch_feeds2(feeds, 1)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("batch", "space"))
+    bfn, bshard = make_sharded_decode2(
+        mesh, h0, w0, epf_iters=int(lf.epf_iters), gab=bool(lf.gab),
+        class_keys=class_keys)
+    placed = [jax.device_put(a, s) for a, s in zip(bargs, bshard)]
+    jax.block_until_ready(bfn(*placed))
+    reps_b = 6
+    t0 = time.perf_counter()
+    outs = [bfn(*placed) for _ in range(reps_b)]
+    jax.block_until_ready(outs)
+    t_batched = (time.perf_counter() - t0) / reps_b
+
     # End-to-end: bitstream -> pixels, host parse + async device render.
     # Best of 3: the measurement shares one CPU core with ambient load,
     # so the minimum is the faithful number.
@@ -99,6 +122,7 @@ def main():
         "unit": "MPix/s",
         "vs_baseline": round(e2e / 400.0, 4),
         "device_stage_mpix_s": round(dev, 1),
+        "device_batched_mpix_s": round(mpix / t_batched, 1),
         "images": len(streams),
         "megapixels": round(mpix, 1),
         "config": "1024x1024 photographic, d1.0 e5, gaborish+EPF",
