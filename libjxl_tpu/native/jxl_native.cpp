@@ -1023,7 +1023,11 @@ int64_t lz77_match(const int64_t* ctx, const int64_t* val, int64_t n,
          0x27D4EB2F165667C5ull;
     return h;
   };
-  const int64_t threshold = std::max(min_length, match_min);
+  // Each match consumes >= threshold inputs and emits 2 tokens, so the
+  // n+2-sized output buffers only hold when threshold >= 2; enforce it
+  // here rather than trusting every caller.
+  const int64_t threshold =
+      std::max<int64_t>(2, std::max(min_length, match_min));
   int64_t m = 0;
   int64_t matched = 0;
   int64_t i = 0;

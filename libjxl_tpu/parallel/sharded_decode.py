@@ -66,6 +66,10 @@ def make_sharded_decode(mesh, image_h: int, image_w: int,
 
     nspace = mesh.shape["space"]
     halo = 8
+    if image_w % 8:
+        raise ValueError("sharded decode requires image_w % 8 == 0 "
+                         "(the W axis is sharded; right-edge block "
+                         "padding would be filtered as real pixels)")
 
     def local_step(coeff, weight, llf, fx, fb, mat_bank, mat_ids,
                    biases, inv_sigma, *big_flat):
@@ -129,6 +133,10 @@ def make_sharded_decode(mesh, image_h: int, image_w: int,
                                          out_idx, mask)
             pix = flat_pix.reshape(B, 3, H, Wl)
 
+        # Crop bottom block padding BEFORE filtering (H is unsharded):
+        # the loop filters mirror at the image boundary, not the padded
+        # buffer edge (decode_frame_device does the same crop).
+        pix = pix[:, :, :image_h]
         if gab or epf_iters > 0:
             # Halo exchange over ICI, then filter and crop the halo.
             ext = _halo_exchange_w(pix, halo, "space", nspace)
@@ -216,6 +224,9 @@ def batch_feeds(feeds: list, nspace: int) -> tuple:
                 imask[b, shard, i] = 1.0
         big_args.extend([iin, iout, imask])
 
+    for f in feeds[1:]:
+        if not np.array_equal(f["biases"], feeds[0]["biases"]):
+            raise ValueError("batched feeds use different quant biases")
     args = (coeff, weight, llf, fx, fb, family8_matrices(), ids,
             feeds[0]["biases"])
     return args, big_keys, tuple(big_args)
@@ -246,6 +257,10 @@ def make_sharded_decode2(mesh, image_h: int, image_w: int,
 
     nspace = mesh.shape["space"]
     halo = 8
+    if image_w % 8:
+        raise ValueError("sharded decode requires image_w % 8 == 0 "
+                         "(the W axis is sharded; right-edge block "
+                         "padding would be filtered as real pixels)")
     BWl = (image_w // nspace) // 8
 
     def local_step(coeff, ids, rq, dc, fx, fb, inv_gs, qmul, inv_sigma,
@@ -266,6 +281,8 @@ def make_sharded_decode2(mesh, image_h: int, image_w: int,
             cls_args.append(flat[ntab + 2 * j + 1][:, 0])
         pix = jax.vmap(one)(coeff, ids, rq, dc, fx, fb, inv_gs, qmul,
                             *cls_args)
+        # Crop bottom block padding before filtering (H is unsharded).
+        pix = pix[:, :, :image_h]
         if gab or epf_iters > 0:
             ext = _halo_exchange_w(pix, halo, "space", nspace)
             sig_ext = _halo_exchange_w(inv_sigma, 1, "space", nspace)
@@ -320,13 +337,27 @@ def batch_feeds2(feeds: list, nspace: int) -> tuple:
     inv_sigma = np.stack([f["inv_sigma"] for f in feeds])
     tables8 = feeds[0]["tables8"]
     biases = feeds[0]["biases"]
+    # Quant-weight tables ride replicated (not per image): a batch
+    # mixing custom frame-level DequantMatrices would silently decode
+    # with the wrong tables — reject it instead.
+    for f in feeds[1:]:
+        if not (np.array_equal(f["tables8"], tables8)
+                and np.array_equal(f["biases"], biases)):
+            raise ValueError(
+                "batched feeds use different dequant tables/biases; "
+                "batch only frames sharing DequantMatrices")
 
     class_keys = tuple(sorted({k for f in feeds for k in f["classes"]}))
     big_tables = []
     for key in class_keys:
-        tab = next(f["big_tables"][key] for f in feeds
-                   if key in f["big_tables"])
-        big_tables.append(tab)
+        tabs = [f["big_tables"][key] for f in feeds
+                if key in f["big_tables"]]
+        if any(not np.array_equal(t, tabs[0]) for t in tabs[1:]):
+            raise ValueError(
+                f"batched feeds use different dequant tables for "
+                f"strategy class {key}; batch only frames sharing "
+                f"DequantMatrices")
+        big_tables.append(tabs[0])
     cls_args = []
     for key in class_keys:
         cy, cx = key

@@ -55,3 +55,65 @@ def test_sharded_decode2_slim_feed():
         got = out[i].transpose(1, 2, 0)
         d = np.abs(got.astype(int) - ref.astype(int))
         assert d.max() <= 1 and (d > 1).mean() == 0
+
+
+def test_sharded_decode2_ragged_height():
+    """Non-block-aligned image height: the shard step must crop the
+    bottom block padding BEFORE filtering (edge pixels otherwise
+    filter against padding and diverge from the host)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from libjxl_tpu.api.simple import decode, encode
+    from libjxl_tpu.bitstream.bit_io import BitReader
+    from libjxl_tpu.frame.decode_frame import decode_frame
+    from libjxl_tpu.frame.headers import read_codestream_headers
+    from libjxl_tpu.parallel.sharded_decode import (
+        batch_feeds2, make_sharded_decode2)
+
+    rng = np.random.default_rng(5)
+    H, W = 123, 512
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.clip(np.stack([128 + 80 * np.sin(yy / 31),
+                            128 + 70 * np.cos(xx / 23),
+                            120 + 60 * np.sin((xx + yy) / 41)], -1)
+                  + rng.normal(0, 8, (H, W, 3)), 0, 255).astype(np.uint8)
+    data = encode(img, distance=1.0, effort=5)
+    r = BitReader(data)
+    meta = read_codestream_headers(r)
+    feed = decode_frame(r, meta, device="feed").feed
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2),
+                ("batch", "space"))
+    args, ck = batch_feeds2([feed], 2)
+    lf = feed["lf"]
+    fn, sh = make_sharded_decode2(
+        mesh, H, W, epf_iters=int(lf.epf_iters), gab=bool(lf.gab),
+        class_keys=ck)
+    out = np.asarray(fn(*[jax.device_put(a, s)
+                          for a, s in zip(args, sh)]))
+    assert out.shape == (1, 3, H, W)
+    ref = decode(data).pixels
+    d = np.abs(out[0].transpose(1, 2, 0).astype(int) - ref.astype(int))
+    assert d.max() <= 1
+
+
+def test_batch_feeds2_rejects_mismatched_tables():
+    from libjxl_tpu.parallel.sharded_decode import batch_feeds2
+
+    from libjxl_tpu.api.simple import encode
+    from libjxl_tpu.bitstream.bit_io import BitReader
+    from libjxl_tpu.frame.decode_frame import decode_frame
+    from libjxl_tpu.frame.headers import read_codestream_headers
+
+    rng = np.random.default_rng(1)
+    img = np.clip(rng.normal(128, 30, (64, 256, 3)), 0,
+                  255).astype(np.uint8)
+    data = encode(img, distance=1.0, effort=3)
+    feeds = []
+    for _ in range(2):
+        r = BitReader(data)
+        meta = read_codestream_headers(r)
+        feeds.append(decode_frame(r, meta, device="feed").feed)
+    feeds[1]["tables8"] = feeds[1]["tables8"] * 1.5  # custom matrices
+    with pytest.raises(ValueError, match="dequant tables"):
+        batch_feeds2(feeds, 1)

@@ -52,23 +52,6 @@ def test_xyb_roundtrip_device_vs_numpy():
     assert np.abs(back.astype(int) - expect.astype(int)).max() <= 1
 
 
-def test_sharded_codec_step_runs_on_mesh():
-    from jax.sharding import Mesh
-    from libjxl_tpu.parallel.mesh import (
-        example_codec_inputs, sharded_codec_step)
-
-    devices = jax.devices()
-    assert len(devices) >= 8, "conftest should provide 8 virtual devices"
-    mesh = Mesh(np.array(devices[:8]).reshape(2, 4), ("batch", "groups"))
-    step, place = sharded_codec_step(mesh)
-    args = example_codec_inputs(batch=4, groups=8, tile=32)
-    with mesh:
-        dec, psnr = step(*place(args))
-        dec.block_until_ready()
-    assert dec.shape == (4, 8, 3, 32, 32)
-    assert float(psnr) > 20.0
-
-
 def test_graft_entry_compiles():
     import jax
     import __graft_entry__ as ge
