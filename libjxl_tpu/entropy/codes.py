@@ -181,13 +181,56 @@ def decode_histograms(r: BitReader, num_contexts: int,
             for sz in alphabet_sizes]
     else:
         codes.alias_tables = []
-        for _ in range(num_histograms):
-            counts = read_histogram(ANS_LOG_TAB_SIZE, r)
-            if len(counts) > max_alphabet_size:
-                raise BitstreamError("ANS alphabet too large")
-            codes.alias_tables.append(
-                init_alias_table(counts, log_alpha_size))
+        if not _native_read_histograms(r, num_histograms, log_alpha_size,
+                                       max_alphabet_size, codes):
+            for _ in range(num_histograms):
+                counts = read_histogram(ANS_LOG_TAB_SIZE, r)
+                if len(counts) > max_alphabet_size:
+                    raise BitstreamError("ANS alphabet too large")
+                codes.alias_tables.append(
+                    init_alias_table(counts, log_alpha_size))
     return codes
+
+
+def _native_read_histograms(r: BitReader, num: int, log_alpha_size: int,
+                            max_alpha: int, codes: "EntropyCodes") -> bool:
+    """Fused native ReadHistogram + InitAliasTable: one C call for the
+    whole histogram set; stores the packed alias slots for reuse by
+    NativeModularDecoder (native/jxl_native.cpp ans_read_histograms_build)."""
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+    except Exception:
+        return False
+    lib = get_lib()
+    if lib is None:
+        return False
+    import ctypes as C
+
+    data = r.raw_data
+    packed = np.zeros((num, ANS_TAB_SIZE), np.uint64)
+    alpha = np.zeros(num, np.int32)
+    pos = C.c_uint64(r.bits_consumed)
+    rc = lib.ans_read_histograms_build(
+        data, len(data), C.byref(pos), num, log_alpha_size, max_alpha,
+        packed.ctypes.data_as(C.POINTER(C.c_uint64)),
+        alpha.ctypes.data_as(C.POINTER(C.c_int32)))
+    if rc == -1:
+        # Trailing peek refilled past the buffer end: mirror the Python
+        # BitReader, which flags over-read but leaves validation to the
+        # section-consumption / ANS-state checks downstream.
+        r.overread = True
+    elif rc != 0:
+        raise BitstreamError(f"invalid ANS histogram ({rc})")
+    r.seek_bits(pos.value)
+    for h in range(num):
+        p = packed[h]
+        codes.alias_tables.append(AliasTable(
+            value=(p & np.uint64(0xFFFF)).astype(np.uint16),
+            offset=((p >> np.uint64(16)) & np.uint64(0xFFFF)
+                    ).astype(np.uint16),
+            freq=(p >> np.uint64(32)).astype(np.uint32)))
+    codes._packed_native = np.ascontiguousarray(packed.reshape(-1))
+    return True
 
 
 class SymbolReader:

@@ -36,6 +36,42 @@ def forward_mtf(values: list[int]) -> list[int]:
     return out
 
 
+def _native_read_map(codes, r: BitReader, n: int, use_mtf: bool):
+    """Native ANS stream read + inverse MTF for the context-map body
+    (native/jxl_native.cpp ans_read_stream_u32 / inverse_mtf_u32)."""
+    if codes.use_prefix_code:
+        return None
+    try:
+        from libjxl_tpu.native.bindings import NativeModularDecoder, get_lib
+    except Exception:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes as C
+
+    import numpy as np
+
+    dec = NativeModularDecoder(r.raw_data, r.bits_consumed, codes, 0)
+    try:
+        out = np.empty(max(n, 1), np.uint32)
+        ptr = out.ctypes.data_as(C.POINTER(C.c_uint32))
+        rc = lib.ans_read_stream_u32(
+            dec.handle, int(codes.context_map[0]), n, ptr)
+        if rc != 0:
+            raise BitstreamError("context map over-reads the stream")
+        if not dec.check_final():
+            raise BitstreamError("invalid ANS state after context map")
+        r.seek_bits(dec.bit_pos())
+        if int(out[:n].max(initial=0)) >= MAX_CLUSTERS:
+            raise BitstreamError("invalid cluster id in context map")
+        if use_mtf:
+            lib.inverse_mtf_u32(ptr, n)
+    finally:
+        dec.close()
+    return [int(v) for v in out[:n]]
+
+
 def decode_context_map(num_contexts: int, r: BitReader) -> tuple[list[int], int]:
     """Returns (context_map, num_histograms). dec_context_map.cc:48-95."""
     from libjxl_tpu.entropy.codes import decode_histograms, SymbolReader
@@ -50,15 +86,17 @@ def decode_context_map(num_contexts: int, r: BitReader) -> tuple[list[int], int]
     else:
         use_mtf = r.read_bool()
         codes = decode_histograms(r, 1, disallow_lz77=num_contexts <= 2)
-        reader = SymbolReader(codes, r)
-        context_map = [reader.read_clustered(codes.context_map[0])
-                       for _ in range(num_contexts)]
-        if max(context_map) >= MAX_CLUSTERS:
-            raise BitstreamError("invalid cluster id in context map")
-        if not reader.check_final_state():
-            raise BitstreamError("invalid ANS state after context map")
-        if use_mtf:
-            context_map = inverse_mtf(context_map)
+        context_map = _native_read_map(codes, r, num_contexts, use_mtf)
+        if context_map is None:
+            reader = SymbolReader(codes, r)
+            context_map = [reader.read_clustered(codes.context_map[0])
+                           for _ in range(num_contexts)]
+            if max(context_map) >= MAX_CLUSTERS:
+                raise BitstreamError("invalid cluster id in context map")
+            if not reader.check_final_state():
+                raise BitstreamError("invalid ANS state after context map")
+            if use_mtf:
+                context_map = inverse_mtf(context_map)
     num_histograms = max(context_map) + 1
     used = set(context_map)
     if any(h >= num_histograms for h in context_map) or \

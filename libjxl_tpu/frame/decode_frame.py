@@ -279,8 +279,77 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     histo_bits = (num_histograms - 1).bit_length() if num_histograms > 1 \
         else 0
     from libjxl_tpu.vardct.group_native import (
-        native_decode_group, prepare_blocks)
+        flatten_orders, native_decode_group, native_decode_group_frame,
+        prepare_blocks, scatter_blocks_to_frame, scatter_flat_to_frame)
     group_blocks: list = [None] * fd.num_groups
+
+    # Frame-direct device path: the native decoder writes coefficients
+    # straight into the int16 frame image (no per-group intermediates).
+    use_frame_path = (bool(device) and device != "feed_v1"
+                      and num_passes == 1 and fh.passes.shift[0] == 0
+                      and not single)
+    coeff_frame = mat_ids_frame = None
+    flat_cache = None
+    if use_frame_path:
+        coeff_frame = np.zeros(
+            (3, fd.ysize_blocks * 8, fd.xsize_blocks * 8), np.int16)
+        mat_ids_frame = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
+                                 np.int8)
+        flat_cache = flatten_orders(pass_orders[0])
+
+    def process_ac_group_frame(g: int) -> None:
+        nonlocal coeff_frame
+        orders = pass_orders[0]
+        ac_codes = pass_codes[0]
+        br = get(2 + fd.num_dc_groups + g)
+        brect = fd.block_group_rect(g)
+        cur_histogram = br.read(histo_bits) if histo_bits else 0
+        if cur_histogram >= num_histograms:
+            raise BitstreamError("invalid histogram selector")
+        ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
+        sl = brect.slices()
+        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
+                              orders, flat_cache=flat_cache)
+        res = None
+        if coeff_frame.dtype == np.int16:
+            res = native_decode_group_frame(
+                br.raw_data, br.bits_consumed, ac_codes, brect.xsize,
+                brect.ysize, prep, ctx_map, ctx_offset, coeff_frame,
+                mat_ids_frame, brect.y0, brect.x0)
+        if res == "overflow" or res is None:
+            # Rare: int16 overflow or prefix-coded stream — promote the
+            # frame to int32 and redo this group via the flat path
+            # (fresh reader; partial writes are zeroed first).
+            if coeff_frame.dtype == np.int16:
+                coeff_frame = coeff_frame.astype(np.int32)
+            y0, x0 = brect.y0 * 8, brect.x0 * 8
+            coeff_frame[:, y0:y0 + brect.ysize * 8,
+                        x0:x0 + brect.xsize * 8] = 0
+            mat_ids_frame[brect.slices()] = 0
+            flat = native_decode_group(
+                br.raw_data, br.bits_consumed, ac_codes, brect.xsize,
+                brect.ysize, prep, ctx_map, ctx_offset, as_blocks=False)
+            if flat is not None:
+                buf, pos = flat
+                scatter_flat_to_frame(buf, prep, coeff_frame,
+                                      mat_ids_frame, brect.y0, brect.x0)
+                br.seek_bits(pos)
+            else:
+                reader = SymbolReader(ac_codes, br)
+                blocks = decode_group_coeffs(
+                    reader, brect.xsize, brect.ysize, strategies[sl],
+                    raw_quant[sl], orders, ctx_map, ctx_offset)
+                if not reader.check_final_state():
+                    raise BitstreamError("bad ANS state in AC group")
+                scatter_blocks_to_frame(blocks, coeff_frame,
+                                        mat_ids_frame, brect.y0, brect.x0)
+        else:
+            br.seek_bits(res)
+        min_s, max_s = fh.passes.downsampling_bracket(0)
+        mrect = fd.group_rect(g)
+        prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
+        mfd.decode_group(prect, br, min_s, max_s,
+                         stream_modular_ac(g, 0, fd))
 
     def process_ac_group(p: int, g: int) -> None:
         shift = fh.passes.shift[p]
@@ -354,9 +423,13 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     # Device path: host entropy decode of all sections, then the jitted
     # TPU pipeline handles dequant/CfL/IDCT/filters/color (SURVEY §7).
     if device:
-        for p in range(num_passes):
+        if use_frame_path:
             for g in range(fd.num_groups):
-                process_ac_group(p, g)
+                process_ac_group_frame(g)
+        else:
+            for p in range(num_passes):
+                for g in range(fd.num_groups):
+                    process_ac_group(p, g)
         from libjxl_tpu.pipeline.loop_filters import compute_sigma_map
         from libjxl_tpu.vardct.reconstruct import DEFAULT_QUANT_BIAS
         lfp0 = fh.loop_filter
@@ -371,6 +444,12 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
             feed = build_feed(group_blocks, fd, strategies, raw_quant,
                               dc_full, quantizer, cmap, ytox_map, ytob_map,
                               x_mul, b_mul, DEFAULT_QUANT_BIAS)
+        elif use_frame_path:
+            from libjxl_tpu.tpu.feed import build_feed3
+            feed = build_feed3(coeff_frame, mat_ids_frame, fd, strategies,
+                               raw_quant, dc_full, quantizer, cmap,
+                               ytox_map, ytob_map, x_mul, b_mul,
+                               DEFAULT_QUANT_BIAS)
         else:
             from libjxl_tpu.tpu.feed import build_feed2
             feed = build_feed2(group_blocks, fd, strategies, raw_quant,

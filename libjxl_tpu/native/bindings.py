@@ -80,6 +80,25 @@ def get_lib():
         C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.c_int64,
         C.POINTER(C.c_int64), C.c_int64, C.c_int64, C.c_int64,
         C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_uint8)]
+    lib.ans_read_histograms_build.restype = C.c_int64
+    lib.ans_read_histograms_build.argtypes = [
+        C.c_char_p, C.c_uint64, C.POINTER(C.c_uint64), C.c_int, C.c_int,
+        C.c_int, C.POINTER(C.c_uint64), C.POINTER(C.c_int32)]
+    lib.ans_read_stream_u32.restype = C.c_int64
+    lib.ans_read_stream_u32.argtypes = [
+        C.c_void_p, C.c_int, C.c_int64, C.POINTER(C.c_uint32)]
+    lib.inverse_mtf_u32.restype = None
+    lib.inverse_mtf_u32.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
+    lib.vardct_decode_ac_frame.restype = C.c_int
+    lib.vardct_decode_ac_frame.argtypes = [
+        C.c_void_p, C.c_int, C.c_int, C.c_int,
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+        C.POINTER(C.c_int32), C.c_int, C.c_int,
+        C.POINTER(C.c_int32), C.POINTER(C.c_int8),
+        C.POINTER(C.c_int16), C.c_int64, C.c_int64, C.c_int64,
+        C.POINTER(C.c_int8), C.c_int64, C.c_int64]
     _lib = lib
     return _lib
 
@@ -121,15 +140,17 @@ class NativeModularDecoder:
         n = codes.num_histograms
         cached = getattr(codes, "_native_cache", None)
         if cached is None:
-            # Interleaved alias slots (value | offset<<16 | freq<<32),
-            # built once per EntropyCodes and reused across sections.
-            value = np.concatenate(
-                [t.value for t in codes.alias_tables]).astype(np.uint64)
-            offset = np.concatenate(
-                [t.offset for t in codes.alias_tables]).astype(np.uint64)
-            freq = np.concatenate(
-                [t.freq for t in codes.alias_tables]).astype(np.uint64)
-            packed = (value | (offset << 16) | (freq << 32))
+            packed = getattr(codes, "_packed_native", None)
+            if packed is None:
+                # Interleaved alias slots (value | offset<<16 | freq<<32),
+                # built once per EntropyCodes and reused across sections.
+                value = np.concatenate(
+                    [t.value for t in codes.alias_tables]).astype(np.uint64)
+                offset = np.concatenate(
+                    [t.offset for t in codes.alias_tables]).astype(np.uint64)
+                freq = np.concatenate(
+                    [t.freq for t in codes.alias_tables]).astype(np.uint64)
+                packed = (value | (offset << 16) | (freq << 32))
             cmap = np.array(codes.context_map, np.uint8)
             cfgs = np.array(
                 [[c.split_exponent, c.msb_in_token, c.lsb_in_token]

@@ -1148,3 +1148,382 @@ int64_t acs_expand(const int32_t* acs_vals, const int32_t* qf_vals,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// ANS histogram reading (dec_ans.cc ReadHistogram) fused with alias-table
+// construction (ans_common.cc InitAliasTable): bitstream -> packed alias
+// slots, one ctypes call per histogram set instead of a Python bit loop.
+
+namespace {
+
+inline uint32_t read_varlen_u8(BitReaderC& br) {
+  if (br.read(1)) {
+    uint32_t nbits = br.read(3);
+    if (nbits == 0) return 1;
+    return br.read(nbits) + (1u << nbits);
+  }
+  return 0;
+}
+
+// Canonical bit-width code (dec_ans.cc:108-125): 7-bit LSB-first peek ->
+// (consumed bits, logcount+1).
+struct BitWidthLut {
+  uint8_t consumed[128];
+  uint8_t value[128];
+  BitWidthLut() {
+    static const uint8_t lens[14] = {5, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3, 6, 7, 7};
+    static const uint8_t syms[14] = {17, 11, 15, 3, 9, 7, 4, 2, 5, 6, 0,
+                                     33, 1, 65};
+    std::memset(consumed, 0, sizeof(consumed));
+    std::memset(value, 0, sizeof(value));
+    for (int v = 0; v < 14; v++) {
+      for (int high = 0; high < (1 << (7 - lens[v])); high++) {
+        int idx = syms[v] | (high << lens[v]);
+        consumed[idx] = lens[v];
+        value[idx] = static_cast<uint8_t>(v);
+      }
+    }
+  }
+};
+const BitWidthLut kBitWidthLut;
+
+inline int get_pop_count_precision(int logcount, int shift) {
+  int r = std::min(logcount,
+                   shift - ((static_cast<int>(kAnsLogTabSize) - logcount) >> 1));
+  return std::max(r, 0);
+}
+
+// ReadHistogram (dec_ans.cc:58-191). Fills counts[0..len), returns len
+// (may exceed max_alpha; caller validates) or a negative error.
+int read_histogram_counts(BitReaderC& br, int32_t* counts, int cap) {
+  const int32_t rng = static_cast<int32_t>(kAnsTabSize);
+  if (br.read(1)) {  // simple
+    int num_symbols = static_cast<int>(br.read(1)) + 1;
+    uint32_t syms[2] = {0, 0};
+    for (int i = 0; i < num_symbols; i++) syms[i] = read_varlen_u8(br);
+    int len = static_cast<int>(std::max(syms[0],
+                                        num_symbols == 2 ? syms[1] : 0u)) + 1;
+    if (len > cap) return -2;
+    std::fill(counts, counts + len, 0);
+    if (num_symbols == 1) {
+      counts[syms[0]] = rng;
+    } else {
+      if (syms[0] == syms[1]) return -3;
+      counts[syms[0]] = static_cast<int32_t>(br.read(kAnsLogTabSize));
+      counts[syms[1]] = rng - counts[syms[0]];
+    }
+    return len;
+  }
+  if (br.read(1)) {  // flat
+    int len = static_cast<int>(read_varlen_u8(br)) + 1;
+    if (len > rng || len > cap) return -4;
+    int32_t base = rng / len, rem = rng % len;
+    for (int i = 0; i < len; i++) counts[i] = base + (i < rem ? 1 : 0);
+    return len;
+  }
+  // general
+  int upper_bound_log = 3;  // floor_log2(12 + 1)
+  int log = 0;
+  while (log < upper_bound_log) {
+    if (br.read(1) == 0) break;
+    log++;
+  }
+  int shift = static_cast<int>(br.read(log) | (1u << log)) - 1;
+  if (shift > static_cast<int>(kAnsLogTabSize) + 1) return -5;
+  int length = static_cast<int>(read_varlen_u8(br)) + 3;
+  if (length > cap) return -2;
+  std::vector<int> logcounts(length, 0), same(length, 0);
+  std::fill(counts, counts + length, 0);
+  int omit_log = -1, omit_pos = -1;
+  for (int i = 0; i < length;) {
+    br.refill(7);
+    uint32_t idx = static_cast<uint32_t>(br.buf & 127u);
+    br.consume(kBitWidthLut.consumed[idx]);
+    logcounts[i] = static_cast<int>(kBitWidthLut.value[idx]) - 1;
+    if (logcounts[i] == static_cast<int>(kAnsLogTabSize)) {  // RLE
+      int rle = static_cast<int>(read_varlen_u8(br));
+      same[i] = rle + 5;
+      i += rle + 4;
+      continue;
+    }
+    if (logcounts[i] > omit_log) {
+      omit_log = logcounts[i];
+      omit_pos = i;
+    }
+    i++;
+  }
+  if (omit_pos < 0) return -6;
+  if (omit_pos + 1 < length &&
+      logcounts[omit_pos + 1] == static_cast<int>(kAnsLogTabSize)) return -7;
+  int64_t total = 0;
+  int32_t prev = 0;
+  int numsame = 0;
+  for (int i = 0; i < length; i++) {
+    if (same[i]) {
+      numsame = same[i] - 1;
+      prev = i > 0 ? counts[i - 1] : 0;
+    }
+    if (numsame > 0) {
+      counts[i] = prev;
+      numsame--;
+    } else {
+      int code = logcounts[i];
+      if (i == omit_pos || code < 0) continue;
+      if (shift == 0 || code == 0) {
+        counts[i] = 1 << code;
+      } else {
+        int bitcount = get_pop_count_precision(code, shift);
+        counts[i] = (1 << code) +
+                    (static_cast<int32_t>(br.read(bitcount)) << (code - bitcount));
+      }
+    }
+    total += counts[i];
+  }
+  counts[omit_pos] = rng - static_cast<int32_t>(total);
+  if (counts[omit_pos] <= 0) return -8;
+  return length;
+}
+
+// InitAliasTable (ans_common.cc:42-146) -> packed slots
+// value | offset<<16 | freq<<32, matching entropy/ans.py exactly
+// (including the LIFO overfull/underfull pairing order).
+int build_alias_packed(const int32_t* counts_in, int n_in, int log_alpha_size,
+                       uint64_t* packed) {
+  int n = n_in;
+  while (n > 0 && counts_in[n - 1] == 0) n--;
+  int32_t one[1] = {static_cast<int32_t>(kAnsTabSize)};
+  const int32_t* dist = counts_in;
+  if (n == 0) {
+    dist = one;
+    n = 1;
+  }
+  const int table_size = 1 << log_alpha_size;
+  if (n > table_size) return -2;
+  int64_t sum = 0;
+  for (int i = 0; i < n; i++) sum += dist[i];
+  if (sum != static_cast<int64_t>(kAnsTabSize)) return -3;
+  const int entry_size = kAnsTabSize >> log_alpha_size;
+
+  for (int s = 0; s < n; s++) {
+    if (dist[s] == static_cast<int32_t>(kAnsTabSize)) {
+      // Single-symbol: identity decode, freq = table size.
+      for (uint32_t i = 0; i < kAnsTabSize; i++) {
+        packed[i] = static_cast<uint64_t>(s) | (static_cast<uint64_t>(i) << 16)
+                    | (static_cast<uint64_t>(kAnsTabSize) << 32);
+      }
+      return 0;
+    }
+  }
+
+  std::vector<int> cutoffs(table_size, 0), right_value(table_size, 0),
+      offsets1(table_size, 0), final_cutoff(table_size, 0);
+  std::vector<int> underfull, overfull;
+  underfull.reserve(table_size);
+  overfull.reserve(table_size);
+  for (int i = 0; i < n; i++) {
+    cutoffs[i] = dist[i];
+    if (cutoffs[i] > entry_size) overfull.push_back(i);
+    else if (cutoffs[i] < entry_size) underfull.push_back(i);
+  }
+  for (int i = n; i < table_size; i++) underfull.push_back(i);
+  while (!overfull.empty()) {
+    int oi = overfull.back();
+    overfull.pop_back();
+    if (underfull.empty()) return -4;
+    int ui = underfull.back();
+    underfull.pop_back();
+    int by = entry_size - cutoffs[ui];
+    cutoffs[oi] -= by;
+    right_value[ui] = oi;
+    offsets1[ui] = cutoffs[oi];
+    if (cutoffs[oi] < entry_size) underfull.push_back(oi);
+    else if (cutoffs[oi] > entry_size) overfull.push_back(oi);
+  }
+  for (int i = 0; i < table_size; i++) {
+    if (cutoffs[i] == entry_size) {
+      right_value[i] = i;
+      offsets1[i] = 0;
+      final_cutoff[i] = 0;
+    } else {
+      offsets1[i] -= cutoffs[i];
+      final_cutoff[i] = cutoffs[i];
+    }
+  }
+  for (uint32_t idx = 0; idx < kAnsTabSize; idx++) {
+    uint32_t slot = idx >> (kAnsLogTabSize - log_alpha_size);
+    uint32_t pos = idx & (entry_size - 1);
+    bool use_right = static_cast<int>(pos) >= final_cutoff[slot];
+    uint32_t sym = use_right ? right_value[slot] : slot;
+    uint32_t off = use_right ? offsets1[slot] + pos : pos;
+    uint32_t freq = sym < static_cast<uint32_t>(n) ? dist[sym] : 0;
+    packed[idx] = static_cast<uint64_t>(sym) | (static_cast<uint64_t>(off) << 16)
+                  | (static_cast<uint64_t>(freq) << 32);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read `num` ANS histograms starting at *bit_pos and build their packed
+// alias tables (out_packed: num x 4096 uint64, out_alpha: num int32).
+// Updates *bit_pos past the histograms. Returns 0 or a negative error.
+int64_t ans_read_histograms_build(const uint8_t* data, uint64_t size,
+                                  uint64_t* bit_pos, int num,
+                                  int log_alpha_size, int max_alpha,
+                                  uint64_t* out_packed, int32_t* out_alpha) {
+  BitReaderC br;
+  br.data = data;
+  br.size = size;
+  br.pos = *bit_pos / 8;
+  br.buf = 0;
+  br.bits = 0;
+  br.consumed = *bit_pos;
+  br.overread = false;
+  uint32_t rem = *bit_pos % 8;
+  if (rem) {
+    br.refill(8);
+    br.buf >>= rem;
+    br.bits -= rem;
+  }
+  int32_t counts[300];
+  for (int h = 0; h < num; h++) {
+    int len = read_histogram_counts(br, counts, 300);
+    if (len < 0) return len;
+    if (len > max_alpha) return -2;
+    int rc = build_alias_packed(counts, len, log_alpha_size,
+                                out_packed + static_cast<size_t>(h) * kAnsTabSize);
+    if (rc < 0) return rc - 20;
+    out_alpha[h] = len;
+  }
+  *bit_pos = br.consumed;  // tables are complete even on overread
+  if (br.overread) return -1;
+  return 0;
+}
+
+// Read n hybrid-uints from one clustered context (context-map decode,
+// coefficient-order permutations...). Returns 0 or -1 on overread.
+int64_t ans_read_stream_u32(ModularDecoderHandle* h, int cluster, int64_t n,
+                            uint32_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    out[i] = h->ans.read_clustered(static_cast<uint32_t>(cluster));
+  }
+  return h->br.overread ? -1 : 0;
+}
+
+// In-place inverse move-to-front over uint32 values (inverse_mtf-inl.h).
+void inverse_mtf_u32(uint32_t* values, int64_t n) {
+  uint8_t mtf[256];
+  for (int i = 0; i < 256; i++) mtf[i] = static_cast<uint8_t>(i);
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t v = values[i];
+    if (v > 255) v = 255;
+    uint8_t sym = mtf[v];
+    values[i] = sym;
+    for (uint32_t j = v; j > 0; j--) mtf[j] = mtf[j - 1];
+    mtf[0] = sym;
+  }
+}
+
+// AC group decode straight into the frame-level int16 coefficient image
+// (the device feed), merging vardct_decode_ac with the feed scatter:
+//   frame[c][gy0*8 + by*8 + r][gx0*8 + bx*8 + s]  (strides in elements)
+// Also fills the 8x8-family transform-slot map. Returns 0, or -12 when a
+// coefficient overflows int16 (caller falls back to the int32 path), or
+// the vardct_decode_ac error codes.
+int vardct_decode_ac_frame(
+    ModularDecoderHandle* h, int bw, int bh, int num_blocks,
+    const int32_t* blk_bx, const int32_t* blk_by, const int32_t* blk_cx,
+    const int32_t* blk_cy, const int32_t* blk_ctx /*3/blk*/,
+    const int32_t* blk_order_off /*3/blk*/, const int32_t* orders,
+    int num_ctxs, int ctx_offset, const int32_t* blk_strat,
+    const int8_t* slot_lut /*64: strategy -> family8 slot or -1*/,
+    int16_t* frame, int64_t plane_stride, int64_t row_stride,
+    int64_t origin /*pixel offset of the group's top-left*/,
+    int8_t* mat_ids, int64_t mat_stride, int64_t mat_origin) {
+  AnsDecoderC& ans = h->ans;
+  std::vector<int32_t> nz(3 * static_cast<size_t>(bw) * bh, 0);
+  static const int chan_order[3] = {1, 0, 2};
+  for (int b = 0; b < num_blocks; b++) {
+    const int bx = blk_bx[b], by = blk_by[b];
+    const int cx = blk_cx[b], cy = blk_cy[b];
+    const uint32_t covered = cx * cy;
+    uint32_t log2_covered = 0;
+    while ((1u << (log2_covered + 1)) <= covered) log2_covered++;
+    const uint32_t size = covered * 64;
+    // Stored grid is row-major over (cy*8, cx*8); cx is a power of two.
+    uint32_t wlog = 3;
+    while ((1u << wlog) < static_cast<uint32_t>(cx * 8)) wlog++;
+    const uint32_t wmask = (1u << wlog) - 1;
+    int16_t* base0 = frame + origin + static_cast<int64_t>(by) * 8 * row_stride
+                     + static_cast<int64_t>(bx) * 8;
+    if (slot_lut) {
+      int8_t slot = blk_strat ? slot_lut[blk_strat[b] & 63] : -1;
+      if (slot >= 0) {
+        mat_ids[mat_origin + static_cast<int64_t>(by) * mat_stride + bx] = slot;
+      }
+    }
+    for (int ci = 0; ci < 3; ci++) {
+      const int c = chan_order[ci];
+      int32_t* nzrow = &nz[static_cast<size_t>(c) * bw * bh];
+      int32_t predicted;
+      if (bx == 0) {
+        predicted = by == 0 ? 32 : nzrow[(by - 1) * bw];
+      } else if (by == 0) {
+        predicted = nzrow[by * bw + bx - 1];
+      } else {
+        predicted = (nzrow[(by - 1) * bw + bx] + nzrow[by * bw + bx - 1] + 1)
+                    / 2;
+      }
+      const int block_ctx = blk_ctx[b * 3 + c];
+      uint32_t pnz = predicted >= 64 ? 64 : predicted;
+      uint32_t nzc = pnz < 8 ? pnz : 4 + pnz / 2;
+      const uint32_t nzero_ctx = nzc * num_ctxs + block_ctx + ctx_offset;
+      uint32_t nzeros = ans.read_ctx(nzero_ctx);
+      if (nzeros > size - covered) return -10;
+      for (int iy = 0; iy < cy; iy++)
+        for (int ix = 0; ix < cx; ix++)
+          nzrow[(by + iy) * bw + bx + ix] =
+              (nzeros + covered - 1) >> log2_covered;
+      const uint32_t histo_offset =
+          ctx_offset + num_ctxs * 37 + 458 * block_ctx;
+      uint32_t prev = nzeros > size / 16 ? 0 : 1;
+      int16_t* block = base0 + c * plane_stride;
+      const int32_t* order = orders + blk_order_off[b * 3 + c];
+      if (!ans.lz77_enabled) {
+        for (uint32_t k = covered; k < size && nzeros != 0; k++) {
+          const uint32_t ctx =
+              histo_offset
+              + zero_density_ctx(nzeros, k, covered, log2_covered, prev);
+          const uint32_t u = ans.read_clustered_nolz(ans.context_map[ctx]);
+          const int32_t v = unpack_signed(u);
+          if (v != static_cast<int16_t>(v)) return -12;
+          const uint32_t p = static_cast<uint32_t>(order[k]);
+          block[(p >> wlog) * row_stride + (p & wmask)] =
+              static_cast<int16_t>(v);
+          prev = u != 0 ? 1 : 0;
+          nzeros -= prev;
+        }
+      } else {
+        for (uint32_t k = covered; k < size && nzeros != 0; k++) {
+          const uint32_t ctx =
+              histo_offset
+              + zero_density_ctx(nzeros, k, covered, log2_covered, prev);
+          const uint32_t u = ans.read_clustered(ans.context_map[ctx]);
+          const int32_t v = unpack_signed(u);
+          if (v != static_cast<int16_t>(v)) return -12;
+          const uint32_t p = static_cast<uint32_t>(order[k]);
+          block[(p >> wlog) * row_stride + (p & wmask)] =
+              static_cast<int16_t>(v);
+          prev = u != 0 ? 1 : 0;
+          nzeros -= prev;
+        }
+      }
+      if (nzeros != 0) return -11;
+    }
+  }
+  return h->br.overread ? -1 : 0;
+}
+
+}  // extern "C"

@@ -346,3 +346,74 @@ def build_feed2(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
         classes=classes,
         biases=np.asarray(biases, np.float32),
     )
+
+
+def build_feed3(coeff_img, mat_ids, fd, strategies, raw_quant, dc_full,
+                quantizer, cmap, ytox_map, ytob_map, x_mul, b_mul,
+                biases) -> dict:
+    """Assemble the slim (v2) device feed around a coefficient image the
+    native decoder already filled in place (vardct_decode_ac_frame) —
+    only the small control maps are computed here, all vectorized."""
+    from libjxl_tpu.vardct.group_native import family8_slot_lut
+
+    BH, BW = fd.ysize_blocks, fd.xsize_blocks
+
+    ty = np.arange(BH) // 8
+    tx = np.arange(BW) // 8
+    fx = (cmap.base_correlation_x
+          + ytox_map[ty[:, None], tx[None, :]] * cmap.color_scale
+          ).astype(np.float32)
+    fb = (cmap.base_correlation_b
+          + ytob_map[ty[:, None], tx[None, :]] * cmap.color_scale
+          ).astype(np.float32)
+
+    slot_lut = family8_slot_lut()
+    classes = {}
+    big_tables = {}
+    anchor_mask = strategies >= 0
+    svals = np.unique(strategies[anchor_mask]) if anchor_mask.any() else []
+    for s in svals:
+        s = int(s)
+        if slot_lut[s] >= 0:
+            continue
+        cx, cy = acs.covered_blocks(s)
+        bys, bxs = np.nonzero(strategies == s)
+        n = len(bys)
+        for by, bx in zip(bys, bxs):   # big blocks are few
+            fx[by:by + cy, bx:bx + cx] = fx[by, bx]
+            fb[by:by + cy, bx:bx + cx] = fb[by, bx]
+        cap = _pow2_pad(n)
+        anchor_idx = np.zeros(cap, np.int32)
+        anchor_idx[:n] = (bys * BW + bxs).astype(np.int32)
+        mask = np.zeros(cap, np.float32)
+        mask[:n] = 1.0
+        key = (cy, cx)
+        if key in classes:
+            a0, m0 = classes[key]
+            anchor_idx = np.concatenate([a0[m0 > 0], anchor_idx])
+            mask = np.concatenate([m0[m0 > 0], mask])
+        classes[key] = (anchor_idx, mask)
+        big_tables[key] = quantizer.dequant.table(s).reshape(
+            3, cy * cx * 64).astype(np.float32)
+
+    tables8 = getattr(quantizer.dequant, "_tables8_stack", None)
+    if tables8 is None:
+        tables8 = np.stack([
+            quantizer.dequant.table(st).reshape(3, 64) for st in FAMILY8
+        ]).astype(np.float32)
+        quantizer.dequant._tables8_stack = tables8
+
+    return dict(
+        v2=True,
+        coeff_img=coeff_img,
+        mat_ids=mat_ids,
+        raw_quant=raw_quant.astype(np.int32),
+        dc=dc_full.astype(np.float32),
+        fx=fx, fb=fb,
+        inv_gs=np.float32(quantizer.inv_global_scale),
+        qmul=np.array([x_mul, 1.0, b_mul], np.float32),
+        tables8=tables8,
+        big_tables=big_tables,
+        classes=classes,
+        biases=np.asarray(biases, np.float32),
+    )

@@ -50,19 +50,13 @@ def _p(arr, t):
     return arr.ctypes.data_as(C.POINTER(t))
 
 
-def prepare_blocks(strategies: np.ndarray, raw_quant: np.ndarray,
-                   ctx_map: BlockCtxMap, orders: dict,
-                   qdc: np.ndarray | None = None):
-    """Precompute per-block arrays + flattened orders for the native
-    coder. Returns dict or None if unsupported (non-default dc ctx)."""
-    ys, xs = np.nonzero(strategies >= 0)
-    n = len(ys)
-    blk_bx = xs.astype(np.int32)
-    blk_by = ys.astype(np.int32)
-    strat = strategies[ys, xs].astype(np.int32)
-    blk_cx = np.array([acs.COVERED_X[s] for s in strat], np.int32)
-    blk_cy = np.array([acs.COVERED_Y[s] for s in strat], np.int32)
-    # Flatten orders.
+_COVERED_X = np.asarray(acs.COVERED_X, np.int32)
+_COVERED_Y = np.asarray(acs.COVERED_Y, np.int32)
+
+
+def flatten_orders(orders: dict) -> tuple[np.ndarray, dict]:
+    """Flatten the per-(order-bucket, channel) coefficient orders once
+    per frame/pass; prepare_blocks reuses the result across groups."""
     order_parts = []
     order_index = {}
     off = 0
@@ -70,8 +64,26 @@ def prepare_blocks(strategies: np.ndarray, raw_quant: np.ndarray,
         order_index[key] = off
         order_parts.append(np.asarray(arr, np.int32))
         off += len(arr)
-    flat_orders = np.concatenate(order_parts) if order_parts \
-        else np.zeros(1, np.int32)
+    flat_orders = np.ascontiguousarray(np.concatenate(order_parts)) \
+        if order_parts else np.zeros(1, np.int32)
+    return flat_orders, order_index
+
+
+def prepare_blocks(strategies: np.ndarray, raw_quant: np.ndarray,
+                   ctx_map: BlockCtxMap, orders: dict,
+                   qdc: np.ndarray | None = None,
+                   flat_cache: tuple | None = None):
+    """Precompute per-block arrays + flattened orders for the native
+    coder. Returns dict or None if unsupported (non-default dc ctx)."""
+    ys, xs = np.nonzero(strategies >= 0)
+    n = len(ys)
+    blk_bx = xs.astype(np.int32)
+    blk_by = ys.astype(np.int32)
+    strat = strategies[ys, xs].astype(np.int32)
+    blk_cx = _COVERED_X[strat]
+    blk_cy = _COVERED_Y[strat]
+    flat_orders, order_index = flat_cache if flat_cache is not None \
+        else flatten_orders(orders)
     # Vectorized per-block context + order-offset computation
     # (ac_context.h BlockCtxMap::Context over all blocks at once).
     ord_b = np.asarray(acs.STRATEGY_ORDER, np.int64)[strat]
@@ -159,6 +171,109 @@ def native_decode_group(data: bytes, bit_pos: int, codes, bw: int, bh: int,
             int(prep["blk_bx"][i]), int(prep["blk_by"][i]), s,
             coeffs[off:off + 3 * size].reshape(3, size)))
     return blocks, pos
+
+
+_SLOT_LUT = None
+
+
+def family8_slot_lut() -> np.ndarray:
+    """int8[64]: strategy id -> 8x8-family matrix-bank slot, or -1."""
+    global _SLOT_LUT
+    if _SLOT_LUT is None:
+        from libjxl_tpu.tpu.feed import FAMILY8
+        lut = np.full(64, -1, np.int8)
+        for slot, s in enumerate(FAMILY8):
+            lut[s] = slot
+        _SLOT_LUT = lut
+    return _SLOT_LUT
+
+
+def native_decode_group_frame(data: bytes, bit_pos: int, codes,
+                              bw: int, bh: int, prep: dict,
+                              ctx_map: BlockCtxMap, ctx_offset: int,
+                              frame: np.ndarray, mat_ids: np.ndarray,
+                              gy0: int, gx0: int):
+    """Decode one AC group's coefficients STRAIGHT into the frame-level
+    int16 coefficient image (the device feed) and fill the transform
+    slot map — no per-block/flat intermediate (jxl_native.cpp
+    vardct_decode_ac_frame). Returns the new bit position, "overflow"
+    when a coefficient exceeds int16 (caller promotes to int32), or
+    None when the native path is unavailable."""
+    lib = _lib()
+    if lib is None or codes.use_prefix_code:
+        return None
+    from libjxl_tpu.native.bindings import NativeModularDecoder
+
+    _, H, W = frame.shape
+    BH, BW = mat_ids.shape
+    slot_lut = family8_slot_lut()
+    dec = NativeModularDecoder(data, bit_pos, codes, 0)
+    try:
+        rc = lib.vardct_decode_ac_frame(
+            dec.handle, bw, bh, prep["n"],
+            _p(prep["blk_bx"], C.c_int32), _p(prep["blk_by"], C.c_int32),
+            _p(prep["blk_cx"], C.c_int32), _p(prep["blk_cy"], C.c_int32),
+            _p(prep["blk_ctx"], C.c_int32),
+            _p(prep["blk_order_off"], C.c_int32),
+            _p(prep["orders"], C.c_int32), ctx_map.num_ctxs, ctx_offset,
+            _p(prep["strat"], C.c_int32), _p(slot_lut, C.c_int8),
+            _p(frame, C.c_int16), H * W, W,
+            gy0 * 8 * W + gx0 * 8,
+            _p(mat_ids, C.c_int8), BW, gy0 * BW + gx0)
+        if rc == -12:
+            return "overflow"
+        if rc != 0:
+            raise BitstreamError(f"native AC decode failed ({rc})")
+        if not dec.check_final():
+            raise BitstreamError("bad ANS state in AC group")
+        return dec.bit_pos()
+    finally:
+        dec.close()
+
+
+def scatter_flat_to_frame(flat: np.ndarray, prep: dict, frame: np.ndarray,
+                          mat_ids: np.ndarray, gy0: int, gx0: int) -> None:
+    """Scatter a flat (int32) group coefficient buffer into the
+    frame-level coefficient image (fallback for int16 overflow /
+    prefix-coded groups). Mirrors tpu/feed.py build_feed2's flat branch."""
+    _, H, W = frame.shape
+    slot_lut = family8_slot_lut().astype(np.int64)
+    strat = prep["strat"]
+    offs = prep["blk_coeff_off"]
+    slots = slot_lut[strat]
+    fam = slots >= 0
+    cv = frame.reshape(3, H // 8, 8, W // 8, 8)
+    if fam.any():
+        bys = prep["blk_by"][fam].astype(np.int64) + gy0
+        bxs = prep["blk_bx"][fam].astype(np.int64) + gx0
+        gather = offs[fam][:, None] + np.arange(192)
+        cf = flat[gather].reshape(-1, 3, 8, 8)
+        cv[:, bys, :, bxs, :] = cf
+        mat_ids[bys, bxs] = slots[fam]
+    for i in np.nonzero(~fam)[0]:
+        s = int(strat[i])
+        cx, cy = acs.covered_blocks(s)
+        size = 3 * cx * cy * 64
+        off = int(offs[i])
+        by = gy0 + int(prep["blk_by"][i])
+        bx = gx0 + int(prep["blk_bx"][i])
+        frame[:, by * 8:(by + cy) * 8, bx * 8:(bx + cx) * 8] = \
+            flat[off:off + size].reshape(3, cy * 8, cx * 8)
+
+
+def scatter_blocks_to_frame(blocks: list, frame: np.ndarray,
+                            mat_ids: np.ndarray, gy0: int, gx0: int) -> None:
+    """Scatter Python CoeffBlocks into the frame coefficient image
+    (pure-Python fallback of the native frame decode)."""
+    slot_lut = family8_slot_lut()
+    for blk in blocks:
+        s = int(blk.strategy)
+        cx, cy = acs.covered_blocks(s)
+        by, bx = gy0 + blk.by, gx0 + blk.bx
+        frame[:, by * 8:(by + cy) * 8, bx * 8:(bx + cx) * 8] = \
+            blk.coeffs.reshape(3, cy * 8, cx * 8)
+        if slot_lut[s] >= 0:
+            mat_ids[by, bx] = slot_lut[s]
 
 
 def native_tokenize_group(blocks: list, bw: int, bh: int, prep: dict,

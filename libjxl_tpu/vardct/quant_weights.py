@@ -260,13 +260,23 @@ class DequantMatrices:
         self.inv_dc_quant = INV_DC_QUANT.copy()
         self._tables: dict[int, np.ndarray] = {}
 
+    # Library-mode (default-encoding) tables are format constants shared
+    # by every frame — cache them process-wide instead of per instance.
+    _library_tables: dict = {}
+
     def table(self, strategy: int) -> np.ndarray:
         """Dequant matrix for a strategy, shape (3, H, W) coefficient
         layout."""
         t_idx = acs.STRATEGY_QUANT_TABLE[strategy]
         if t_idx not in self._tables:
-            self._tables[t_idx] = compute_quant_table(
-                self.encodings[t_idx], t_idx)
+            enc = self.encodings[t_idx]
+            if enc.mode == MODE_LIBRARY and not enc.predefined:
+                lib = DequantMatrices._library_tables
+                if t_idx not in lib:
+                    lib[t_idx] = compute_quant_table(enc, t_idx)
+                self._tables[t_idx] = lib[t_idx]
+            else:
+                self._tables[t_idx] = compute_quant_table(enc, t_idx)
         return self._tables[t_idx]
 
     # -- serialization (DequantMatrices::Decode / DecodeDC) ---------------
