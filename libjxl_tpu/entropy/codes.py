@@ -207,12 +207,13 @@ def _native_read_histograms(r: BitReader, num: int, log_alpha_size: int,
     import ctypes as C
 
     data = r.raw_data
-    packed = np.zeros((num, ANS_TAB_SIZE), np.uint64)
+    # Packed alias slots: value:8 | offset:12 | (freq-1):12.
+    packed = np.zeros((num, ANS_TAB_SIZE), np.uint32)
     alpha = np.zeros(num, np.int32)
     pos = C.c_uint64(r.bits_consumed)
     rc = lib.ans_read_histograms_build(
         data, len(data), C.byref(pos), num, log_alpha_size, max_alpha,
-        packed.ctypes.data_as(C.POINTER(C.c_uint64)),
+        packed.ctypes.data_as(C.POINTER(C.c_uint32)),
         alpha.ctypes.data_as(C.POINTER(C.c_int32)))
     if rc == -1:
         # Trailing peek refilled past the buffer end: mirror the Python
@@ -225,10 +226,10 @@ def _native_read_histograms(r: BitReader, num: int, log_alpha_size: int,
     for h in range(num):
         p = packed[h]
         codes.alias_tables.append(AliasTable(
-            value=(p & np.uint64(0xFFFF)).astype(np.uint16),
-            offset=((p >> np.uint64(16)) & np.uint64(0xFFFF)
+            value=(p & np.uint32(0xFF)).astype(np.uint16),
+            offset=((p >> np.uint32(8)) & np.uint32(0xFFF)
                     ).astype(np.uint16),
-            freq=(p >> np.uint64(32)).astype(np.uint32)))
+            freq=((p >> np.uint32(20)) + np.uint32(1)).astype(np.uint32)))
     codes._packed_native = np.ascontiguousarray(packed.reshape(-1))
     return True
 

@@ -279,77 +279,133 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     histo_bits = (num_histograms - 1).bit_length() if num_histograms > 1 \
         else 0
     from libjxl_tpu.vardct.group_native import (
-        flatten_orders, native_decode_group, native_decode_group_frame,
+        flatten_orders, native_decode_ac_multi, native_decode_group,
         prepare_blocks, scatter_blocks_to_frame, scatter_flat_to_frame)
     group_blocks: list = [None] * fd.num_groups
 
     # Frame-direct device path: the native decoder writes coefficients
-    # straight into the int16 frame image (no per-group intermediates).
+    # straight into the int16 frame image (no per-group intermediates),
+    # all groups of a pass decoded in one interleaved native call.
+    # Progressive passes accumulate coefficients << shift in place.
     use_frame_path = (bool(device) and device != "feed_v1"
-                      and num_passes == 1 and fh.passes.shift[0] == 0
                       and not single)
     coeff_frame = mat_ids_frame = None
-    flat_cache = None
+    pass_flat_caches = [None] * num_passes
     if use_frame_path:
         coeff_frame = np.zeros(
             (3, fd.ysize_blocks * 8, fd.xsize_blocks * 8), np.int16)
         mat_ids_frame = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
                                  np.int8)
-        flat_cache = flatten_orders(pass_orders[0])
+    # (pass, group) -> (bit pos after the histogram selector, ctx_offset),
+    # kept so an int16-overflow redo can resume without re-reading them.
+    sel_pos: dict = {}
 
-    def process_ac_group_frame(g: int) -> None:
-        nonlocal coeff_frame
-        orders = pass_orders[0]
-        ac_codes = pass_codes[0]
-        br = get(2 + fd.num_dc_groups + g)
-        brect = fd.block_group_rect(g)
+    def _flat_cache(p: int):
+        if pass_flat_caches[p] is None:
+            pass_flat_caches[p] = flatten_orders(pass_orders[p])
+        return pass_flat_caches[p]
+
+    def _read_selector(p: int, g: int):
+        br = get(2 + fd.num_dc_groups + p * fd.num_groups + g)
         cur_histogram = br.read(histo_bits) if histo_bits else 0
         if cur_histogram >= num_histograms:
             raise BitstreamError("invalid histogram selector")
-        ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
-        sl = brect.slices()
-        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
-                              orders, flat_cache=flat_cache)
-        res = None
-        if coeff_frame.dtype == np.int16:
-            res = native_decode_group_frame(
-                br.raw_data, br.bits_consumed, ac_codes, brect.xsize,
-                brect.ysize, prep, ctx_map, ctx_offset, coeff_frame,
-                mat_ids_frame, brect.y0, brect.x0)
-        if res == "overflow" or res is None:
-            # Rare: int16 overflow or prefix-coded stream — promote the
-            # frame to int32 and redo this group via the flat path
-            # (fresh reader; partial writes are zeroed first).
-            if coeff_frame.dtype == np.int16:
-                coeff_frame = coeff_frame.astype(np.int32)
-            y0, x0 = brect.y0 * 8, brect.x0 * 8
-            coeff_frame[:, y0:y0 + brect.ysize * 8,
-                        x0:x0 + brect.xsize * 8] = 0
-            mat_ids_frame[brect.slices()] = 0
-            flat = native_decode_group(
-                br.raw_data, br.bits_consumed, ac_codes, brect.xsize,
-                brect.ysize, prep, ctx_map, ctx_offset, as_blocks=False)
-            if flat is not None:
-                buf, pos = flat
-                scatter_flat_to_frame(buf, prep, coeff_frame,
-                                      mat_ids_frame, brect.y0, brect.x0)
-                br.seek_bits(pos)
-            else:
-                reader = SymbolReader(ac_codes, br)
-                blocks = decode_group_coeffs(
-                    reader, brect.xsize, brect.ysize, strategies[sl],
-                    raw_quant[sl], orders, ctx_map, ctx_offset)
-                if not reader.check_final_state():
-                    raise BitstreamError("bad ANS state in AC group")
-                scatter_blocks_to_frame(blocks, coeff_frame,
-                                        mat_ids_frame, brect.y0, brect.x0)
-        else:
-            br.seek_bits(res)
-        min_s, max_s = fh.passes.downsampling_bracket(0)
+        sel_pos[(p, g)] = (br.bits_consumed,
+                           cur_histogram * ctx_map.num_ac_contexts())
+        return br
+
+    def _mfd_group(p: int, g: int, br) -> None:
+        min_s, max_s = fh.passes.downsampling_bracket(p)
         mrect = fd.group_rect(g)
         prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
         mfd.decode_group(prect, br, min_s, max_s,
-                         stream_modular_ac(g, 0, fd))
+                         stream_modular_ac(g, p, fd))
+
+    def process_ac_group_frame_pass(p: int, g: int, br=None,
+                                    do_mfd: bool = True) -> None:
+        """Per-group fallback of the interleaved frame path: flat int32
+        decode accumulated into the (promoted) coefficient frame."""
+        nonlocal coeff_frame
+        shift = fh.passes.shift[p]
+        orders = pass_orders[p]
+        ac_codes = pass_codes[p]
+        if br is None:
+            br = get(2 + fd.num_dc_groups + p * fd.num_groups + g)
+            br.seek_bits(sel_pos[(p, g)][0])
+        ctx_offset = sel_pos[(p, g)][1]
+        brect = fd.block_group_rect(g)
+        sl = brect.slices()
+        prep = prepare_blocks(strategies[sl], raw_quant[sl], ctx_map,
+                              orders, flat_cache=_flat_cache(p))
+        if coeff_frame.dtype == np.int16:
+            # The fallback only serves rare streams (prefix codes, LZ77
+            # in AC, int16 overflow): run the whole frame in int32.
+            coeff_frame = coeff_frame.astype(np.int32)
+        flat = native_decode_group(
+            br.raw_data, br.bits_consumed, ac_codes, brect.xsize,
+            brect.ysize, prep, ctx_map, ctx_offset, as_blocks=False)
+        if flat is not None:
+            buf, pos = flat
+            scatter_flat_to_frame(buf, prep, coeff_frame, mat_ids_frame,
+                                  brect.y0, brect.x0, shift,
+                                  accumulate=True)
+            br.seek_bits(pos)
+        else:
+            reader = SymbolReader(ac_codes, br)
+            blocks = decode_group_coeffs(
+                reader, brect.xsize, brect.ysize, strategies[sl],
+                raw_quant[sl], orders, ctx_map, ctx_offset)
+            if not reader.check_final_state():
+                raise BitstreamError("bad ANS state in AC group")
+            scatter_blocks_to_frame(blocks, coeff_frame, mat_ids_frame,
+                                    brect.y0, brect.x0, shift,
+                                    accumulate=True)
+        if do_mfd:
+            _mfd_group(p, g, br)
+
+    def process_ac_pass_multi(p: int) -> bool:
+        """All AC groups of pass p through the interleaved native
+        decoder. Returns False when the native path cannot serve the
+        pass (prefix codes / LZ77 / promoted frame / no native lib)."""
+        nonlocal coeff_frame
+        ac_codes = pass_codes[p]
+        if ac_codes.use_prefix_code or ac_codes.lz77.enabled \
+                or coeff_frame.dtype != np.int16:
+            return False
+        orders = pass_orders[p]
+        fc = _flat_cache(p)
+        sections, preps, ctx_offs, rects, brs = [], [], [], [], []
+        for g in range(fd.num_groups):
+            br = _read_selector(p, g)
+            brect = fd.block_group_rect(g)
+            sl = brect.slices()
+            preps.append(prepare_blocks(strategies[sl], raw_quant[sl],
+                                        ctx_map, orders, flat_cache=fc))
+            sections.append((br.raw_data, br.bits_consumed))
+            ctx_offs.append(sel_pos[(p, g)][1])
+            rects.append(brect)
+            brs.append(br)
+        res = native_decode_ac_multi(
+            sections, ac_codes, preps, ctx_offs, fh.passes.shift[p],
+            ctx_map.num_ctxs, coeff_frame, mat_ids_frame, rects,
+            set_mat_ids=(p == 0))
+        if res is None:
+            return False
+        if isinstance(res, tuple):
+            # int16 overflow in some group: promote to int32, zero, and
+            # redo the coefficients of passes 0..p per group (their
+            # modular sub-streams are untouched by the redo; only the
+            # current pass still needs its modular decode).
+            coeff_frame = np.zeros(coeff_frame.shape, np.int32)
+            mat_ids_frame[:] = 0
+            for q in range(p + 1):
+                for g in range(fd.num_groups):
+                    process_ac_group_frame_pass(q, g, do_mfd=(q == p))
+            return True
+        for g, endpos in enumerate(res):
+            brs[g].seek_bits(endpos)
+            _mfd_group(p, g, brs[g])
+        return True
 
     def process_ac_group(p: int, g: int) -> None:
         shift = fh.passes.shift[p]
@@ -424,8 +480,11 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     # TPU pipeline handles dequant/CfL/IDCT/filters/color (SURVEY §7).
     if device:
         if use_frame_path:
-            for g in range(fd.num_groups):
-                process_ac_group_frame(g)
+            for p in range(num_passes):
+                if not process_ac_pass_multi(p):
+                    for g in range(fd.num_groups):
+                        br = _read_selector(p, g)
+                        process_ac_group_frame_pass(p, g, br=br)
         else:
             for p in range(num_passes):
                 for g in range(fd.num_groups):

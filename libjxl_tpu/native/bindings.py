@@ -45,7 +45,7 @@ def get_lib():
     lib.mod_decoder_create.restype = C.c_void_p
     lib.mod_decoder_create.argtypes = [
         C.c_char_p, C.c_uint64, C.c_uint64,
-        C.POINTER(C.c_uint64),
+        C.POINTER(C.c_uint32),
         C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int,
         C.c_int, C.c_uint32, C.c_uint32, C.c_uint32, C.POINTER(C.c_int32),
         C.c_uint32]
@@ -83,12 +83,26 @@ def get_lib():
     lib.ans_read_histograms_build.restype = C.c_int64
     lib.ans_read_histograms_build.argtypes = [
         C.c_char_p, C.c_uint64, C.POINTER(C.c_uint64), C.c_int, C.c_int,
-        C.c_int, C.POINTER(C.c_uint64), C.POINTER(C.c_int32)]
+        C.c_int, C.POINTER(C.c_uint32), C.POINTER(C.c_int32)]
     lib.ans_read_stream_u32.restype = C.c_int64
     lib.ans_read_stream_u32.argtypes = [
         C.c_void_p, C.c_int, C.c_int64, C.POINTER(C.c_uint32)]
     lib.inverse_mtf_u32.restype = None
     lib.inverse_mtf_u32.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
+    lib.vardct_decode_ac_multi.restype = C.c_int
+    lib.vardct_decode_ac_multi.argtypes = [
+        C.c_int, C.POINTER(C.c_char_p), C.POINTER(C.c_uint64),
+        C.POINTER(C.c_uint64), C.POINTER(C.c_uint32), C.POINTER(C.c_uint8),
+        C.POINTER(C.c_int32), C.c_int, C.c_int,
+        C.POINTER(C.c_int32), C.c_int,
+        C.POINTER(C.c_int32), C.POINTER(C.c_int64),
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.POINTER(C.c_int64),
+        C.POINTER(C.c_int64), C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+        C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+        C.POINTER(C.c_int8), C.POINTER(C.c_int16), C.c_int64, C.c_int64,
+        C.POINTER(C.c_int8), C.c_int64, C.POINTER(C.c_int32),
+        C.POINTER(C.c_uint64), C.POINTER(C.c_int32)]
     lib.vardct_decode_ac_frame.restype = C.c_int
     lib.vardct_decode_ac_frame.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_int,
@@ -109,6 +123,31 @@ def available() -> bool:
 
 def _as_ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(C.POINTER(ctype))
+
+
+def codes_tables(codes):
+    """Packed alias slots (value:8 | offset:12 | (freq-1):12) + context
+    map + uint configs for `codes`, cached on the EntropyCodes object
+    and shared across sections/groups."""
+    cached = getattr(codes, "_native_cache", None)
+    if cached is None:
+        packed = getattr(codes, "_packed_native", None)
+        if packed is None:
+            value = np.concatenate(
+                [t.value for t in codes.alias_tables]).astype(np.uint32)
+            offset = np.concatenate(
+                [t.offset for t in codes.alias_tables]).astype(np.uint32)
+            freq = np.concatenate(
+                [t.freq for t in codes.alias_tables]).astype(np.uint32)
+            packed = (value | (offset << 8)
+                      | (np.maximum(freq, 1) - 1 << 20))
+        cmap = np.array(codes.context_map, np.uint8)
+        cfgs = np.array(
+            [[c.split_exponent, c.msb_in_token, c.lsb_in_token]
+             for c in codes.uint_configs], np.int32)
+        cached = (np.ascontiguousarray(packed), cmap, cfgs)
+        codes._native_cache = cached
+    return cached
 
 
 def make_tree_array(tree) -> "C.Array":
@@ -138,26 +177,7 @@ class NativeModularDecoder:
     def __init__(self, data: bytes, bit_pos: int, codes, distance_mult: int):
         lib = get_lib()
         n = codes.num_histograms
-        cached = getattr(codes, "_native_cache", None)
-        if cached is None:
-            packed = getattr(codes, "_packed_native", None)
-            if packed is None:
-                # Interleaved alias slots (value | offset<<16 | freq<<32),
-                # built once per EntropyCodes and reused across sections.
-                value = np.concatenate(
-                    [t.value for t in codes.alias_tables]).astype(np.uint64)
-                offset = np.concatenate(
-                    [t.offset for t in codes.alias_tables]).astype(np.uint64)
-                freq = np.concatenate(
-                    [t.freq for t in codes.alias_tables]).astype(np.uint64)
-                packed = (value | (offset << 16) | (freq << 32))
-            cmap = np.array(codes.context_map, np.uint8)
-            cfgs = np.array(
-                [[c.split_exponent, c.msb_in_token, c.lsb_in_token]
-                 for c in codes.uint_configs], np.int32)
-            cached = (np.ascontiguousarray(packed), cmap, cfgs)
-            codes._native_cache = cached
-        self._packed, self._cmap, self._cfgs = cached
+        self._packed, self._cmap, self._cfgs = codes_tables(codes)
         lz = codes.lz77
         self._lzcfg = np.array(
             [lz.length_uint_config.split_exponent,
@@ -166,7 +186,7 @@ class NativeModularDecoder:
         self._data = data  # keep alive
         self.handle = lib.mod_decoder_create(
             data, len(data), bit_pos,
-            _as_ptr(self._packed, C.c_uint64),
+            _as_ptr(self._packed, C.c_uint32),
             _as_ptr(self._cmap, C.c_uint8),
             _as_ptr(self._cfgs, C.c_int32), n,
             1 if lz.enabled else 0, lz.min_symbol, lz.min_length,

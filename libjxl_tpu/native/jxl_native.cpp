@@ -93,9 +93,10 @@ struct UintCfg {
 struct AnsDecoderC {
   BitReaderC* br;
   uint32_t state;
-  // Interleaved alias slots: value | offset<<16 | freq<<32 — one
-  // 8-byte load per symbol instead of three table hits.
-  const uint64_t* alias_packed;  // [clusters][4096]
+  // Interleaved alias slots: value:8 | offset:12 | (freq-1):12 — one
+  // 4-byte load per symbol instead of three table hits, and half the
+  // cache footprint of the former 8-byte packing.
+  const uint32_t* alias_packed;  // [clusters][4096]
   const uint8_t* context_map;    // ctx -> cluster
   const UintCfg* cfgs;           // per cluster
   int use_prefix;                // prefix codes unsupported natively
@@ -113,10 +114,10 @@ struct AnsDecoderC {
   inline uint32_t read_symbol(uint32_t cluster) {
     uint32_t res = state & (kAnsTabSize - 1);
     const size_t base = static_cast<size_t>(cluster) * kAnsTabSize + res;
-    const uint64_t slot = alias_packed[base];
-    uint32_t sym = static_cast<uint32_t>(slot & 0xFFFF);
-    uint32_t off = static_cast<uint32_t>((slot >> 16) & 0xFFFF);
-    uint32_t freq = static_cast<uint32_t>(slot >> 32);
+    const uint32_t slot = alias_packed[base];
+    uint32_t sym = slot & 0xFF;
+    uint32_t off = (slot >> 8) & 0xFFF;
+    uint32_t freq = (slot >> 20) + 1;
     state = freq * (state >> kAnsLogTabSize) + off;
     if (state < (1u << 16)) {
       state = (state << 16) | br->peek16();
@@ -431,7 +432,7 @@ struct ModularDecoderHandle {
 
 ModularDecoderHandle* mod_decoder_create(
     const uint8_t* data, uint64_t size, uint64_t bit_pos,
-    const uint64_t* alias_packed, const uint8_t* context_map,
+    const uint32_t* alias_packed, const uint8_t* context_map,
     const int32_t* uint_cfgs /* [clusters][3] */, int num_clusters,
     int lz77_enabled, uint32_t lz77_min_symbol, uint32_t lz77_min_length,
     uint32_t lz77_ctx, const int32_t* lz77_cfg /* [3] */,
@@ -1285,10 +1286,16 @@ int read_histogram_counts(BitReaderC& br, int32_t* counts, int cap) {
 }
 
 // InitAliasTable (ans_common.cc:42-146) -> packed slots
-// value | offset<<16 | freq<<32, matching entropy/ans.py exactly
+// value:8 | offset:12 | (freq-1):12, matching entropy/ans.py exactly
 // (including the LIFO overfull/underfull pairing order).
+static inline uint32_t pack_slot(uint32_t sym, uint32_t off, uint32_t freq) {
+  // freq 0 only occurs on slots no valid state reaches; clamp so the
+  // (freq-1) field cannot wrap.
+  if (freq == 0) freq = 1;
+  return (sym & 0xFF) | ((off & 0xFFF) << 8) | ((freq - 1) << 20);
+}
 int build_alias_packed(const int32_t* counts_in, int n_in, int log_alpha_size,
-                       uint64_t* packed) {
+                       uint32_t* packed) {
   int n = n_in;
   while (n > 0 && counts_in[n - 1] == 0) n--;
   int32_t one[1] = {static_cast<int32_t>(kAnsTabSize)};
@@ -1308,8 +1315,7 @@ int build_alias_packed(const int32_t* counts_in, int n_in, int log_alpha_size,
     if (dist[s] == static_cast<int32_t>(kAnsTabSize)) {
       // Single-symbol: identity decode, freq = table size.
       for (uint32_t i = 0; i < kAnsTabSize; i++) {
-        packed[i] = static_cast<uint64_t>(s) | (static_cast<uint64_t>(i) << 16)
-                    | (static_cast<uint64_t>(kAnsTabSize) << 32);
+        packed[i] = pack_slot(s, i, kAnsTabSize);
       }
       return 0;
     }
@@ -1356,8 +1362,7 @@ int build_alias_packed(const int32_t* counts_in, int n_in, int log_alpha_size,
     uint32_t sym = use_right ? right_value[slot] : slot;
     uint32_t off = use_right ? offsets1[slot] + pos : pos;
     uint32_t freq = sym < static_cast<uint32_t>(n) ? dist[sym] : 0;
-    packed[idx] = static_cast<uint64_t>(sym) | (static_cast<uint64_t>(off) << 16)
-                  | (static_cast<uint64_t>(freq) << 32);
+    packed[idx] = pack_slot(sym, off, freq);
   }
   return 0;
 }
@@ -1367,12 +1372,12 @@ int build_alias_packed(const int32_t* counts_in, int n_in, int log_alpha_size,
 extern "C" {
 
 // Read `num` ANS histograms starting at *bit_pos and build their packed
-// alias tables (out_packed: num x 4096 uint64, out_alpha: num int32).
+// alias tables (out_packed: num x 4096 uint32, out_alpha: num int32).
 // Updates *bit_pos past the histograms. Returns 0 or a negative error.
 int64_t ans_read_histograms_build(const uint8_t* data, uint64_t size,
                                   uint64_t* bit_pos, int num,
                                   int log_alpha_size, int max_alpha,
-                                  uint64_t* out_packed, int32_t* out_alpha) {
+                                  uint32_t* out_packed, int32_t* out_alpha) {
   BitReaderC br;
   br.data = data;
   br.size = size;
@@ -1425,6 +1430,338 @@ void inverse_mtf_u32(uint32_t* values, int64_t n) {
     mtf[0] = sym;
   }
 }
+
+
+// ---------------------------------------------------------------------------
+// Interleaved multi-group AC decode. N independent rANS streams decode
+// in lockstep on one core so their serial state-update chains overlap
+// (the single-stream decode is latency-bound on alias-table loads and
+// the state multiply; 4-way interleave measures ~4x on one core).
+
+namespace {
+
+struct AcStream {
+  // bit reader (register-local mirror of BitReaderC)
+  const uint8_t* bdata;
+  uint64_t bsize, bpos, bbuf, bconsumed;
+  uint32_t bbits;
+  uint32_t state;
+  // FSM position
+  int b = 0;        // block index
+  int ci = 0;       // channel-order index (0..2 -> channel 1,0,2)
+  int phase = 0;    // 0 = read nzeros next, 1 = coefficient loop
+  uint32_t k = 0, size = 0, covered = 0, log2_covered = 0, wlog = 3,
+           wmask = 7, nzeros = 0, prev = 0;
+  // cached per (b, ci)
+  int16_t* block = nullptr;
+  const int32_t* order = nullptr;
+  uint32_t histo_offset = 0;
+  int16_t* base0 = nullptr;
+  // per-group tables
+  const int32_t *blk_bx, *blk_by, *blk_cx, *blk_cy, *blk_ctx, *blk_oo,
+      *strat;
+  const int32_t* orders;
+  int32_t* nz;
+  int num_blocks, bw, bh;
+  int ctx_offset;
+  int shift;        // progressive pass coefficient shift
+  int16_t* frame;
+  int64_t plane_stride, row_stride, origin;
+  int8_t* mat_ids;
+  int64_t mat_stride, mat_origin;
+  const int8_t* slot_lut;
+  int rc = 0;
+  bool done = false;
+
+  void refill56() {
+    if (bbits < 56) {
+      if (bpos + 8 <= bsize) {
+        uint64_t chunk;
+        __builtin_memcpy(&chunk, bdata + bpos, 8);
+        bbuf |= chunk << bbits;
+        uint32_t nb = (63 - bbits) >> 3;
+        bpos += nb;
+        bbits += nb * 8;
+      } else {
+        while (bbits < 56) {
+          if (bpos < bsize) bbuf |= (uint64_t)bdata[bpos++] << bbits;
+          bbits += 8;
+        }
+      }
+    }
+  }
+};
+
+// Decode exactly one token for stream s (a coefficient, or the nzeros
+// count opening a (block, channel) pair). Tables shared across streams.
+static inline __attribute__((always_inline)) void ac_step(
+    AcStream& s, const uint32_t* alias, const uint8_t* cmap,
+    const UintCfg* cfgs, int num_ctxs) {
+  uint32_t ctx;
+  if (s.phase == 1) {
+    ctx = s.histo_offset +
+          zero_density_ctx(s.nzeros, s.k, s.covered, s.log2_covered, s.prev);
+  } else {
+    // Start of (b, ci): per-block setup when ci == 0.
+    const int b = s.b;
+    if (s.ci == 0) {
+      const int cx = s.blk_cx[b], cy = s.blk_cy[b];
+      s.covered = cx * cy;
+      s.log2_covered = 0;
+      while ((1u << (s.log2_covered + 1)) <= s.covered) s.log2_covered++;
+      s.size = s.covered * 64;
+      s.wlog = 3;
+      while ((1u << s.wlog) < (uint32_t)(cx * 8)) s.wlog++;
+      s.wmask = (1u << s.wlog) - 1;
+      s.base0 = s.frame + s.origin +
+                (int64_t)s.blk_by[b] * 8 * s.row_stride +
+                (int64_t)s.blk_bx[b] * 8;
+      if (s.slot_lut) {
+        int8_t slot = s.strat ? s.slot_lut[s.strat[b] & 63] : -1;
+        if (slot >= 0) {
+          s.mat_ids[s.mat_origin + (int64_t)s.blk_by[b] * s.mat_stride +
+                    s.blk_bx[b]] = slot;
+        }
+      }
+    }
+    static const int chan_order[3] = {1, 0, 2};
+    const int c = chan_order[s.ci];
+    const int bx = s.blk_bx[b], by = s.blk_by[b];
+    int32_t* nzrow = s.nz + (size_t)c * s.bw * s.bh;
+    int32_t predicted;
+    if (bx == 0) {
+      predicted = by == 0 ? 32 : nzrow[(by - 1) * s.bw];
+    } else if (by == 0) {
+      predicted = nzrow[by * s.bw + bx - 1];
+    } else {
+      predicted =
+          (nzrow[(by - 1) * s.bw + bx] + nzrow[by * s.bw + bx - 1] + 1) / 2;
+    }
+    const int block_ctx = s.blk_ctx[b * 3 + c];
+    uint32_t pnz = predicted >= 64 ? 64 : predicted;
+    uint32_t nzc = pnz < 8 ? pnz : 4 + pnz / 2;
+    ctx = nzc * num_ctxs + block_ctx + s.ctx_offset;
+    s.histo_offset = s.ctx_offset + num_ctxs * 37 + 458 * block_ctx;
+    s.block = s.base0 + c * s.plane_stride;
+    s.order = s.orders + s.blk_oo[b * 3 + c];
+  }
+  // --- shared token read (one bulk refill covers renorm + extra bits) ---
+  s.refill56();
+  const uint32_t cluster = cmap[ctx];
+  const uint32_t slot =
+      alias[(size_t)cluster * kAnsTabSize + (s.state & (kAnsTabSize - 1))];
+  uint32_t token = slot & 0xFF;
+  s.state = ((slot >> 20) + 1) * (s.state >> kAnsLogTabSize) +
+            ((slot >> 8) & 0xFFF);
+  if (s.state < (1u << 16)) {
+    s.state = (s.state << 16) | (uint32_t)(s.bbuf & 0xFFFF);
+    s.bbuf >>= 16;
+    s.bbits -= 16;
+    s.bconsumed += 16;
+  }
+  const UintCfg& c_ = cfgs[cluster];
+  const uint32_t split = 1u << c_.split_exponent;
+  uint32_t u;
+  if (token < split) {
+    u = token;
+  } else {
+    const uint32_t mt = c_.msb + c_.lsb;
+    const uint32_t nbits =
+        (c_.split_exponent - mt + ((token - split) >> mt)) & 31u;
+    const uint32_t low = token & ((1u << c_.lsb) - 1);
+    const uint32_t tk = token >> c_.lsb;
+    const uint32_t eb = (uint32_t)(s.bbuf & ((1ull << nbits) - 1));
+    s.bbuf >>= nbits;
+    s.bbits -= nbits;
+    s.bconsumed += nbits;
+    const uint32_t msbp = (1u << c_.msb) | (tk & ((1u << c_.msb) - 1));
+    u = (((msbp << nbits) | eb) << c_.lsb) | low;
+  }
+  // --- consume the token ---
+  if (s.phase == 1) {
+    const int32_t v = unpack_signed(u);
+    const uint32_t p = (uint32_t)s.order[s.k];
+    int16_t* dst = s.block + (p >> s.wlog) * s.row_stride + (p & s.wmask);
+    const int32_t nv = *dst + (v << s.shift);
+    if (nv != (int16_t)nv) {
+      s.rc = -12;
+      s.done = true;
+      return;
+    }
+    *dst = (int16_t)nv;
+    s.prev = u != 0 ? 1 : 0;
+    s.nzeros -= s.prev;
+    s.k++;
+    if (s.nzeros == 0 || s.k >= s.size) {
+      if (s.nzeros != 0) {
+        s.rc = -11;
+        s.done = true;
+        return;
+      }
+      s.phase = 0;
+      s.ci++;
+      if (s.ci == 3) {
+        s.ci = 0;
+        s.b++;
+        if (s.b >= s.num_blocks) s.done = true;
+      }
+    }
+  } else {
+    // u = nzeros for this (b, ci)
+    if (u > s.size - s.covered) {
+      s.rc = -10;
+      s.done = true;
+      return;
+    }
+    const int b = s.b;
+    static const int chan_order[3] = {1, 0, 2};
+    const int c = chan_order[s.ci];
+    const int bx = s.blk_bx[b], by = s.blk_by[b];
+    int32_t* nzrow = s.nz + (size_t)c * s.bw * s.bh;
+    const int cy = s.blk_cy[b], cx = s.blk_cx[b];
+    for (int iy = 0; iy < cy; iy++)
+      for (int ix = 0; ix < cx; ix++)
+        nzrow[(by + iy) * s.bw + bx + ix] =
+            (u + s.covered - 1) >> s.log2_covered;
+    s.nzeros = u;
+    s.prev = u > s.size / 16 ? 0 : 1;
+    s.k = s.covered;
+    if (u == 0) {
+      s.ci++;
+      if (s.ci == 3) {
+        s.ci = 0;
+        s.b++;
+        if (s.b >= s.num_blocks) s.done = true;
+      }
+    } else {
+      s.phase = 1;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Interleaved decode of n independent AC group sections of one pass.
+// Coefficients are ACCUMULATED into the int16 frame image as
+// (value << shift), so progressive passes chain over the same buffer
+// (callers zero it before pass 0). Per-group arrays are concatenated,
+// g_blk_off giving each group's first block index. Per-group results:
+// out_rc (0 ok, -10/-11 stream error, -12 int16 overflow, -1 overread),
+// out_bitpos (bit position after the group's coefficients) and
+// out_final (ANS final-state check). Returns 0.
+int vardct_decode_ac_multi(
+    int n_groups, const uint8_t** g_data, const uint64_t* g_size,
+    const uint64_t* g_bitpos, const uint32_t* alias32, const uint8_t* cmap,
+    const int32_t* uint_cfgs, int num_clusters, int num_ctxs,
+    const int32_t* g_ctx_offset, int shift,
+    const int32_t* g_num_blocks, const int64_t* g_blk_off,
+    const int32_t* g_bw, const int32_t* g_bh, const int64_t* g_origin,
+    const int64_t* g_mat_origin, const int32_t* blk_bx,
+    const int32_t* blk_by, const int32_t* blk_cx, const int32_t* blk_cy,
+    const int32_t* blk_ctx, const int32_t* blk_order_off,
+    const int32_t* orders, const int32_t* blk_strat, const int8_t* slot_lut,
+    int16_t* frame, int64_t plane_stride, int64_t row_stride,
+    int8_t* mat_ids, int64_t mat_stride, int32_t* out_rc,
+    uint64_t* out_bitpos, int32_t* out_final) {
+  std::vector<UintCfg> cfgs(num_clusters);
+  for (int i = 0; i < num_clusters; i++) {
+    cfgs[i] = {(uint32_t)uint_cfgs[i * 3], (uint32_t)uint_cfgs[i * 3 + 1],
+               (uint32_t)uint_cfgs[i * 3 + 2]};
+  }
+  std::vector<AcStream> streams(n_groups);
+  std::vector<std::vector<int32_t>> nzbufs(n_groups);
+  for (int g = 0; g < n_groups; g++) {
+    AcStream& s = streams[g];
+    s.bdata = g_data[g];
+    s.bsize = g_size[g];
+    uint64_t bit_pos = g_bitpos[g];
+    s.bpos = bit_pos / 8;
+    s.bbuf = 0;
+    s.bbits = 0;
+    s.bconsumed = bit_pos;
+    uint32_t rem = bit_pos % 8;
+    if (rem) {
+      s.refill56();
+      s.bbuf >>= rem;
+      s.bbits -= rem;
+    }
+    s.refill56();
+    s.state = (uint32_t)(s.bbuf & 0xFFFFFFFFu);
+    s.bbuf >>= 32;
+    s.bbits -= 32;
+    s.bconsumed += 32;
+    s.blk_bx = blk_bx + g_blk_off[g];
+    s.blk_by = blk_by + g_blk_off[g];
+    s.blk_cx = blk_cx + g_blk_off[g];
+    s.blk_cy = blk_cy + g_blk_off[g];
+    s.blk_ctx = blk_ctx + g_blk_off[g] * 3;
+    s.blk_oo = blk_order_off + g_blk_off[g] * 3;
+    s.strat = blk_strat ? blk_strat + g_blk_off[g] : nullptr;
+    s.orders = orders;
+    s.num_blocks = g_num_blocks[g];
+    s.bw = g_bw[g];
+    s.bh = g_bh[g];
+    s.ctx_offset = g_ctx_offset[g];
+    s.shift = shift;
+    nzbufs[g].assign(3 * (size_t)s.bw * s.bh, 0);
+    s.nz = nzbufs[g].data();
+    s.frame = frame;
+    s.plane_stride = plane_stride;
+    s.row_stride = row_stride;
+    s.origin = g_origin[g];
+    s.mat_ids = mat_ids;
+    s.mat_stride = mat_stride;
+    s.mat_origin = g_mat_origin[g];
+    s.slot_lut = slot_lut;
+    if (s.num_blocks == 0) s.done = true;
+  }
+  std::vector<AcStream*> act;
+  act.reserve(n_groups);
+  for (auto& s : streams)
+    if (!s.done) act.push_back(&s);
+  const UintCfg* cf = cfgs.data();
+  // 4-way lockstep measured fastest on one core (8-way spills registers);
+  // compact the active list whenever a stream finishes.
+  while (act.size() >= 4) {
+    AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
+    while (!a.done && !b.done && !c.done && !d.done) {
+      ac_step(a, alias32, cmap, cf, num_ctxs);
+      ac_step(b, alias32, cmap, cf, num_ctxs);
+      ac_step(c, alias32, cmap, cf, num_ctxs);
+      ac_step(d, alias32, cmap, cf, num_ctxs);
+    }
+    for (size_t i = 0; i < act.size();) {
+      if (act[i]->done) act.erase(act.begin() + i);
+      else i++;
+    }
+  }
+  while (act.size() >= 2) {
+    AcStream &a = *act[0], &b = *act[1];
+    while (!a.done && !b.done) {
+      ac_step(a, alias32, cmap, cf, num_ctxs);
+      ac_step(b, alias32, cmap, cf, num_ctxs);
+    }
+    for (size_t i = 0; i < act.size();) {
+      if (act[i]->done) act.erase(act.begin() + i);
+      else i++;
+    }
+  }
+  if (!act.empty()) {
+    AcStream& a = *act[0];
+    while (!a.done) ac_step(a, alias32, cmap, cf, num_ctxs);
+  }
+  for (int g = 0; g < n_groups; g++) {
+    AcStream& s = streams[g];
+    out_rc[g] = s.rc != 0 ? s.rc : (s.bconsumed > s.bsize * 8 ? -1 : 0);
+    out_bitpos[g] = s.bconsumed;
+    out_final[g] = (s.state == (kAnsSignature << 16)) ? 1 : 0;
+  }
+  return 0;
+}
+
+}  // extern "C"
 
 // AC group decode straight into the frame-level int16 coefficient image
 // (the device feed), merging vardct_decode_ac with the feed scatter:

@@ -16,6 +16,86 @@ from libjxl_tpu.vardct.ac_context import BlockCtxMap
 from libjxl_tpu.vardct.group import CoeffBlock
 
 
+def native_decode_ac_multi(sections, codes, preps, ctx_offsets, shift,
+                           num_ctxs, frame, mat_ids, rects,
+                           set_mat_ids: bool = True):
+    """Interleaved native decode of all AC group sections of one pass
+    (jxl_native.cpp vardct_decode_ac_multi). Coefficients accumulate
+    into the int16 `frame` as value << shift.
+
+    sections: list of (bytes, bit_pos) per group, positioned after the
+    histogram-selector bits. Returns a list of per-group end bit
+    positions on success, the string "overflow" with the list of failed
+    group indices as a tuple when any group hit int16 overflow, or None
+    when the native path is unavailable.
+    """
+    lib = _lib()
+    if lib is None or codes.use_prefix_code or codes.lz77.enabled:
+        return None
+    n = len(sections)
+    if n == 0:
+        return []
+    from libjxl_tpu.native.bindings import codes_tables
+    packed, cmap_arr, cfgs = codes_tables(codes)
+    _, H, W = frame.shape
+    BH, BW = mat_ids.shape
+    slot_lut = family8_slot_lut()
+    g_data = (C.c_char_p * n)(*[s[0] for s in sections])
+    g_size = np.array([len(s[0]) for s in sections], np.uint64)
+    g_bitpos = np.array([s[1] for s in sections], np.uint64)
+    g_nb = np.array([p["n"] for p in preps], np.int32)
+    g_blk_off = np.zeros(n, np.int64)
+    np.cumsum(g_nb[:-1], out=g_blk_off[1:])
+    g_bw = np.array([r.xsize for r in rects], np.int32)
+    g_bh = np.array([r.ysize for r in rects], np.int32)
+    g_origin = np.array([r.y0 * 8 * W + r.x0 * 8 for r in rects], np.int64)
+    g_morigin = np.array([r.y0 * BW + r.x0 for r in rects], np.int64)
+    ctx_off = np.asarray(ctx_offsets, np.int32)
+    blk_bx = np.concatenate([p["blk_bx"] for p in preps])
+    blk_by = np.concatenate([p["blk_by"] for p in preps])
+    blk_cx = np.concatenate([p["blk_cx"] for p in preps])
+    blk_cy = np.concatenate([p["blk_cy"] for p in preps])
+    strat = np.concatenate([p["strat"] for p in preps])
+    blk_ctx = np.ascontiguousarray(
+        np.concatenate([p["blk_ctx"] for p in preps]))
+    blk_oo = np.ascontiguousarray(
+        np.concatenate([p["blk_order_off"] for p in preps]))
+    orders = preps[0]["orders"]
+    out_rc = np.zeros(n, np.int32)
+    out_bitpos = np.zeros(n, np.uint64)
+    out_final = np.zeros(n, np.int32)
+    rc = lib.vardct_decode_ac_multi(
+        n, g_data, _p(g_size, C.c_uint64), _p(g_bitpos, C.c_uint64),
+        _p(packed, C.c_uint32), _p(cmap_arr, C.c_uint8),
+        _p(cfgs, C.c_int32), codes.num_histograms, num_ctxs,
+        _p(ctx_off, C.c_int32), shift,
+        _p(g_nb, C.c_int32), _p(g_blk_off, C.c_int64),
+        _p(g_bw, C.c_int32), _p(g_bh, C.c_int32),
+        _p(g_origin, C.c_int64), _p(g_morigin, C.c_int64),
+        _p(blk_bx, C.c_int32), _p(blk_by, C.c_int32),
+        _p(blk_cx, C.c_int32), _p(blk_cy, C.c_int32),
+        _p(blk_ctx, C.c_int32), _p(blk_oo, C.c_int32),
+        _p(orders, C.c_int32),
+        _p(strat, C.c_int32) if set_mat_ids else None,
+        _p(slot_lut, C.c_int8) if set_mat_ids else None,
+        _p(frame, C.c_int16), H * W, W,
+        _p(mat_ids, C.c_int8), BW,
+        _p(out_rc, C.c_int32), _p(out_bitpos, C.c_uint64),
+        _p(out_final, C.c_int32))
+    if rc != 0:
+        raise BitstreamError(f"native multi AC decode failed ({rc})")
+    overflow = [g for g in range(n) if out_rc[g] == -12]
+    if overflow:
+        return ("overflow", overflow)
+    for g in range(n):
+        if out_rc[g] != 0:
+            raise BitstreamError(
+                f"native AC decode failed in group {g} ({out_rc[g]})")
+        if not out_final[g]:
+            raise BitstreamError(f"bad ANS state in AC group {g}")
+    return [int(b) for b in out_bitpos]
+
+
 def _lib():
     try:
         from libjxl_tpu.native.bindings import get_lib
@@ -232,10 +312,12 @@ def native_decode_group_frame(data: bytes, bit_pos: int, codes,
 
 
 def scatter_flat_to_frame(flat: np.ndarray, prep: dict, frame: np.ndarray,
-                          mat_ids: np.ndarray, gy0: int, gx0: int) -> None:
+                          mat_ids: np.ndarray, gy0: int, gx0: int,
+                          shift: int = 0, accumulate: bool = False) -> None:
     """Scatter a flat (int32) group coefficient buffer into the
     frame-level coefficient image (fallback for int16 overflow /
-    prefix-coded groups). Mirrors tpu/feed.py build_feed2's flat branch."""
+    prefix-coded groups). With accumulate=True, adds flat << shift
+    (progressive passes). Mirrors tpu/feed.py build_feed2's flat branch."""
     _, H, W = frame.shape
     slot_lut = family8_slot_lut().astype(np.int64)
     strat = prep["strat"]
@@ -247,8 +329,11 @@ def scatter_flat_to_frame(flat: np.ndarray, prep: dict, frame: np.ndarray,
         bys = prep["blk_by"][fam].astype(np.int64) + gy0
         bxs = prep["blk_bx"][fam].astype(np.int64) + gx0
         gather = offs[fam][:, None] + np.arange(192)
-        cf = flat[gather].reshape(-1, 3, 8, 8)
-        cv[:, bys, :, bxs, :] = cf
+        cf = flat[gather].reshape(-1, 3, 8, 8) << shift
+        if accumulate:
+            cv[:, bys, :, bxs, :] += cf.astype(frame.dtype)
+        else:
+            cv[:, bys, :, bxs, :] = cf
         mat_ids[bys, bxs] = slots[fam]
     for i in np.nonzero(~fam)[0]:
         s = int(strat[i])
@@ -257,12 +342,18 @@ def scatter_flat_to_frame(flat: np.ndarray, prep: dict, frame: np.ndarray,
         off = int(offs[i])
         by = gy0 + int(prep["blk_by"][i])
         bx = gx0 + int(prep["blk_bx"][i])
-        frame[:, by * 8:(by + cy) * 8, bx * 8:(bx + cx) * 8] = \
-            flat[off:off + size].reshape(3, cy * 8, cx * 8)
+        cf = flat[off:off + size].reshape(3, cy * 8, cx * 8) << shift
+        dst = frame[:, by * 8:(by + cy) * 8, bx * 8:(bx + cx) * 8]
+        if accumulate:
+            dst += cf.astype(frame.dtype)
+        else:
+            dst[...] = cf
 
 
 def scatter_blocks_to_frame(blocks: list, frame: np.ndarray,
-                            mat_ids: np.ndarray, gy0: int, gx0: int) -> None:
+                            mat_ids: np.ndarray, gy0: int, gx0: int,
+                            shift: int = 0,
+                            accumulate: bool = False) -> None:
     """Scatter Python CoeffBlocks into the frame coefficient image
     (pure-Python fallback of the native frame decode)."""
     slot_lut = family8_slot_lut()
@@ -270,8 +361,12 @@ def scatter_blocks_to_frame(blocks: list, frame: np.ndarray,
         s = int(blk.strategy)
         cx, cy = acs.covered_blocks(s)
         by, bx = gy0 + blk.by, gx0 + blk.bx
-        frame[:, by * 8:(by + cy) * 8, bx * 8:(bx + cx) * 8] = \
-            blk.coeffs.reshape(3, cy * 8, cx * 8)
+        cf = blk.coeffs.reshape(3, cy * 8, cx * 8) << shift
+        dst = frame[:, by * 8:(by + cy) * 8, bx * 8:(bx + cx) * 8]
+        if accumulate:
+            dst += cf.astype(frame.dtype)
+        else:
+            dst[...] = cf
         if slot_lut[s] >= 0:
             mat_ids[by, bx] = slot_lut[s]
 
