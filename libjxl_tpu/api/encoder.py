@@ -186,6 +186,8 @@ class Encoder:
                                 effort=s.effort, dots=s.dots,
                                 patches=s.patches, modular=s.modular,
                                 photon_noise_iso=s.photon_noise_iso,
+                                epf=int(s.options.get(
+                                    FrameSettingId.EPF, -1)),
                                 aux_out=self._stats)
         else:
             imgs = [f[0] for f in self._frames]

@@ -16,6 +16,9 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--device", action="store_true",
+                   help="run the jitted TPU pipeline (dequant + IDCT + "
+                        "loop filters + color) instead of the host path")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -55,7 +58,7 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 0
     t0 = time.time()
-    res = decode(data)
+    res = decode(data, device=args.device)
     dt = time.time() - t0
     arr = res.pixels
     mp = arr.shape[0] * arr.shape[1] / 1e6

@@ -280,7 +280,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         else 0
     from libjxl_tpu.vardct.group_native import (
         flatten_orders, native_decode_ac_multi, native_decode_group,
-        prepare_blocks, scatter_blocks_to_frame, scatter_flat_to_frame)
+        pass_order_offsets, prepare_blocks, prepare_frame,
+        scatter_blocks_to_frame, scatter_flat_to_frame)
     group_blocks: list = [None] * fd.num_groups
 
     # Frame-direct device path: the native decoder writes coefficients
@@ -291,11 +292,19 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                       and not single)
     coeff_frame = mat_ids_frame = None
     pass_flat_caches = [None] * num_passes
+    nz_sink = None
     if use_frame_path:
         coeff_frame = np.zeros(
             (3, fd.ysize_blocks * 8, fd.xsize_blocks * 8), np.int16)
         mat_ids_frame = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
                                  np.int8)
+        # Sparse transfer sink: the native decoder appends each nonzero
+        # coefficient contribution; a device scatter-add rebuilds the
+        # frame from ~6 bytes/nonzero instead of shipping the dense
+        # int16 image (2 B/px x 3) over the host->device link.
+        nz_cap = max(1 << 16, coeff_frame.size // 8)
+        nz_sink = (np.empty(nz_cap, np.int32), np.empty(nz_cap, np.int16),
+                   np.zeros(1, np.int64))
     # (pass, group) -> (bit pos after the histogram selector, ctx_offset),
     # kept so an int16-overflow redo can resume without re-reading them.
     sel_pos: dict = {}
@@ -341,6 +350,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
             # The fallback only serves rare streams (prefix codes, LZ77
             # in AC, int16 overflow): run the whole frame in int32.
             coeff_frame = coeff_frame.astype(np.int32)
+        if nz_sink is not None:
+            nz_sink[2][0] = -1  # sparse sink no longer complete
         flat = native_decode_group(
             br.raw_data, br.bits_consumed, ac_codes, brect.xsize,
             brect.ysize, prep, ctx_map, ctx_offset, as_blocks=False)
@@ -363,6 +374,14 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         if do_mfd:
             _mfd_group(p, g, br)
 
+    frame_prep_cache: list = [None]
+
+    def _frame_prep():
+        if frame_prep_cache[0] is None:
+            frame_prep_cache[0] = prepare_frame(strategies, raw_quant,
+                                                ctx_map, fd)
+        return frame_prep_cache[0]
+
     def process_ac_pass_multi(p: int) -> bool:
         """All AC groups of pass p through the interleaved native
         decoder. Returns False when the native path cannot serve the
@@ -372,23 +391,18 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         if ac_codes.use_prefix_code or ac_codes.lz77.enabled \
                 or coeff_frame.dtype != np.int16:
             return False
-        orders = pass_orders[p]
-        fc = _flat_cache(p)
-        sections, preps, ctx_offs, rects, brs = [], [], [], [], []
+        fprep = _frame_prep()
+        flat_orders, blk_oo = pass_order_offsets(fprep, pass_orders[p])
+        sections, ctx_offs, brs = [], [], []
         for g in range(fd.num_groups):
             br = _read_selector(p, g)
-            brect = fd.block_group_rect(g)
-            sl = brect.slices()
-            preps.append(prepare_blocks(strategies[sl], raw_quant[sl],
-                                        ctx_map, orders, flat_cache=fc))
             sections.append((br.raw_data, br.bits_consumed))
             ctx_offs.append(sel_pos[(p, g)][1])
-            rects.append(brect)
             brs.append(br)
         res = native_decode_ac_multi(
-            sections, ac_codes, preps, ctx_offs, fh.passes.shift[p],
-            ctx_map.num_ctxs, coeff_frame, mat_ids_frame, rects,
-            set_mat_ids=(p == 0))
+            sections, ac_codes, fprep, flat_orders, blk_oo, ctx_offs,
+            fh.passes.shift[p], ctx_map.num_ctxs, coeff_frame,
+            mat_ids_frame, set_mat_ids=(p == 0), nz_sink=nz_sink)
         if res is None:
             return False
         if isinstance(res, tuple):
@@ -509,6 +523,11 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                                raw_quant, dc_full, quantizer, cmap,
                                ytox_map, ytob_map, x_mul, b_mul,
                                DEFAULT_QUANT_BIAS)
+            if nz_sink is not None and nz_sink[2][0] >= 0 \
+                    and coeff_frame.dtype == np.int16:
+                ncur = int(nz_sink[2][0])
+                feed["coeff_nz"] = (nz_sink[0][:ncur].copy(),
+                                    nz_sink[1][:ncur].copy())
         else:
             from libjxl_tpu.tpu.feed import build_feed2
             feed = build_feed2(group_blocks, fd, strategies, raw_quant,

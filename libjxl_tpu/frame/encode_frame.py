@@ -492,8 +492,12 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         debug_dir: str | None = None,
                         decoding_speed: int = 0,
                         group_order_center: tuple | bool | None = None,
-                        already_downsampled: bool = False) -> None:
+                        already_downsampled: bool = False,
+                        epf: int = -1) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
+
+    epf: -1 = distance-derived EPF iteration count; 0..3 forces the
+    strength (JXL_ENC_FRAME_SETTING_EPF, encode.h).
 
     pass_shifts: per-pass coefficient shifts for progressive encoding
     (e.g. [2, 0]); the last entry must be 0. None = single pass.
@@ -580,11 +584,14 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         fh.loop_filter.epf_iters = 0
     else:
         gab = effort >= 5 and distance > 0.5 and decoding_speed < 4
-        epf_iters = 0
-        if decoding_speed < 3:
-            for i in range(1 if decoding_speed == 2 else 0, 3):
-                if distance >= (0.7, 1.5, 4.0)[i]:
-                    epf_iters += 1
+        if epf >= 0:
+            epf_iters = epf
+        else:
+            epf_iters = 0
+            if decoding_speed < 3:
+                for i in range(1 if decoding_speed == 2 else 0, 3):
+                    if distance >= (0.7, 1.5, 4.0)[i]:
+                        epf_iters += 1
         fh.loop_filter.gab = gab
         fh.loop_filter.epf_iters = epf_iters
         fh.loop_filter.all_default = (gab and epf_iters == 2)

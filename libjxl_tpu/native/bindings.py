@@ -102,7 +102,9 @@ def get_lib():
         C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.POINTER(C.c_int32),
         C.POINTER(C.c_int8), C.POINTER(C.c_int16), C.c_int64, C.c_int64,
         C.POINTER(C.c_int8), C.c_int64, C.POINTER(C.c_int32),
-        C.POINTER(C.c_uint64), C.POINTER(C.c_int32)]
+        C.POINTER(C.c_uint64), C.POINTER(C.c_int32),
+        C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.c_int64,
+        C.POINTER(C.c_int64)]
     lib.vardct_decode_ac_frame.restype = C.c_int
     lib.vardct_decode_ac_frame.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_int,

@@ -1470,6 +1470,12 @@ struct AcStream {
   int8_t* mat_ids;
   int64_t mat_stride, mat_origin;
   const int8_t* slot_lut;
+  // Sparse coefficient emission (shared across streams; single thread).
+  const int16_t* frame_base = nullptr;
+  int32_t* nz_idx = nullptr;
+  int16_t* nz_val = nullptr;
+  int64_t* nz_cursor = nullptr;
+  int64_t nz_cap = 0;
   int rc = 0;
   bool done = false;
 
@@ -1589,6 +1595,21 @@ static inline __attribute__((always_inline)) void ac_step(
       return;
     }
     *dst = (int16_t)nv;
+    if (s.nz_idx && v != 0) {
+      // Append this pass's CONTRIBUTION (a device scatter-add over all
+      // passes reconstructs the frame); on capacity overflow flag via
+      // cursor = -1 and the host falls back to the dense transfer.
+      int64_t cur = *s.nz_cursor;
+      if (cur >= 0) {
+        if (cur < s.nz_cap) {
+          s.nz_idx[cur] = (int32_t)(dst - s.frame_base);
+          s.nz_val[cur] = (int16_t)(v << s.shift);
+          *s.nz_cursor = cur + 1;
+        } else {
+          *s.nz_cursor = -1;
+        }
+      }
+    }
     s.prev = u != 0 ? 1 : 0;
     s.nzeros -= s.prev;
     s.k++;
@@ -1664,7 +1685,9 @@ int vardct_decode_ac_multi(
     const int32_t* orders, const int32_t* blk_strat, const int8_t* slot_lut,
     int16_t* frame, int64_t plane_stride, int64_t row_stride,
     int8_t* mat_ids, int64_t mat_stride, int32_t* out_rc,
-    uint64_t* out_bitpos, int32_t* out_final) {
+    uint64_t* out_bitpos, int32_t* out_final,
+    int32_t* nz_idx, int16_t* nz_val, int64_t nz_cap,
+    int64_t* nz_cursor) {
   std::vector<UintCfg> cfgs(num_clusters);
   for (int i = 0; i < num_clusters; i++) {
     cfgs[i] = {(uint32_t)uint_cfgs[i * 3], (uint32_t)uint_cfgs[i * 3 + 1],
@@ -1715,6 +1738,11 @@ int vardct_decode_ac_multi(
     s.mat_stride = mat_stride;
     s.mat_origin = g_mat_origin[g];
     s.slot_lut = slot_lut;
+    s.frame_base = frame;
+    s.nz_idx = nz_idx;
+    s.nz_val = nz_val;
+    s.nz_cursor = nz_cursor;
+    s.nz_cap = nz_cap;
     if (s.num_blocks == 0) s.done = true;
   }
   std::vector<AcStream*> act;

@@ -370,6 +370,7 @@ def build_feed3(coeff_img, mat_ids, fd, strategies, raw_quant, dc_full,
     slot_lut = family8_slot_lut()
     classes = {}
     big_tables = {}
+    class_masks = {}
     anchor_mask = strategies >= 0
     svals = np.unique(strategies[anchor_mask]) if anchor_mask.any() else []
     for s in svals:
@@ -379,9 +380,12 @@ def build_feed3(coeff_img, mat_ids, fd, strategies, raw_quant, dc_full,
         cx, cy = acs.covered_blocks(s)
         bys, bxs = np.nonzero(strategies == s)
         n = len(bys)
-        for by, bx in zip(bys, bxs):   # big blocks are few
-            fx[by:by + cy, bx:bx + cx] = fx[by, bx]
-            fb[by:by + cy, bx:bx + cx] = fb[by, bx]
+        # Spread the anchor's CfL factor across the covered blocks
+        # (vectorized fancy-index scatter; covered areas don't overlap).
+        ay = (bys[:, None, None] + np.arange(cy)[None, :, None])
+        ax = (bxs[:, None, None] + np.arange(cx)[None, None, :])
+        fx[ay, ax] = fx[bys, bxs][:, None, None]
+        fb[ay, ax] = fb[bys, bxs][:, None, None]
         cap = _pow2_pad(n)
         anchor_idx = np.zeros(cap, np.int32)
         anchor_idx[:n] = (bys * BW + bxs).astype(np.int32)
@@ -395,6 +399,22 @@ def build_feed3(coeff_img, mat_ids, fd, strategies, raw_quant, dc_full,
         classes[key] = (anchor_idx, mask)
         big_tables[key] = quantizer.dequant.table(s).reshape(
             3, cy * cx * 64).astype(np.float32)
+        # Dense aligned-tile mask: when every anchor sits at a multiple
+        # of its covered size (true for libjxl and this encoder — the
+        # ACS merge works on aligned quads), the device IDCTs ALL
+        # (cy, cx)-tiles densely and blends by this mask, avoiding the
+        # arbitrary gather/scatter that dominates big frames on TPU.
+        if class_masks is not None \
+                and (bys % cy == 0).all() and (bxs % cx == 0).all():
+            tbh = -(-BH // cy)
+            tbw = -(-BW // cx)
+            m = class_masks.get(key)
+            if m is None:
+                m = np.zeros((tbh, tbw), np.bool_)
+            m[bys // cy, bxs // cx] = True
+            class_masks[key] = m
+        else:
+            class_masks = None  # misaligned anchor: gather path only
 
     tables8 = getattr(quantizer.dequant, "_tables8_stack", None)
     if tables8 is None:
@@ -415,5 +435,6 @@ def build_feed3(coeff_img, mat_ids, fd, strategies, raw_quant, dc_full,
         tables8=tables8,
         big_tables=big_tables,
         classes=classes,
+        class_masks=class_masks if class_masks else None,
         biases=np.asarray(biases, np.float32),
     )

@@ -209,12 +209,20 @@ def _class_constants(cy, cx):
 
 
 def decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
-                tables8, mat_bank, big_tables, classes, biases, BW_blocks):
+                tables8, mat_bank, big_tables, classes, biases, BW_blocks,
+                class_masks=None):
     """Slim-feed core: coefficients + control maps -> (3, H, W) XYB.
 
     ``classes``: {(cy, cx): (anchor_idx, mask)}; ``big_tables``:
     {(cy, cx): (3, size) table}. Weights/LLF are reconstructed here so
     the host ships ~6 bytes/pixel.
+
+    ``class_masks``: optional {(cy, cx): (TBH, TBW) bool} dense
+    anchor-tile masks. When given (anchors aligned to their covered
+    size), each big class is decoded by IDCT-ing EVERY aligned tile of
+    the frame and blending by mask — pure dense reshapes/matmuls, no
+    gather/scatter (which costs ~0.5 s/4K-frame on TPU vs ~10 ms for
+    the dense form).
     """
     jax, jnp = _jax()
     _, H, W = coeff_img.shape
@@ -255,7 +263,64 @@ def decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
     pix = pix_cells.reshape(3, BH, BW, 8, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(3, H, W)
 
-    # ---- big/rect classes ----
+    # ---- big/rect classes: dense aligned-tile path ----
+    if class_masks is not None:
+        rq_f = raw_quant.astype(jnp.float32)
+        for (cy, cx), m in sorted(class_masks.items()):
+            ly, lx, mcy, mcx, sy, sx = _class_constants(cy, cx)
+            table = big_tables[(cy, cx)]               # (3, size)
+            TBH, TBW = -(-BH // cy), -(-BW // cx)
+            PH, PW = TBH * cy * 8, TBW * cx * 8
+            ci = coeff_img if (PH == H and PW == W) else jnp.pad(
+                coeff_img, ((0, 0), (0, PH - H), (0, PW - W)))
+            tiles = ci.reshape(3, TBH, cy * 8, TBW, cx * 8) \
+                .transpose(0, 1, 3, 2, 4)
+            grids = adjust(tiles.reshape(3, TBH, TBW, ly * 8, lx * 8))
+            # Anchor-block scale / CfL factors via strided slices.
+            def _anchor(a):
+                ap = a if (TBH * cy == BH and TBW * cx == BW) else jnp.pad(
+                    a, ((0, TBH * cy - BH), (0, TBW * cx - BW)),
+                    constant_values=1)
+                return ap[0::cy, 0::cx]                # (TBH, TBW)
+            scale_e = inv_gs / _anchor(rq_f)
+            dqg = grids * table.reshape(3, 1, 1, ly * 8, lx * 8) \
+                * scale_e[None, :, :, None, None] \
+                * qmul[:, None, None, None, None]
+            fxe = _anchor(fx)[:, :, None, None]
+            fbe = _anchor(fb)[:, :, None, None]
+            dqg = jnp.stack([dqg[0] + fxe * dqg[1],
+                             dqg[1],
+                             dqg[2] + fbe * dqg[1]])
+            # LLF from the DC image (LowestFrequenciesFromDC), dense.
+            dcp = dc if (TBH * cy == BH and TBW * cx == BW) else jnp.pad(
+                dc, ((0, 0), (0, TBH * cy - BH), (0, TBW * cx - BW)))
+            dcs = dcp.reshape(3, TBH, cy, TBW, cx).transpose(0, 1, 3, 2, 4)
+            llf = jnp.einsum("ui,cabij,vj->cabuv", jnp.asarray(mcy), dcs,
+                             jnp.asarray(mcx), precision=hi,
+                             preferred_element_type=jnp.float32)
+            llf = llf * sy[None, None, None, :, None] \
+                * sx[None, None, None, None, :]
+            if cy >= cx:
+                llf = llf.transpose(0, 1, 2, 4, 3)
+            dqg = dqg.at[:, :, :, :ly, :lx].set(llf)
+            if cy >= cx:
+                dqg = dqg.transpose(0, 1, 2, 4, 3)
+            ih, iw = big_idct_matrices(cy, cx)
+            blk = jnp.einsum("yu,cabuv,wv->cabyw", jnp.asarray(ih), dqg,
+                             jnp.asarray(iw), precision=hi,
+                             preferred_element_type=jnp.float32)
+            pixp = pix if (PH == H and PW == W) else jnp.pad(
+                pix, ((0, 0), (0, PH - H), (0, PW - W)))
+            ptiles = pixp.reshape(3, TBH, cy * 8, TBW, cx * 8) \
+                .transpose(0, 1, 3, 2, 4)
+            sel = m[None, :, :, None, None]
+            merged = jnp.where(sel, blk, ptiles)
+            pix = merged.transpose(0, 1, 3, 2, 4) \
+                .reshape(3, PH, PW)[:, :H, :W]
+        return pix
+
+    # ---- big/rect classes: gather/scatter fallback (anchors not
+    # aligned to the covered size — legal but not encoder-produced) ----
     if classes:
         flat_coeff = coeff_img.reshape(3, H * W)
         flat_pix = pix.reshape(3, H * W)
@@ -314,43 +379,93 @@ _FN2_CACHE: dict = {}
 
 
 def decode_frame_device2(feed: dict, image_h: int, image_w: int,
-                         return_xyb: bool = False, as_numpy: bool = True):
-    """Run the slim-feed (v2) device pipeline."""
+                         return_xyb: bool = False, as_numpy: bool = True,
+                         out: str = "srgb8"):
+    """Run the slim-feed (v2) device pipeline.
+
+    out: final device stage — "srgb8" (uint8), "pq16" (uint16 PQ-encoded
+    BT.2100 HDR output, stage_from_linear TF_PQ analogue) or "xyb"
+    (float32 planes)."""
     jax, jnp = _jax()
     from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
 
     lf = feed["lf"]
+    if return_xyb:
+        out = "xyb"
     gab = bool(lf.gab)
     epf_iters = int(lf.epf_iters)
     class_keys = tuple(sorted(feed["classes"].keys()))
     caps = tuple(feed["classes"][k][0].shape[0] for k in class_keys)
+    masks = feed.get("class_masks")
+    dense = masks is not None and set(masks) == set(class_keys)
     BW_blocks = feed["mat_ids"].shape[1]
-    key = (class_keys, caps, epf_iters, gab, feed["coeff_img"].shape,
-           feed["coeff_img"].dtype.str, image_h, image_w, return_xyb,
-           BW_blocks)
+    cshape = feed["coeff_img"].shape
+    # Sparse transfer: ship (idx, value) of the nonzero coefficients and
+    # scatter-add on device instead of the dense int16 image (~6 B per
+    # nonzero vs 6 B/pixel; the host->device link is the 4K bottleneck).
+    nz = feed.get("coeff_nz")
+    sparse = nz is not None
+    nz_cap = 0
+    if sparse:
+        n_nz = nz[0].size
+        nz_cap = max(1 << 16, 1 << (n_nz - 1).bit_length()) if n_nz \
+            else 1 << 16
+    key = (class_keys, caps, epf_iters, gab, cshape,
+           feed["coeff_img"].dtype.str, image_h, image_w, out,
+           BW_blocks, dense, sparse, nz_cap)
     if key not in _FN2_CACHE:
         @jax.jit
-        def run(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
+        def run(coeff_in, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
                 tables8, mat_bank, biases, inv_sigma, *flat):
+            if sparse:
+                nz_idx, nz_val = coeff_in
+                coeff_img = jnp.zeros(
+                    cshape[0] * cshape[1] * cshape[2], jnp.int16
+                ).at[nz_idx].add(nz_val).reshape(cshape)
+            else:
+                coeff_img = coeff_in
             ntab = len(class_keys)
             big_tables = {k: flat[i] for i, k in enumerate(class_keys)}
-            classes = {k: (flat[ntab + 2 * i], flat[ntab + 2 * i + 1])
-                       for i, k in enumerate(class_keys)}
+            if dense:
+                cmasks = {k: flat[ntab + i]
+                          for i, k in enumerate(class_keys)}
+                classes = None
+            else:
+                cmasks = None
+                classes = {k: (flat[ntab + 2 * i], flat[ntab + 2 * i + 1])
+                           for i, k in enumerate(class_keys)}
             xyb = decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb,
                               inv_gs, qmul, tables8, mat_bank, big_tables,
-                              classes, biases, BW_blocks)
+                              classes, biases, BW_blocks,
+                              class_masks=cmasks)
             xyb = xyb[:, :image_h, :image_w]
             if gab or epf_iters > 0:
                 xyb = apply_loop_filters_tpu(xyb, inv_sigma,
                                              epf_iters=epf_iters, gab=gab)
-            return xyb if return_xyb else _srgb8(xyb)
+            if out == "xyb":
+                return xyb
+            if out == "pq16":
+                from libjxl_tpu.ops.decode_tpu import xyb_to_pq16
+                return xyb_to_pq16(xyb)
+            return _srgb8(xyb)
         _FN2_CACHE[key] = run
     fn = _FN2_CACHE[key]
 
     flat = [feed["big_tables"][k] for k in class_keys]
-    for k in class_keys:
-        flat.extend(feed["classes"][k])
-    args = [feed["coeff_img"], feed["mat_ids"], feed["raw_quant"],
+    if dense:
+        flat.extend(masks[k] for k in class_keys)
+    else:
+        for k in class_keys:
+            flat.extend(feed["classes"][k])
+    if sparse:
+        nzi = np.zeros(nz_cap, np.int32)
+        nzv = np.zeros(nz_cap, np.int16)
+        nzi[:nz[0].size] = nz[0]
+        nzv[:nz[1].size] = nz[1]
+        coeff_in = (nzi, nzv)
+    else:
+        coeff_in = feed["coeff_img"]
+    args = [coeff_in, feed["mat_ids"], feed["raw_quant"],
             feed["dc"], feed["fx"], feed["fb"], feed["inv_gs"],
             feed["qmul"], feed["tables8"], family8_matrices(),
             feed["biases"], feed["inv_sigma"]] + flat

@@ -16,18 +16,96 @@ from libjxl_tpu.vardct.ac_context import BlockCtxMap
 from libjxl_tpu.vardct.group import CoeffBlock
 
 
-def native_decode_ac_multi(sections, codes, preps, ctx_offsets, shift,
-                           num_ctxs, frame, mat_ids, rects,
-                           set_mat_ids: bool = True):
+def prepare_frame(strategies: np.ndarray, raw_quant: np.ndarray,
+                  ctx_map: BlockCtxMap, fd, qdc: np.ndarray | None = None):
+    """Pass-independent per-block arrays for ALL AC groups of a frame,
+    concatenated in group order (one allocation pass, shared across
+    progressive passes — only the coefficient-order offsets differ per
+    pass; see pass_order_offsets)."""
+    from libjxl_tpu.vardct.ac_strategy import NUM_ORDERS
+    bys_l, bxs_l, rects = [], [], []
+    g_nb = np.zeros(fd.num_groups, np.int32)
+    for g in range(fd.num_groups):
+        brect = fd.block_group_rect(g)
+        rects.append(brect)
+        ys, xs = np.nonzero(strategies[brect.slices()] >= 0)
+        g_nb[g] = len(ys)
+        bys_l.append(ys)
+        bxs_l.append(xs)
+    blk_by = np.concatenate(bys_l).astype(np.int32)
+    blk_bx = np.concatenate(bxs_l).astype(np.int32)
+    g_blk_off = np.zeros(fd.num_groups, np.int64)
+    np.cumsum(g_nb[:-1], out=g_blk_off[1:])
+    # Absolute block coords for strategy/qf lookups.
+    ys_abs = blk_by.astype(np.int64).copy()
+    xs_abs = blk_bx.astype(np.int64).copy()
+    for g, brect in enumerate(rects):
+        sl = slice(int(g_blk_off[g]), int(g_blk_off[g]) + int(g_nb[g]))
+        ys_abs[sl] += brect.y0
+        xs_abs[sl] += brect.x0
+    strat = strategies[ys_abs, xs_abs].astype(np.int32)
+    blk_cx = _COVERED_X[strat]
+    blk_cy = _COVERED_Y[strat]
+    n = len(strat)
+    ord_b = np.asarray(acs.STRATEGY_ORDER, np.int64)[strat]
+    qf = np.asarray(raw_quant)[ys_abs, xs_abs].astype(np.int64)
+    qf_ths = np.asarray(sorted(ctx_map.qf_thresholds), np.int64)
+    qf_idx = np.searchsorted(qf_ths, qf, side="left") \
+        if len(qf_ths) else np.zeros(n, np.int64)
+    if qdc is not None and ctx_map.num_dc_ctxs > 1:
+        dc_idx = np.zeros(n, np.int64)
+        for c in (0, 1, 2):
+            ths = np.asarray(sorted(ctx_map.dc_thresholds[c]), np.int64)
+            bucket = np.searchsorted(ths, qdc[c, ys_abs, xs_abs],
+                                     side="left") \
+                if len(ths) else np.zeros(n, np.int64)
+            dc_idx = dc_idx * (len(ths) + 1) + bucket
+    else:
+        dc_idx = np.zeros(n, np.int64)
+    nqf = len(ctx_map.qf_thresholds) + 1
+    cmap_arr = np.asarray(ctx_map.ctx_map, np.int32)
+    blk_ctx = np.zeros((n, 3), np.int32)
+    for c in range(3):
+        cidx = (c ^ 1) if c < 2 else 2
+        idx = ((cidx * NUM_ORDERS + ord_b) * nqf + qf_idx) \
+            * ctx_map.num_dc_ctxs + dc_idx
+        blk_ctx[:, c] = cmap_arr[idx]
+    return {
+        "n": n, "g_nb": g_nb, "g_blk_off": g_blk_off, "rects": rects,
+        "blk_bx": blk_bx, "blk_by": blk_by, "blk_cx": blk_cx,
+        "blk_cy": blk_cy, "strat": strat, "blk_ctx": blk_ctx,
+        "ord_b": ord_b,
+    }
+
+
+def pass_order_offsets(fprep: dict, orders: dict):
+    """Per-pass (flat_orders, (n, 3) order offsets) for a frame prep."""
+    from libjxl_tpu.vardct.ac_strategy import NUM_ORDERS
+    flat_orders, order_index = flatten_orders(orders)
+    order_lut = np.zeros((NUM_ORDERS, 3), np.int32)
+    for (ob, c), off_v in order_index.items():
+        order_lut[ob, c] = off_v
+    return flat_orders, np.ascontiguousarray(order_lut[fprep["ord_b"]])
+
+
+def native_decode_ac_multi(sections, codes, fprep, flat_orders, blk_oo,
+                           ctx_offsets, shift, num_ctxs, frame, mat_ids,
+                           set_mat_ids: bool = True, nz_sink=None):
     """Interleaved native decode of all AC group sections of one pass
     (jxl_native.cpp vardct_decode_ac_multi). Coefficients accumulate
     into the int16 `frame` as value << shift.
 
     sections: list of (bytes, bit_pos) per group, positioned after the
-    histogram-selector bits. Returns a list of per-group end bit
-    positions on success, the string "overflow" with the list of failed
-    group indices as a tuple when any group hit int16 overflow, or None
-    when the native path is unavailable.
+    histogram-selector bits. fprep: prepare_frame() result;
+    (flat_orders, blk_oo): pass_order_offsets() result for this pass.
+    Returns a list of per-group end bit positions on success, the
+    string "overflow" with the list of failed group indices as a tuple
+    when any group hit int16 overflow, or None when the native path is
+    unavailable.
+
+    nz_sink: optional (idx int32[cap], val int16[cap], cursor int64[1])
+    the decoder appends each nonzero contribution to (sparse device
+    transfer); cursor[0] == -1 signals capacity overflow.
     """
     lib = _lib()
     if lib is None or codes.use_prefix_code or codes.lz77.enabled:
@@ -39,28 +117,16 @@ def native_decode_ac_multi(sections, codes, preps, ctx_offsets, shift,
     packed, cmap_arr, cfgs = codes_tables(codes)
     _, H, W = frame.shape
     BH, BW = mat_ids.shape
+    rects = fprep["rects"]
     slot_lut = family8_slot_lut()
     g_data = (C.c_char_p * n)(*[s[0] for s in sections])
     g_size = np.array([len(s[0]) for s in sections], np.uint64)
     g_bitpos = np.array([s[1] for s in sections], np.uint64)
-    g_nb = np.array([p["n"] for p in preps], np.int32)
-    g_blk_off = np.zeros(n, np.int64)
-    np.cumsum(g_nb[:-1], out=g_blk_off[1:])
     g_bw = np.array([r.xsize for r in rects], np.int32)
     g_bh = np.array([r.ysize for r in rects], np.int32)
     g_origin = np.array([r.y0 * 8 * W + r.x0 * 8 for r in rects], np.int64)
     g_morigin = np.array([r.y0 * BW + r.x0 for r in rects], np.int64)
     ctx_off = np.asarray(ctx_offsets, np.int32)
-    blk_bx = np.concatenate([p["blk_bx"] for p in preps])
-    blk_by = np.concatenate([p["blk_by"] for p in preps])
-    blk_cx = np.concatenate([p["blk_cx"] for p in preps])
-    blk_cy = np.concatenate([p["blk_cy"] for p in preps])
-    strat = np.concatenate([p["strat"] for p in preps])
-    blk_ctx = np.ascontiguousarray(
-        np.concatenate([p["blk_ctx"] for p in preps]))
-    blk_oo = np.ascontiguousarray(
-        np.concatenate([p["blk_order_off"] for p in preps]))
-    orders = preps[0]["orders"]
     out_rc = np.zeros(n, np.int32)
     out_bitpos = np.zeros(n, np.uint64)
     out_final = np.zeros(n, np.int32)
@@ -69,19 +135,23 @@ def native_decode_ac_multi(sections, codes, preps, ctx_offsets, shift,
         _p(packed, C.c_uint32), _p(cmap_arr, C.c_uint8),
         _p(cfgs, C.c_int32), codes.num_histograms, num_ctxs,
         _p(ctx_off, C.c_int32), shift,
-        _p(g_nb, C.c_int32), _p(g_blk_off, C.c_int64),
+        _p(fprep["g_nb"], C.c_int32), _p(fprep["g_blk_off"], C.c_int64),
         _p(g_bw, C.c_int32), _p(g_bh, C.c_int32),
         _p(g_origin, C.c_int64), _p(g_morigin, C.c_int64),
-        _p(blk_bx, C.c_int32), _p(blk_by, C.c_int32),
-        _p(blk_cx, C.c_int32), _p(blk_cy, C.c_int32),
-        _p(blk_ctx, C.c_int32), _p(blk_oo, C.c_int32),
-        _p(orders, C.c_int32),
-        _p(strat, C.c_int32) if set_mat_ids else None,
+        _p(fprep["blk_bx"], C.c_int32), _p(fprep["blk_by"], C.c_int32),
+        _p(fprep["blk_cx"], C.c_int32), _p(fprep["blk_cy"], C.c_int32),
+        _p(fprep["blk_ctx"], C.c_int32), _p(blk_oo, C.c_int32),
+        _p(flat_orders, C.c_int32),
+        _p(fprep["strat"], C.c_int32) if set_mat_ids else None,
         _p(slot_lut, C.c_int8) if set_mat_ids else None,
         _p(frame, C.c_int16), H * W, W,
         _p(mat_ids, C.c_int8), BW,
         _p(out_rc, C.c_int32), _p(out_bitpos, C.c_uint64),
-        _p(out_final, C.c_int32))
+        _p(out_final, C.c_int32),
+        _p(nz_sink[0], C.c_int32) if nz_sink else None,
+        _p(nz_sink[1], C.c_int16) if nz_sink else None,
+        nz_sink[0].size if nz_sink else 0,
+        _p(nz_sink[2], C.c_int64) if nz_sink else None)
     if rc != 0:
         raise BitstreamError(f"native multi AC decode failed ({rc})")
     overflow = [g for g in range(n) if out_rc[g] == -12]
