@@ -105,6 +105,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            color_encoding=None, cmyk: bool = False,
            modular: bool = False, group_order: bool | tuple = False,
            already_downsampled: bool = False, epf: int = -1,
+           device: bool = False,
            aux_out=None, debug_dir: str | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
@@ -324,7 +325,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                             aux_out=aux_out, debug_dir=debug_dir,
                             group_order_center=group_order or None,
                             already_downsampled=already_downsampled,
-                            epf=epf)
+                            epf=epf, device=device)
         if dc_frame and resampling == 1:
             # 1:8 DC frame (kUseDcFrame): encode the 8x-downsampled
             # image as a kDCFrame, then reference it from the main

@@ -50,6 +50,9 @@ def main(argv=None) -> int:
                    metavar="key=value",
                    help="decoder hints, e.g. color_space="
                         "RGB_D65_SRG_Rel_SRG (lossless only)")
+    p.add_argument("--device", action="store_true",
+                   help="run the VarDCT compute stage (adaptive quant, "
+                        "ACS search, DCT, CfL, quantization) on the TPU")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -99,7 +102,7 @@ def main(argv=None) -> int:
                   effort=args.effort, progressive=args.progressive,
                   resampling=args.resampling, noise=noise,
                   dots=args.dots, container=args.container,
-                  modular=args.modular,
+                  modular=args.modular, device=args.device,
                   color_encoding=hints.get("color_space"))
     dt = time.time() - t0
     with open(args.output, "wb") as f:

@@ -173,6 +173,101 @@ def _adjust_quant_blocks(coeffs, flat_inv, raw_quant, inv_gs,
     return new_rq, thr_y.astype(np.float32)
 
 
+def compute_vardct_encoding_device(planes, fd, fh, distance,
+                                   qf_adjust=None, quantizer=None,
+                                   effort=7):
+    """Device (TPU) variant of compute_vardct_encoding: adaptive quant,
+    ACS search, forward DCTs, CfL fit and quantization run as two jitted
+    stages (ops/encode_pipeline.py); the host keeps the global-scale
+    selection and assembles the per-group block lists for the writer.
+
+    float32 throughout (the host path mixes float64), so bitstreams can
+    differ from the host encoder in occasional +-1 quantization
+    decisions — validated by size/metric parity, not bit-equality."""
+    import jax
+
+    from libjxl_tpu.frame.adaptive_quant import initial_quant_dc as aq_dc
+    from libjxl_tpu.ops import encode_pipeline as ep
+
+    BY, BX = fd.ysize_blocks, fd.xsize_blocks
+    planes_dev = jax.device_put(np.ascontiguousarray(planes, np.float32))
+    if effort <= 2:
+        qf = np.full((BY, BX), 0.52 / max(distance, 0.1), np.float32)
+    else:
+        qf = np.asarray(ep.initial_quant_field_jnp(distance, planes_dev))
+    if qf_adjust is not None:
+        qf = qf * qf_adjust[:qf.shape[0], :qf.shape[1]]
+    if quantizer is None:
+        matrices = DequantMatrices()
+        quantizer = Quantizer(matrices)
+        raw_quant = quantizer.set_quant_field(aq_dc(distance), qf)
+    else:
+        matrices = quantizer.dequant
+        from libjxl_tpu.vardct.quantizer import GLOBAL_SCALE_DENOM, QUANT_MAX
+        sc0 = quantizer.global_scale / GLOBAL_SCALE_DENOM
+        raw_quant = np.clip(np.round(np.asarray(qf, np.float32) / sc0),
+                            1, QUANT_MAX).astype(np.int32)
+
+    ctx_map = BlockCtxMap()
+    cmap = ColorCorrelation()
+    x_mul = x_qm_multiplier(fh.x_qm_scale)
+    b_mul = b_qm_multiplier(fh.b_qm_scale)
+    mul_dc = quantizer.mul_dc()
+    cfl_fac = cmap.dc_factors()
+
+    from libjxl_tpu.vardct.quantizer import QUANT_MAX
+    eff = min(effort, 7)
+    fn = ep.stage_b_jitted(eff, QUANT_MAX, cmap.base_correlation_x,
+                           cmap.base_correlation_b, cmap.color_scale)
+    tables = ep.make_tables(matrices)
+    res = fn(planes_dev, raw_quant,
+             np.float32(quantizer.inv_global_scale),
+             np.float32(x_mul), np.float32(b_mul),
+             np.asarray(mul_dc, np.float32),
+             np.asarray(cfl_fac, np.float32), tables)
+    strategies = np.asarray(res["strategies"])
+    raw_quant = np.asarray(res["raw_quant"])
+    qall = np.asarray(res["qall"])
+    qdc = np.asarray(res["qdc"])
+    ytox_map = np.asarray(res["ytox_map"])
+    ytob_map = np.asarray(res["ytob_map"])
+    big_q_dense = {tuple(int(t) for t in k.split("x")): np.asarray(v)
+                   for k, v in res["big_q"].items()}
+
+    # Assemble per-group block lists for the section writer.
+    big_q = {}
+    for (cy, cx), qn in big_q_dense.items():
+        sid = ep.BIG_CLASSES[(cy, cx)]
+        bys, bxs = np.nonzero(strategies == sid)
+        if len(bys) == 0:
+            continue
+        sel = qn[:, bys // cy, bxs // cx]        # (3, n, size)
+        for i, (by0, bx0) in enumerate(zip(bys, bxs)):
+            big_q[(int(by0), int(bx0))] = sel[:, i]
+    blocks_per_group: dict = {}
+    for g in range(fd.num_groups):
+        brect = fd.block_group_rect(g)
+        blist = []
+        for by in range(brect.ysize):
+            for bx in range(brect.xsize):
+                aby, abx = brect.y0 + by, brect.x0 + bx
+                s = int(strategies[aby, abx])
+                if s < 0:
+                    continue
+                if s == acs.DCT8X8:
+                    blist.append(CoeffBlock(bx, by, s,
+                                            qall[:, aby, abx]))
+                else:
+                    blist.append(CoeffBlock(bx, by, s, big_q[(aby, abx)]))
+        blocks_per_group[g] = blist
+
+    return dict(matrices=matrices, quantizer=quantizer, ctx_map=ctx_map,
+                cmap=cmap, qdc=qdc, raw_quant=raw_quant,
+                strategies=strategies, blocks_per_group=blocks_per_group,
+                ytox_map=ytox_map, ytob_map=ytob_map, x_mul=x_mul,
+                b_mul=b_mul, mul_dc=mul_dc, cfl_fac=cfl_fac)
+
+
 def compute_vardct_encoding(planes, fd, fh, distance,
                             qf_adjust=None, external_dc=None,
                             quantizer=None, effort=7):
@@ -493,7 +588,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         decoding_speed: int = 0,
                         group_order_center: tuple | bool | None = None,
                         already_downsampled: bool = False,
-                        epf: int = -1) -> None:
+                        epf: int = -1,
+                        device: bool = False) -> None:
     """Encode (3, H, W) float XYB as a VarDCT frame.
 
     epf: -1 = distance-derived EPF iteration count; 0..3 forces the
@@ -610,10 +706,15 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     if fh.loop_filter.gab:
         planes = gaborish_inverse(planes)
 
-    enc = compute_vardct_encoding(planes, fd, fh, distance,
-                                  qf_adjust=qf_adjust,
-                                  external_dc=external_dc,
-                                  effort=effort)
+    if device and external_dc is None:
+        enc = compute_vardct_encoding_device(planes, fd, fh, distance,
+                                             qf_adjust=qf_adjust,
+                                             effort=effort)
+    else:
+        enc = compute_vardct_encoding(planes, fd, fh, distance,
+                                      qf_adjust=qf_adjust,
+                                      external_dc=external_dc,
+                                      effort=effort)
     matrices = enc["matrices"]
     quantizer = enc["quantizer"]
     ctx_map = enc["ctx_map"]
