@@ -180,6 +180,26 @@ def gaborish_inverse_jnp(xyb, mul: float = 1.0):
     return acc
 
 
+@jax.jit
+def srgb_to_xyb(srgb):
+    """(..., 3, H, W) sRGB [0,1] -> XYB (enc_xyb.cc LinearRGBToXYB)."""
+    from libjxl_tpu.color.constants import (
+        OPSIN_ABSORBANCE_BIAS, OPSIN_ABSORBANCE_MATRIX,
+    )
+    linear = jnp.where(srgb <= 0.04045, srgb / 12.92,
+                       ((srgb + 0.055) / 1.055) ** 2.4)
+    m = jnp.asarray(OPSIN_ABSORBANCE_MATRIX, jnp.float32)
+    bias = jnp.asarray(OPSIN_ABSORBANCE_BIAS, jnp.float32)
+    mixed = jnp.einsum("ij,...jhw->...ihw", m, linear,
+                       preferred_element_type=jnp.float32)
+    mixed = jnp.maximum(mixed + bias.reshape(3, 1, 1), 0.0)
+    cbrt = jnp.cbrt(mixed) - jnp.cbrt(bias).reshape(3, 1, 1)
+    x = 0.5 * (cbrt[..., 0, :, :] - cbrt[..., 1, :, :])
+    y = 0.5 * (cbrt[..., 0, :, :] + cbrt[..., 1, :, :])
+    b = cbrt[..., 2, :, :]
+    return jnp.stack([x, y, b], axis=-3)
+
+
 @functools.partial(jax.jit, static_argnames=("distance", "gab", "flat_qf"))
 def encode_stage_a(linear, distance: float, gab: bool,
                    flat_qf: bool = False):

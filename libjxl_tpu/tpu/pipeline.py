@@ -377,11 +377,66 @@ def decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
 
 _FN2_CACHE: dict = {}
 
+# Granularity of the sparse-coefficient capacity padding: coarse enough
+# to keep the number of distinct compiled programs small, fine enough
+# not to waste link bandwidth (pow2 padding wasted up to ~50%).
+_NZ_CAP_STEP = 1 << 18
+
+
+def _use_packed() -> bool:
+    """Packed single-buffer feed transfer (default on). JXL_TPU_PACKED=0
+    falls back to per-array device_put in case a backend mishandles
+    slice+bitcast unpacking."""
+    import os
+    return os.environ.get("JXL_TPU_PACKED", "1") != "0"
+
+
+def _pack_layout(specs):
+    """[(name, dtype, shape)] -> (total_bytes, {name: (off, dtype,
+    shape)}); every section 4-byte aligned."""
+    off = 0
+    layout = {}
+    for name, dtype, shape in specs:
+        dt = np.dtype(dtype)
+        n = int(np.prod(shape)) if shape else 1
+        layout[name] = (off, dt, tuple(shape))
+        off += -(-(n * dt.itemsize) // 4) * 4
+    return off, layout
+
+
+def _pack_host(buf, layout, name, arr):
+    off, dt, shape = layout[name]
+    a = np.ascontiguousarray(arr, dtype=dt)
+    raw = a.view(np.uint8).ravel()
+    buf[off:off + raw.size] = raw
+
+
+def _unpack_dev(buf, layout, name):
+    """Static slice + bitcast of one section inside jit."""
+    jax, jnp = _jax()
+    off, dt, shape = layout[name]
+    n = int(np.prod(shape)) if shape else 1
+    raw = jax.lax.slice(buf, (off,), (off + n * dt.itemsize,))
+    if dt.itemsize == 1:
+        out = raw.astype(jnp.int8) if dt == np.int8 else raw
+    else:
+        out = jax.lax.bitcast_convert_type(
+            raw.reshape(n, dt.itemsize), jnp.dtype(dt.str))
+    return out.reshape(shape) if shape else out.reshape(())
+
 
 def decode_frame_device2(feed: dict, image_h: int, image_w: int,
                          return_xyb: bool = False, as_numpy: bool = True,
                          out: str = "srgb8"):
     """Run the slim-feed (v2) device pipeline.
+
+    The whole per-frame feed travels as ONE packed uint8 buffer
+    (sparse coefficients + control maps), unpacked by static
+    slice+bitcast inside the jitted program: the tunneled host->device
+    link serializes with compute, so per-frame transfer cost is
+    bytes/bandwidth + a single enqueue, not ~20 array round-trips
+    (SURVEY.md §5.8 — the host->device staging IS the communication
+    backend to engineer).
 
     out: final device stage — "srgb8" (uint8), "pq16" (uint16 PQ-encoded
     BT.2100 HDR output, stage_from_linear TF_PQ analogue) or "xyb"
@@ -399,6 +454,7 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     masks = feed.get("class_masks")
     dense = masks is not None and set(masks) == set(class_keys)
     BW_blocks = feed["mat_ids"].shape[1]
+    BH_blocks = feed["mat_ids"].shape[0]
     cshape = feed["coeff_img"].shape
     # Sparse transfer: ship (idx, value) of the nonzero coefficients and
     # scatter-add on device instead of the dense int16 image (~6 B per
@@ -408,67 +464,134 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     nz_cap = 0
     if sparse:
         n_nz = nz[0].size
-        nz_cap = max(1 << 16, 1 << (n_nz - 1).bit_length()) if n_nz \
-            else 1 << 16
+        nz_cap = max(1 << 16, -(-n_nz // _NZ_CAP_STEP) * _NZ_CAP_STEP)
+
+    specs = []
+    if sparse:
+        specs += [("nzi", np.int32, (nz_cap,)),
+                  ("nzv", np.int16, (nz_cap,))]
+    else:
+        specs += [("coeff", feed["coeff_img"].dtype, cshape)]
+    specs += [
+        ("mat_ids", np.int8, (BH_blocks, BW_blocks)),
+        ("raw_quant", np.int16, (BH_blocks, BW_blocks)),
+        ("dc", np.float32, (3, BH_blocks, BW_blocks)),
+        ("fx", np.float32, (BH_blocks, BW_blocks)),
+        ("fb", np.float32, (BH_blocks, BW_blocks)),
+        ("inv_sigma", np.float32, (BH_blocks, BW_blocks)),
+        ("tables8", np.float32, feed["tables8"].shape),
+        ("biases", np.float32, (4,)),
+        ("scalars", np.float32, (4,)),     # inv_gs, qmul[3]
+    ]
+    for k in class_keys:
+        specs.append((f"tbl{k}", np.float32, feed["big_tables"][k].shape))
+        if dense:
+            specs.append((f"mask{k}", np.uint8, masks[k].shape))
+        else:
+            a, m = feed["classes"][k]
+            specs.append((f"anchor{k}", np.int32, a.shape))
+            specs.append((f"amask{k}", np.float32, m.shape))
+    total, layout = _pack_layout(specs)
+
+    packed = _use_packed()
     key = (class_keys, caps, epf_iters, gab, cshape,
            feed["coeff_img"].dtype.str, image_h, image_w, out,
-           BW_blocks, dense, sparse, nz_cap)
+           BW_blocks, dense, sparse, nz_cap, packed)
+
+    def core(get, mat_bank):
+        """Shared pipeline body; `get(name)` yields the named input."""
+        if sparse:
+            coeff_img = jnp.zeros(
+                cshape[0] * cshape[1] * cshape[2], jnp.int16
+            ).at[get("nzi")].add(get("nzv")).reshape(cshape)
+        else:
+            coeff_img = get("coeff")
+        sc = get("scalars")
+        inv_gs, qmul = sc[0], sc[1:4]
+        raw_quant = get("raw_quant").astype(jnp.int32)
+        big_tables = {k: get(f"tbl{k}") for k in class_keys}
+        if dense:
+            cmasks = {k: get(f"mask{k}").astype(jnp.bool_)
+                      for k in class_keys}
+            classes = None
+        else:
+            cmasks = None
+            classes = {k: (get(f"anchor{k}"), get(f"amask{k}"))
+                       for k in class_keys}
+        xyb = decode_xyb2(coeff_img, get("mat_ids"), raw_quant,
+                          get("dc"), get("fx"), get("fb"),
+                          inv_gs, qmul, get("tables8"), mat_bank,
+                          big_tables, classes, get("biases"),
+                          BW_blocks, class_masks=cmasks)
+        xyb = xyb[:, :image_h, :image_w]
+        if gab or epf_iters > 0:
+            xyb = apply_loop_filters_tpu(xyb, get("inv_sigma"),
+                                         epf_iters=epf_iters, gab=gab)
+        if out == "xyb":
+            return xyb
+        if out == "pq16":
+            from libjxl_tpu.ops.decode_tpu import xyb_to_pq16
+            return xyb_to_pq16(xyb)
+        return _srgb8(xyb)
+
+    names = [s[0] for s in specs]
     if key not in _FN2_CACHE:
-        @jax.jit
-        def run(coeff_in, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
-                tables8, mat_bank, biases, inv_sigma, *flat):
-            if sparse:
-                nz_idx, nz_val = coeff_in
-                coeff_img = jnp.zeros(
-                    cshape[0] * cshape[1] * cshape[2], jnp.int16
-                ).at[nz_idx].add(nz_val).reshape(cshape)
-            else:
-                coeff_img = coeff_in
-            ntab = len(class_keys)
-            big_tables = {k: flat[i] for i, k in enumerate(class_keys)}
-            if dense:
-                cmasks = {k: flat[ntab + i]
-                          for i, k in enumerate(class_keys)}
-                classes = None
-            else:
-                cmasks = None
-                classes = {k: (flat[ntab + 2 * i], flat[ntab + 2 * i + 1])
-                           for i, k in enumerate(class_keys)}
-            xyb = decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb,
-                              inv_gs, qmul, tables8, mat_bank, big_tables,
-                              classes, biases, BW_blocks,
-                              class_masks=cmasks)
-            xyb = xyb[:, :image_h, :image_w]
-            if gab or epf_iters > 0:
-                xyb = apply_loop_filters_tpu(xyb, inv_sigma,
-                                             epf_iters=epf_iters, gab=gab)
-            if out == "xyb":
-                return xyb
-            if out == "pq16":
-                from libjxl_tpu.ops.decode_tpu import xyb_to_pq16
-                return xyb_to_pq16(xyb)
-            return _srgb8(xyb)
+        if packed:
+            @jax.jit
+            def run(buf, mat_bank):
+                return core(lambda n: _unpack_dev(buf, layout, n),
+                            mat_bank)
+        else:
+            @jax.jit
+            def run(mat_bank, *arrs):
+                byname = dict(zip(names, arrs))
+                return core(byname.__getitem__, mat_bank)
         _FN2_CACHE[key] = run
     fn = _FN2_CACHE[key]
 
-    flat = [feed["big_tables"][k] for k in class_keys]
-    if dense:
-        flat.extend(masks[k] for k in class_keys)
+    def host_value(name):
+        if name == "nzi":
+            a = np.zeros(nz_cap, np.int32)
+            a[:nz[0].size] = nz[0]
+            return a
+        if name == "nzv":
+            a = np.zeros(nz_cap, np.int16)
+            a[:nz[1].size] = nz[1]
+            return a
+        if name == "coeff":
+            return feed["coeff_img"]
+        if name == "scalars":
+            return np.concatenate(
+                [[feed["inv_gs"]], feed["qmul"]]).astype(np.float32)
+        if name.startswith("tbl"):
+            return feed["big_tables"][eval(name[3:])]
+        if name.startswith("mask"):
+            return masks[eval(name[4:])]
+        if name.startswith("anchor"):
+            return feed["classes"][eval(name[6:])][0]
+        if name.startswith("amask"):
+            return feed["classes"][eval(name[5:])][1]
+        return feed[name]
+
+    if packed:
+        buf = np.zeros(total, np.uint8)
+        if sparse:
+            n_nz = nz[0].size
+            off, _, _ = layout["nzi"]
+            buf[off:off + 4 * n_nz] = nz[0].view(np.uint8).ravel()
+            off, _, _ = layout["nzv"]
+            buf[off:off + 2 * n_nz] = nz[1].view(np.uint8).ravel()
+            rest = names[2:]
+        else:
+            _pack_host(buf, layout, "coeff", feed["coeff_img"])
+            rest = names[1:]
+        for n in rest:
+            _pack_host(buf, layout, n, host_value(n))
+        dbuf, dbank = jax.device_put((buf, family8_matrices()))
+        out = fn(dbuf, dbank)
     else:
-        for k in class_keys:
-            flat.extend(feed["classes"][k])
-    if sparse:
-        nzi = np.zeros(nz_cap, np.int32)
-        nzv = np.zeros(nz_cap, np.int16)
-        nzi[:nz[0].size] = nz[0]
-        nzv[:nz[1].size] = nz[1]
-        coeff_in = (nzi, nzv)
-    else:
-        coeff_in = feed["coeff_img"]
-    args = [coeff_in, feed["mat_ids"], feed["raw_quant"],
-            feed["dc"], feed["fx"], feed["fb"], feed["inv_gs"],
-            feed["qmul"], feed["tables8"], family8_matrices(),
-            feed["biases"], feed["inv_sigma"]] + flat
-    args = jax.device_put(args)
-    out = fn(*args)
+        arrs = [np.ascontiguousarray(host_value(n), dtype=layout[n][1])
+                .reshape(layout[n][2]) for n in names]
+        dargs = jax.device_put([family8_matrices()] + arrs)
+        out = fn(*dargs)
     return np.asarray(out) if as_numpy else out

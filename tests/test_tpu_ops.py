@@ -36,7 +36,7 @@ def test_decode_groups_matches_numpy_reference():
 
 
 def test_xyb_roundtrip_device_vs_numpy():
-    from libjxl_tpu.ops.encode_tpu import srgb_to_xyb
+    from libjxl_tpu.ops.encode_pipeline import srgb_to_xyb
     from libjxl_tpu.ops.decode_tpu import xyb_to_srgb8
     from libjxl_tpu.color.xyb import (
         linear_rgb_to_xyb, srgb_to_linear)
