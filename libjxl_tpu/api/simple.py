@@ -265,8 +265,13 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
             from libjxl_tpu.modular.codec import Transform, TransformId
             transforms = [Transform(id=TransformId.RCT, begin_c=0,
                                     rct_type=6)] if ncolor >= 3 else []
+            # Prefix codes at e<=2 (enc_fast_lossless.cc uses prefix
+            # over ANS: cheaper build, forward native emission); no
+            # LZ77 trial at e1.
             encode_modular_frame(channels, meta, writer,
-                                 transforms=transforms, learn_tree=False)
+                                 transforms=transforms, learn_tree=False,
+                                 use_prefix=effort <= 2,
+                                 try_lz77=effort > 1)
         else:
             from libjxl_tpu.frame.enc_modular_heuristics import (
                 select_modular_transforms)

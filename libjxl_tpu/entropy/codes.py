@@ -363,22 +363,30 @@ def build_and_encode_histograms(
     lz77 = LZ77Params(enabled=False)
     lz77.write(w)
 
-    # Tokenize values to symbol histograms (vectorized).
-    histograms = [np.zeros(ANS_MAX_ALPHABET_SIZE, np.int64)
-                  for _ in range(num_contexts)]
+    # Tokenize values to symbol histograms (native C loop when
+    # available, vectorized numpy otherwise).
     max_token = 0
     hist2d = np.zeros((num_contexts, ANS_MAX_ALPHABET_SIZE), np.int64)
+    native_hist = _native_token_histogram_fn()
     for stream in token_streams:
         ctx, val = stream_arrays(stream)
         if len(val) == 0:
             continue
-        toks, _, _ = uint_config.encode_np(val)
-        if toks.max() >= ANS_MAX_ALPHABET_SIZE:
-            raise BitstreamError("token exceeds ANS alphabet")
-        np.add.at(hist2d, (ctx, toks.astype(np.int64)), 1)
-        max_token = max(max_token, int(toks.max()))
-    for c in range(num_contexts):
-        histograms[c] += hist2d[c]
+        if native_hist:
+            scratch = np.zeros_like(hist2d)
+            mt = native_hist(ctx, val, uint_config, scratch)
+            if mt >= 0:
+                hist2d += scratch
+        else:
+            mt = None
+        if mt is None or mt < 0:
+            toks, _, _ = uint_config.encode_np(val)
+            if toks.max() >= ANS_MAX_ALPHABET_SIZE:
+                raise BitstreamError("token exceeds ANS alphabet")
+            np.add.at(hist2d, (ctx, toks.astype(np.int64)), 1)
+            mt = int(toks.max())
+        max_token = max(max_token, int(mt))
+    histograms = list(hist2d)
 
     return _finish_histograms(histograms, num_contexts, w,
                               use_prefix_code, uint_config, max_token,
@@ -465,6 +473,8 @@ def write_tokens(tokens, codes: EntropyCodes, w: BitWriter,
         ctx = ctx + context_offset
 
     if codes.use_prefix_code:
+        if _native_prefix_write_tokens(ctx, val, codes, w):
+            return
         for c, v in zip(ctx, val):
             histo = codes.context_map[c]
             tok, nbits, bits = codes.uint_configs[histo].encode(int(v))
@@ -489,6 +499,20 @@ def write_tokens(tokens, codes: EntropyCodes, w: BitWriter,
     w.write(32, enc.state)
     for bits, nbits in reversed(chunks):
         w.write(nbits, bits)
+
+
+
+
+_BITS_SCRATCH = [np.empty(1 << 16, np.uint8)]
+
+
+def _bits_scratch(nbytes: int) -> np.ndarray:
+    """Reusable output buffer for the native token emitters (BitSink
+    overwrites bytes wholesale, so no zeroing is needed)."""
+    if _BITS_SCRATCH[0].size < nbytes:
+        _BITS_SCRATCH[0] = np.empty(
+            max(nbytes, _BITS_SCRATCH[0].size * 2), np.uint8)
+    return _BITS_SCRATCH[0]
 
 
 def _native_write_tokens(ctx, val, codes: EntropyCodes, w: BitWriter) -> bool:
@@ -522,7 +546,7 @@ def _native_write_tokens(ctx, val, codes: EntropyCodes, w: BitWriter) -> bool:
     ctx32 = np.ascontiguousarray(ctx, np.int32)
     val32 = np.ascontiguousarray(val, np.uint32)
     cap_bits = 64 * len(ctx) + 4096
-    out = np.zeros((cap_bits + 7) // 8, np.uint8)
+    out = _bits_scratch((cap_bits + 7) // 8)
     used = C.c_int64(0)
     rc = lib.ans_write_tokens(
         ctx32.ctypes.data_as(C.POINTER(C.c_int32)),
@@ -536,6 +560,80 @@ def _native_write_tokens(ctx, val, codes: EntropyCodes, w: BitWriter) -> bool:
     if rc != 0:
         return False
     # Append bit-exact: stream bits produced LSB-first in out.
+    w.append_bits_lsb(out, used.value)
+    return True
+
+
+def _native_token_histogram_fn():
+    """Returns fn(ctx, val, cfg, hist2d) -> max_token | negative, or
+    None when the native lib is unavailable."""
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+    except Exception:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes as C
+
+    def run(ctx, val, cfg, hist2d):
+        ctx32 = np.ascontiguousarray(ctx, np.int32)
+        val32 = np.ascontiguousarray(val, np.uint32)
+        return lib.token_histogram(
+            ctx32.ctypes.data_as(C.POINTER(C.c_int32)),
+            val32.ctypes.data_as(C.POINTER(C.c_uint32)), len(ctx32),
+            cfg.split_exponent, cfg.msb_in_token, cfg.lsb_in_token,
+            hist2d.ctypes.data_as(C.POINTER(C.c_int64)),
+            hist2d.shape[0], hist2d.shape[1])
+    return run
+
+
+def _native_prefix_write_tokens(ctx, val, codes: EntropyCodes,
+                                w: BitWriter) -> bool:
+    """Forward prefix-code emission in C (the fast-lossless entropy
+    backend; mirrors enc_fast_lossless.cc's prefix-over-ANS choice)."""
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+    except Exception:
+        return False
+    lib = get_lib()
+    if lib is None or len(ctx) == 0:
+        return False
+    import ctypes as C
+
+    n_clusters = codes.num_histograms
+    cached = getattr(codes, "_prefix_native_luts", None)
+    if cached is None:
+        alpha = max(max(len(pc.depths) for pc in codes.prefix_codes), 1)
+        depths = np.zeros((n_clusters, alpha), np.uint8)
+        cbits = np.zeros((n_clusters, alpha), np.uint16)
+        for h, pc in enumerate(codes.prefix_codes):
+            if pc.depths is None:
+                return False
+            depths[h, :len(pc.depths)] = pc.depths
+            cbits[h, :len(pc.bits)] = pc.bits
+        cmap = np.array(codes.context_map, np.uint8)
+        cfgs = np.array([[c.split_exponent, c.msb_in_token,
+                          c.lsb_in_token] for c in codes.uint_configs],
+                        np.int32)
+        cached = (alpha, depths, cbits, cmap, cfgs)
+        codes._prefix_native_luts = cached
+    alpha, depths, cbits, cmap, cfgs = cached
+    ctx32 = np.ascontiguousarray(ctx, np.int32)
+    val32 = np.ascontiguousarray(val, np.uint32)
+    cap_bits = 48 * len(ctx) + 4096
+    out = _bits_scratch((cap_bits + 7) // 8)
+    used = C.c_int64(0)
+    rc = lib.prefix_write_tokens(
+        ctx32.ctypes.data_as(C.POINTER(C.c_int32)),
+        val32.ctypes.data_as(C.POINTER(C.c_uint32)),
+        len(ctx), cmap.ctypes.data_as(C.POINTER(C.c_uint8)),
+        cfgs.ctypes.data_as(C.POINTER(C.c_int32)), n_clusters,
+        depths.ctypes.data_as(C.POINTER(C.c_uint8)),
+        cbits.ctypes.data_as(C.POINTER(C.c_uint16)), alpha,
+        out.ctypes.data_as(C.POINTER(C.c_uint8)), cap_bits, C.byref(used))
+    if rc != 0:
+        return False
     w.append_bits_lsb(out, used.value)
     return True
 

@@ -2,10 +2,15 @@
 
 Reference: lib/jxl/enc_fast_lossless.{h,cc} JxlFastLosslessEncode — a
 self-contained effort-1 streaming lossless encoder: fixed YCoCg-style
-RCT, clamped-gradient prediction with a fixed tree, no search. This
-module exposes the same standalone-API shape over this codec's
-fast-lossless path (the `effort<=3` branch of the main encoder, which
-shares those exact choices).
+RCT, clamped-gradient prediction with a fixed tree, prefix codes, no
+search.
+
+This module fronts this codec's dedicated fast path (the `effort<=1`
+branch): in-place int32 YCoCg, a native single-leaf gradient tokenizer
+(jxl_native.cpp mod_encode_channel fast path), native token histograms
+and a native forward prefix-code emitter (prefix_write_tokens) — the
+same architecture as fjxl (prefix over ANS, fixed decisions), not a
+delegation to the search-based encoder.
 """
 
 from __future__ import annotations

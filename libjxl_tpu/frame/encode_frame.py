@@ -1145,7 +1145,9 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
                          is_last: bool = True, duration: int = 0,
                          ycbcr_subsampling: list | None = None,
                          learn_tree: bool = True,
-                         lossy_distance: float = 0.0) -> None:
+                         lossy_distance: float = 0.0,
+                         use_prefix: bool = False,
+                         try_lz77: bool = True) -> None:
     """Lossless modular frame from int channel planes.
 
     ycbcr_subsampling: channel_mode triple (e.g. [0, 1, 0] for 4:2:0;
@@ -1179,7 +1181,9 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
         quantize = _squeeze_lossy_quantizer(lossy_distance, maxval,
                                             img.nb_meta_channels)
     state = mfe.prepare_global_tree(img, transforms or [], fh,
-                                    learn=learn_tree, quantize=quantize)
+                                    learn=learn_tree, quantize=quantize,
+                                    use_prefix=use_prefix,
+                                    try_lz77=try_lz77)
 
     def write_lf_global(sw):
         DequantMatrices().encode_dc(sw)

@@ -403,7 +403,9 @@ class ModularFrameEncoder:
     def prepare_global_tree(self, full_image: ModularImage,
                             transforms: list, fh,
                             learn: bool = True,
-                            quantize: "callable|None" = None) -> dict:
+                            quantize: "callable|None" = None,
+                            use_prefix: bool = False,
+                            try_lz77: bool = True) -> dict:
         """Applies transforms, learns a global MA tree, and tokenizes
         every stream up-front so LfGlobal can carry the shared tree +
         clustered histograms.
@@ -488,10 +490,11 @@ class ModularFrameEncoder:
         import os
         from libjxl_tpu.entropy.codes import apply_lz77, lz77_worth_trying
         use_lz77 = False
-        if os.environ.get("LIBJXL_TPU_NO_LZ77"):
+        if not try_lz77 or os.environ.get("LIBJXL_TPU_NO_LZ77"):
             return {"image": work, "tree": tree, "header": header,
                     "streams": streams, "all_tokens": all_tokens,
-                    "lz_streams": None, "codes": None}
+                    "lz_streams": None, "codes": None,
+                    "use_prefix": use_prefix}
         lz_streams = {}
         orig_total = sum(len(t[0]) if isinstance(t, tuple) else len(t)
                          for t in streams.values()) or 1
@@ -521,7 +524,7 @@ class ModularFrameEncoder:
         return {"image": work, "tree": tree, "header": header,
                 "streams": streams, "all_tokens": all_tokens,
                 "lz_streams": lz_streams if use_lz77 else None,
-                "codes": None}
+                "codes": None, "use_prefix": use_prefix}
 
     def write_global_with_tree(self, w: BitWriter, state: dict) -> None:
         """LfGlobal modular payload: has_tree=1, tree, histograms over
@@ -544,7 +547,8 @@ class ModularFrameEncoder:
                 write_tokens_lz77(lz, state["codes"], w)
             return
         state["codes"] = build_and_encode_histograms(
-            num_tree_contexts(tree), state["all_tokens"], w)
+            num_tree_contexts(tree), state["all_tokens"], w,
+            use_prefix_code=state.get("use_prefix", False))
         bundle_write(state["header"], w)
         tokens = state["streams"].get(stream_global())
         if tokens is not None:

@@ -348,8 +348,8 @@ def encode_channels_tokens(image: ModularImage, chan_indices, tree,
         descs = make_channel_descs(image.channel, buffers)
         tree_arr = make_tree_array(tree)
         wp_hdr = make_wp_header(wp_header)
-        out_ctx = np.zeros(total, np.int32)
-        out_val = np.zeros(total, np.uint32)
+        out_ctx = np.empty(total, np.int32)
+        out_val = np.empty(total, np.uint32)
         pos = 0
         ok = True
         for i in chan_indices:

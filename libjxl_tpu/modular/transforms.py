@@ -67,6 +67,23 @@ def fwd_rct(image: ModularImage, begin_c: int, rct_type: int) -> None:
     permutation = rct_type // 7
     custom = rct_type % 7
     idx = _perm_indices(permutation)
+    if rct_type == 6:
+        # YCoCg fast path: int32 in place (values stay within int32 for
+        # <= 16-bit samples + the two carry bits).
+        r = image.channel[begin_c + idx[0]].data.astype(np.int32,
+                                                        copy=False)
+        g = image.channel[begin_c + idx[1]].data.astype(np.int32,
+                                                        copy=False)
+        b = image.channel[begin_c + idx[2]].data.astype(np.int32,
+                                                        copy=False)
+        co = r - b
+        tmp = b + (co >> 1)
+        cg = g - tmp
+        y = tmp + (cg >> 1)
+        image.channel[begin_c].data = y
+        image.channel[begin_c + 1].data = co
+        image.channel[begin_c + 2].data = cg
+        return
     chans = [image.channel[begin_c + idx[i]].data.astype(np.int64)
              for i in range(3)]
     if custom == 6:

@@ -69,6 +69,17 @@ def get_lib():
         C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int,
         C.POINTER(C.c_uint32), C.POINTER(C.c_uint32), C.POINTER(C.c_uint32),
         C.c_int, C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int64)]
+    lib.prefix_write_tokens.restype = C.c_int64
+    lib.prefix_write_tokens.argtypes = [
+        C.POINTER(C.c_int32), C.POINTER(C.c_uint32), C.c_int64,
+        C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int,
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint16),
+        C.c_int, C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int64)]
+    lib.token_histogram.restype = C.c_int64
+    lib.token_histogram.argtypes = [
+        C.POINTER(C.c_int32), C.POINTER(C.c_uint32), C.c_int64,
+        C.c_int, C.c_int, C.c_int,
+        C.POINTER(C.c_int64), C.c_int, C.c_int]
     lib.acs_expand.restype = C.c_int64
     lib.acs_expand.argtypes = [
         C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.c_int64, C.c_int64,

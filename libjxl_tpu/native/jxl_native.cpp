@@ -663,6 +663,28 @@ int64_t mod_encode_channel(ChannelDesc* chans, int num_chans, int chan_idx,
 
   if (static_cast<int64_t>(w) * hgt > out_capacity) return -2;
 
+  // Fast path: single-leaf tree with a simple predictor (the fixed
+  // fast-lossless tree) — no property vector, no tree walk, no WP.
+  if (num_nodes == 1 && tree[0].property < 0 && !use_wp &&
+      tree[0].multiplier == 1 && tree[0].offset == 0 &&
+      tree[0].predictor == 5 /* gradient */) {
+    const int32_t ctx = tree[0].lchild;
+    for (int y = 0; y < hgt; y++) {
+      int32_t* r = ch.data + static_cast<int64_t>(y) * w;
+      const int32_t* rt = r - w;
+      for (int x = 0; x < w; x++) {
+        int64_t left = x ? r[x - 1] : (y ? rt[x] : 0);
+        int64_t top = y ? rt[x] : left;
+        int64_t topleft = (x && y) ? rt[x - 1] : left;
+        int64_t guess = clamped_gradient(left, top, topleft);
+        out_ctx[count] = ctx;
+        out_val[count] = pack_signed(r[x] - guess);
+        count++;
+      }
+    }
+    return count;
+  }
+
   std::vector<int64_t> props(num_props, 0);
   props[0] = chan_idx;
   props[1] = group_id;
@@ -741,6 +763,57 @@ int64_t mod_encode_channel(ChannelDesc* chans, int num_chans, int chan_idx,
 }
 
 // ---------------------------------------------------------------------------
+// LSB-first bit sink with a 64-bit accumulator (out buffer must be
+// zeroed by the caller; n <= 56 per put).
+
+struct BitSink {
+  uint8_t* out;
+  int64_t cap_bits;
+  uint64_t acc = 0;
+  uint32_t nacc = 0;
+  int64_t byte_pos = 0;
+
+  inline bool put(uint64_t v, uint32_t n) {
+    if (n == 0) return true;
+    if ((byte_pos << 3) + nacc + n > static_cast<uint64_t>(cap_bits))
+      return false;
+    acc |= (v & ((1ull << n) - 1)) << nacc;
+    nacc += n;
+    while (nacc >= 8) {
+      out[byte_pos++] = static_cast<uint8_t>(acc);
+      acc >>= 8;
+      nacc -= 8;
+    }
+    return true;
+  }
+  // Total bits written; flushes the partial byte (harmless: buffer is
+  // zeroed and callers only consume `bits` bits).
+  int64_t finish() {
+    int64_t bits = (byte_pos << 3) + nacc;
+    if (nacc) out[byte_pos] = static_cast<uint8_t>(acc);
+    return bits;
+  }
+};
+
+inline void hybrid_encode(uint32_t value, uint32_t split_exponent,
+                          uint32_t msb, uint32_t lsb, uint32_t* token,
+                          uint32_t* nbits, uint32_t* bits) {
+  uint32_t split_token = 1u << split_exponent;
+  if (value < split_token) {
+    *token = value;
+    *nbits = 0;
+    *bits = 0;
+  } else {
+    uint32_t n = 31 - __builtin_clz(value);
+    uint32_t m = value - (1u << n);
+    *token = split_token + ((n - split_exponent) << (msb + lsb)) +
+             ((m >> (n - msb)) << lsb) + (m & ((1u << lsb) - 1));
+    *nbits = n - msb - lsb;
+    *bits = (value >> lsb) & ((1u << *nbits) - 1);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // ANS token stream writer (enc_ans.cc WriteTokens): encodes tokens in
 // reverse with per-cluster frequency/reverse-map tables, emits bits.
 
@@ -789,21 +862,65 @@ int64_t ans_write_tokens(
     chunks.push_back({ans_bits, ans_n});
   }
   // Emit: 32-bit state then chunks reversed.
-  int64_t bitpos = 0;
-  auto put = [&](uint32_t v, uint32_t n) {
-    for (uint32_t k = 0; k < n; k++) {
-      if (bitpos >= out_capacity_bits) return false;
-      if (v & (1u << k)) out[bitpos >> 3] |= 1u << (bitpos & 7);
-      bitpos++;
-    }
-    return true;
-  };
-  if (!put(state, 32)) return -5;
+  BitSink sink{out, out_capacity_bits};
+  if (!sink.put(state, 32)) return -5;
   for (int64_t i = chunks.size() - 1; i >= 0; i--) {
-    if (!put(chunks[i].bits, chunks[i].n)) return -5;
+    if (!sink.put(chunks[i].bits, chunks[i].n)) return -5;
   }
-  *out_bits_used = bitpos;
+  *out_bits_used = sink.finish();
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Prefix-code token stream writer (forward order, no final state): the
+// fast-lossless (effort<=2) entropy backend, mirroring the reference's
+// enc_fast_lossless.cc choice of prefix codes over ANS. depths/codes:
+// [clusters][alpha] canonical-Huffman bit lengths and LSB-first code
+// words (PrefixCode.depths/.bits layout from entropy/prefix.py).
+
+int64_t prefix_write_tokens(
+    const int32_t* ctxs, const uint32_t* values, int64_t num_tokens,
+    const uint8_t* context_map, const int32_t* uint_cfgs, int num_clusters,
+    const uint8_t* depths, const uint16_t* codes, int alpha_size,
+    uint8_t* out, int64_t out_capacity_bits, int64_t* out_bits_used) {
+  (void)num_clusters;
+  BitSink sink{out, out_capacity_bits};
+  for (int64_t i = 0; i < num_tokens; i++) {
+    uint32_t cluster = context_map[ctxs[i]];
+    const int32_t* c = uint_cfgs + cluster * 3;
+    uint32_t token, nbits, bits;
+    hybrid_encode(values[i], c[0], c[1], c[2], &token, &nbits, &bits);
+    if (token >= static_cast<uint32_t>(alpha_size)) return -3;
+    const int64_t slot = static_cast<int64_t>(cluster) * alpha_size + token;
+    // Single-symbol alphabets have depth 0 (nothing emitted), matching
+    // the decoder's degenerate-code handling.
+    if (!sink.put(codes[slot], depths[slot])) return -5;
+    if (!sink.put(bits, nbits)) return -5;
+  }
+  *out_bits_used = sink.finish();
+  return 0;
+}
+
+// Token histograms over raw (ctx, value) streams with one shared hybrid
+// -uint config (pre-clustering stage of BuildAndEncodeHistograms).
+// hist: [num_contexts][alpha_size] int64, zeroed by the caller.
+// Returns the max token seen, or negative on overflow.
+
+int64_t token_histogram(const int32_t* ctxs, const uint32_t* values,
+                        int64_t n, int split_exponent, int msb, int lsb,
+                        int64_t* hist, int num_contexts, int alpha_size) {
+  int64_t max_token = -1;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t token, nbits, bits;
+    hybrid_encode(values[i], split_exponent, msb, lsb, &token, &nbits,
+                  &bits);
+    if (token >= static_cast<uint32_t>(alpha_size)) return -3;
+    if (ctxs[i] < 0 || ctxs[i] >= num_contexts) return -2;
+    hist[static_cast<int64_t>(ctxs[i]) * alpha_size + token]++;
+    if (static_cast<int64_t>(token) > max_token)
+      max_token = static_cast<int64_t>(token);
+  }
+  return max_token;
 }
 
 }  // extern "C"
