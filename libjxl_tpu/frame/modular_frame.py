@@ -149,9 +149,14 @@ class ModularFrameDecoder:
             targets.append((c, rr))
         if not sub.channel:
             return
+        # Group streams read their own GroupHeader and may carry LOCAL
+        # transforms (e.g. per-group palette/RCT at high efforts) which
+        # must be undone before stitching (dec_modular.cc:393
+        # ModularGenericDecompress with undo_transforms=true; global
+        # transforms are undone later in finalize()).
         modular_decode(r, sub, stream_id, global_tree=self.global_tree,
                        global_codes=self.global_codes,
-                       undo_transforms=False)
+                       undo_transforms=True)
         for (c, rr), ch in zip(targets, sub.channel):
             gi.channel[c].data[rr.slices()] = ch.data
 

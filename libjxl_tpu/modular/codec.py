@@ -383,9 +383,8 @@ def encode_channels_tokens(image: ModularImage, chan_indices, tree,
 def _native_decode_channels(r, codes, tree, wp_header, image, to_decode,
                             group_id, distance_multiplier) -> bool:
     """Decode all channels with the C++ loops; returns False to fall
-    back to Python (prefix codes or native unavailable)."""
-    if codes.use_prefix_code:
-        return False
+    back to Python when the native lib is unavailable (ANS and
+    prefix-code streams both decode natively)."""
     try:
         from libjxl_tpu.native.bindings import (
             NativeModularDecoder, available, make_channel_descs,

@@ -53,6 +53,9 @@ def get_lib():
     lib.mod_decoder_bit_pos.argtypes = [C.c_void_p]
     lib.mod_decoder_check_final.restype = C.c_int
     lib.mod_decoder_check_final.argtypes = [C.c_void_p]
+    lib.mod_decoder_set_prefix.restype = None
+    lib.mod_decoder_set_prefix.argtypes = [C.c_void_p,
+                                           C.POINTER(C.c_uint32)]
     lib.mod_decoder_destroy.argtypes = [C.c_void_p]
     lib.mod_decode_channel.restype = C.c_int
     lib.mod_decode_channel.argtypes = [
@@ -138,6 +141,28 @@ def _as_ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(C.POINTER(ctype))
 
 
+def prefix_luts(codes):
+    """Per-cluster 15-bit prefix decode LUTs (sym | len<<16), cached on
+    the EntropyCodes object. Entry index = next 15 stream bits read
+    LSB-first; canonical codes are MSB-first, so each (len, code) fills
+    every index whose low `len` bits equal bit_reverse(code, len)."""
+    cached = getattr(codes, "_prefix_lut_cache", None)
+    if cached is None:
+        n = codes.num_histograms
+        lut = np.zeros((n, 1 << 15), np.uint32)
+        for h, pc in enumerate(codes.prefix_codes):
+            if pc.degenerate_symbol is not None:
+                lut[h, :] = pc.degenerate_symbol  # len 0
+                continue
+            for (length, acc), sym in pc.table.items():
+                rev = int(f"{acc:0{length}b}"[::-1], 2)
+                step = 1 << length
+                lut[h, rev::step] = sym | (length << 16)
+        cached = np.ascontiguousarray(lut.reshape(-1))
+        codes._prefix_lut_cache = cached
+    return cached
+
+
 def codes_tables(codes):
     """Packed alias slots (value:8 | offset:12 | (freq-1):12) + context
     map + uint configs for `codes`, cached on the EntropyCodes object
@@ -190,7 +215,16 @@ class NativeModularDecoder:
     def __init__(self, data: bytes, bit_pos: int, codes, distance_mult: int):
         lib = get_lib()
         n = codes.num_histograms
-        self._packed, self._cmap, self._cfgs = codes_tables(codes)
+        if codes.use_prefix_code:
+            self._packed = np.zeros(1, np.uint32)  # unused in prefix mode
+            self._lut = prefix_luts(codes)
+            self._cmap = np.array(codes.context_map, np.uint8)
+            self._cfgs = np.array(
+                [[c.split_exponent, c.msb_in_token, c.lsb_in_token]
+                 for c in codes.uint_configs], np.int32)
+        else:
+            self._lut = None
+            self._packed, self._cmap, self._cfgs = codes_tables(codes)
         lz = codes.lz77
         self._lzcfg = np.array(
             [lz.length_uint_config.split_exponent,
@@ -205,6 +239,9 @@ class NativeModularDecoder:
             1 if lz.enabled else 0, lz.min_symbol, lz.min_length,
             codes.lz77_distance_ctx if lz.enabled else 0,
             _as_ptr(self._lzcfg, C.c_int32), distance_mult)
+        if self._lut is not None:
+            lib.mod_decoder_set_prefix(self.handle,
+                                       _as_ptr(self._lut, C.c_uint32))
         self.lib = lib
 
     def decode_channel(self, chan_descs, num_chans, chan_idx, group_id,

@@ -76,6 +76,27 @@ struct BitReaderC {
     refill(16);
     return static_cast<uint32_t>(buf & 0xFFFF);
   }
+  // Peek-style refill: pads zeros past the stream end WITHOUT flagging
+  // overread (prefix-code LUT peeks may extend past the last code; the
+  // caller checks `consumed` after consuming the actual code length).
+  void refill_pad(uint32_t need) {
+    if (bits >= need) return;
+    if (pos + 8 <= size) {
+      uint64_t chunk;
+      __builtin_memcpy(&chunk, data + pos, 8);
+      buf |= chunk << bits;
+      uint32_t nbytes = (63 - bits) >> 3;
+      pos += nbytes;
+      bits += nbytes * 8;
+      return;
+    }
+    while (bits < need) {
+      if (pos < size) {
+        buf |= static_cast<uint64_t>(data[pos++]) << bits;
+      }
+      bits += 8;
+    }
+  }
   void consume(uint32_t n) {
     buf >>= n;
     bits -= n;
@@ -99,7 +120,10 @@ struct AnsDecoderC {
   const uint32_t* alias_packed;  // [clusters][4096]
   const uint8_t* context_map;    // ctx -> cluster
   const UintCfg* cfgs;           // per cluster
-  int use_prefix;                // prefix codes unsupported natively
+  int use_prefix;                // prefix-code mode (prefix_lut set)
+  // Prefix mode: per-cluster 15-bit single-level decode LUT; entry =
+  // sym | (len << 16). Index = next 15 stream bits, LSB-first.
+  const uint32_t* prefix_lut;    // [clusters][1 << 15]
   // LZ77
   int lz77_enabled;
   uint32_t lz77_min_symbol, lz77_min_length, lz77_ctx;
@@ -109,9 +133,19 @@ struct AnsDecoderC {
   const uint32_t* special_distances;
   uint32_t num_special;
 
-  void init_state() { state = br->read(32); }
+  void init_state() { state = use_prefix ? 0 : br->read(32); }
+
+  inline uint32_t read_symbol_prefix(uint32_t cluster) {
+    br->refill_pad(15);
+    uint32_t idx = static_cast<uint32_t>(br->buf) & 0x7FFF;
+    uint32_t e = prefix_lut[(static_cast<size_t>(cluster) << 15) | idx];
+    br->consume(e >> 16);
+    if (br->consumed > br->size * 8) br->overread = true;
+    return e & 0xFFFF;
+  }
 
   inline uint32_t read_symbol(uint32_t cluster) {
+    if (use_prefix) return read_symbol_prefix(cluster);
     uint32_t res = state & (kAnsTabSize - 1);
     const size_t base = static_cast<size_t>(cluster) * kAnsTabSize + res;
     const uint32_t slot = alias_packed[base];
@@ -189,7 +223,9 @@ struct AnsDecoderC {
     return read_clustered(context_map[ctx]);
   }
 
-  bool check_final() const { return state == (kAnsSignature << 16); }
+  bool check_final() const {
+    return use_prefix || state == (kAnsSignature << 16);
+  }
 };
 
 inline int32_t unpack_signed(uint32_t u) {
@@ -500,6 +536,20 @@ ModularDecoderHandle* mod_decoder_create(
   }
   h->ans.init_state();
   return h;
+}
+
+// Switch a decoder handle to prefix-code mode. lut: [clusters][1<<15]
+// uint32 entries (sym | len<<16); replaces the ANS alias tables.
+void mod_decoder_set_prefix(ModularDecoderHandle* h,
+                            const uint32_t* lut) {
+  h->ans.use_prefix = 1;
+  h->ans.prefix_lut = lut;
+  // Prefix streams carry no 32-bit ANS state: push back the bits
+  // create()'s init_state consumed (they are exactly h->ans.state).
+  h->br.buf = (h->br.buf << 32) | h->ans.state;
+  h->br.bits += 32;
+  h->br.consumed -= 32;
+  h->ans.state = 0;
 }
 
 uint64_t mod_decoder_bit_pos(ModularDecoderHandle* h) {

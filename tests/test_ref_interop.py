@@ -73,6 +73,18 @@ def test_ref_lossless_bit_exact(effort):
     assert np.array_equal(simple.decode(data).pixels, img)
 
 
+@pytest.mark.parametrize("effort", [5, 7, 9])
+def test_ref_lossless_multigroup_local_transforms(effort):
+    """Multi-group (>256px) libjxl lossless streams: group streams at
+    high effort carry LOCAL transforms (per-group palette/RCT) that the
+    group decoder must undo before stitching (dec_modular.cc:393);
+    regression for a bug where only global transforms were inverted."""
+    img = _photo(384, 300, seed=11)
+    data = refjxl.encode(img, lossless=True, effort=effort)
+    from libjxl_tpu.api import simple
+    assert np.array_equal(simple.decode(data).pixels, img)
+
+
 @pytest.mark.parametrize("effort", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_ref_lossy_efforts(effort):
     _ref_to_ours(_photo(), tol=1, distance=1.0, effort=effort)
