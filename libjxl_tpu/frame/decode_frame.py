@@ -109,11 +109,6 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     sub_shifts = None
     if is_vardct and not cs.is_444():
         sub_shifts = [(cs.hshift(c), cs.vshift(c)) for c in range(3)]
-        if num_passes != 1 or fh.loop_filter.gab \
-                or fh.loop_filter.epf_iters:
-            raise UnsupportedError(
-                "subsampled chroma only supports single-pass, no loop "
-                "filters (JPEG transcode profile)")
 
     # ---- LfGlobal (section 0) ----
     lf = get(0)
@@ -263,9 +258,9 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
 
     if sub_shifts is not None:
         out = _decode_ac_subsampled(
-            fh, fd, get, quantizer, ctx_map, pass_orders[0],
-            pass_codes[0], num_histograms, dc_data, raw_quant,
-            sub_shifts)
+            fh, fd, get, quantizer, ctx_map, pass_orders,
+            pass_codes, num_histograms, dc_data, raw_quant,
+            sub_shifts, sharpness=sharpness)
         out = out[:, :fd.ysize, :fd.xsize]
         r.seek_bits(frame_end_bits)
         return DecodedFrame(header=fh, xyb=out)
