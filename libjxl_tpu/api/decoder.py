@@ -88,6 +88,8 @@ class Decoder:
         self.jpeg_bytes: bytes | None = None
         self._boxes_pending: list | None = None
         self._jbrd_seen = False
+        self._preferred_profile = None   # "srgb" | "linear" | ICC bytes
+        self._image_out_cb = None
 
     def set_input(self, data: bytes) -> None:
         self._data += data
@@ -117,6 +119,33 @@ class Decoder:
         (JxlDecoderSkipFrames); their sections are skipped via the TOC,
         not decoded."""
         self._skip += n
+
+    def set_preferred_color_profile(self, profile) -> None:
+        """JxlDecoderSetPreferredColorProfile (decode.h:1021): request
+        the output color space. Accepts "srgb" (default), "linear"
+        (linear sRGB primaries) or an ICC profile (bytes) applied with
+        the lcms2-backed CMS. Must be called before the frame decodes.
+        """
+        if profile not in ("srgb", "linear") \
+                and not isinstance(profile, (bytes, bytearray)):
+            raise ValueError("profile must be 'srgb', 'linear' or ICC "
+                             "bytes")
+        self._preferred_profile = profile
+
+    def set_image_out_callback(self, fn) -> None:
+        """JxlDecoderSetImageOutCallback (decode.h:1152): fn(x, y,
+        num_pixels, row_pixels) is invoked once per output row when a
+        frame completes, instead of requiring the full-image buffer.
+        row_pixels is the (num_pixels, C) slice of that row."""
+        if not callable(fn):
+            raise ValueError("callback must be callable")
+        self._image_out_cb = fn
+
+    def _deliver_rows(self, arr: np.ndarray) -> None:
+        if self._image_out_cb is None:
+            return
+        for y in range(arr.shape[0]):
+            self._image_out_cb(0, y, arr.shape[1], arr[y])
 
     def flush_image(self) -> np.ndarray | None:
         """Best partial image of the in-progress frame
@@ -191,7 +220,20 @@ class Decoder:
         bits = self.metadata.m.bit_depth.bits_per_sample
         dtype = np.uint8 if bits <= 8 else np.uint16
         maxval = (1 << bits) - 1
-        srgb = linear_to_srgb(xyb_to_linear_rgb(xyb))
+        linear = xyb_to_linear_rgb(xyb)
+        pref = self._preferred_profile
+        if pref == "linear":
+            arr = np.clip(np.round(linear * maxval), 0, maxval)
+            return arr.astype(dtype).transpose(1, 2, 0)
+        srgb = linear_to_srgb(linear)
+        if isinstance(pref, (bytes, bytearray)):
+            from libjxl_tpu.color.cms import convert_pixels, srgb_icc
+            out = convert_pixels(
+                np.ascontiguousarray(
+                    srgb.transpose(1, 2, 0).astype(np.float32)),
+                srgb_icc(), bytes(pref))
+            arr = np.clip(np.round(out * maxval), 0, maxval)
+            return arr.astype(dtype)
         arr = np.clip(np.round(srgb * maxval), 0, maxval).astype(dtype)
         return arr.transpose(1, 2, 0)
 
@@ -206,6 +248,7 @@ class Decoder:
             arr = np.concatenate([arr, alpha], axis=-1)
         self.image = arr
         self.frames.append(arr)
+        self._deliver_rows(arr)
 
     def _try_frame_oneshot(self) -> bool:
         """Fallback: decode the next frame whole (restart when more
@@ -310,8 +353,21 @@ class Decoder:
                     len(self._codestream) >= inc.frame_end_byte:
                 raise JxlError("frame sections failed to decode")
             return None
-        xyb = inc.finalize()
         fh = inc.fh
+        if inc.is_modular:
+            chans = inc.finalize_modular()
+            bits = self.metadata.m.bit_depth.bits_per_sample
+            dtype = np.uint8 if bits <= 8 else np.uint16
+            maxval = (1 << bits) - 1
+            arr = np.stack(chans, axis=-1)
+            self.image = np.clip(arr, 0, maxval).astype(dtype)
+            self.frames.append(self.image)
+            self.frame_header = fh
+            self._is_last = fh.is_last
+            self._frame_bitpos = inc.frame_end_byte * 8
+            self._inc = None
+            return Event.FULL_IMAGE
+        xyb = inc.finalize()
         if fh.frame_type == FrameType.REFERENCE_ONLY:
             pad = np.zeros((3, inc.fd.ysize_padded, inc.fd.xsize_padded),
                            np.float32)

@@ -2,7 +2,8 @@
 
 Reference: lib/jxl/encode.cc (JxlEncoder: frame settings, AddImageFrame /
 AddBox queue, ProcessOutput), include/jxl/encode.h
-JxlEncoderFrameSettingId (the 35-option surface) and include/jxl/stats.h
+JxlEncoderFrameSettingId (the full id 0..40 surface of the reference
+snapshot, include/jxl/encode.h:132-418) and include/jxl/stats.h
 (JxlEncoderStats). Frames and metadata boxes are queued, then the whole
 container/codestream is produced by process_output().
 """
@@ -51,9 +52,13 @@ class FrameSettingId(enum.IntEnum):
     INDEX_BOX = 31
     BROTLI_EFFORT = 32
     JPEG_COMPRESS_BOXES = 33
-    JPEG_KEEP_EXIF = 34
-    JPEG_KEEP_XMP = 35
-    JPEG_KEEP_JBRD = 36
+    BUFFERING = 34
+    JPEG_KEEP_EXIF = 35
+    JPEG_KEEP_XMP = 36
+    JPEG_KEEP_JUMBF = 37
+    USE_FULL_IMAGE_HEURISTICS = 38
+    DISABLE_PERCEPTUAL_HEURISTICS = 39
+    OUTPUT_MODE = 40
 
 
 # Options this encoder maps onto real knobs; everything else is
@@ -70,6 +75,8 @@ _RANGES = {
     FrameSettingId.MODULAR_GROUP_SIZE: (-1, 3),
     FrameSettingId.MODULAR_PREDICTOR: (-1, 15),
     FrameSettingId.BROTLI_EFFORT: (-1, 11),
+    FrameSettingId.BUFFERING: (-1, 3),
+    FrameSettingId.OUTPUT_MODE: (-1, 1),
 }
 
 

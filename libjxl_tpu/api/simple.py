@@ -105,7 +105,7 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
            color_encoding=None, cmyk: bool = False,
            modular: bool = False, group_order: bool | tuple = False,
            already_downsampled: bool = False, epf: int = -1,
-           device: bool = False,
+           device: bool = False, chroma_subsampling: str | None = None,
            aux_out=None, debug_dir: str | None = None) -> bytes:
     """Encode an sRGB image array to a JPEG XL codestream.
 
@@ -121,6 +121,32 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
     """
     if distance == 0:
         lossless = True
+    if chroma_subsampling is not None:
+        # 420/422 YCbCr VarDCT (DCT8X8, RAW quant tables, optional
+        # gaborish/EPF + progressive); see encode_ycbcr_vardct_frame.
+        if lossless:
+            raise ValueError("chroma_subsampling is a lossy VarDCT mode")
+        if chroma_subsampling not in ("420", "422"):
+            raise ValueError("chroma_subsampling must be '420' or '422'")
+        from libjxl_tpu.frame.encode_frame import encode_ycbcr_vardct_frame
+        img = np.asarray(image)
+        if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("chroma_subsampling expects (H, W, 3) uint8")
+        meta = CodecMetadata()
+        meta.size.set(img.shape[1], img.shape[0])
+        meta.m.bit_depth = BitDepth.uint(8)
+        meta.m.xyb_encoded = False
+        meta.m.color_encoding = ColorEncoding.srgb(is_gray=False)
+        writer = BitWriter()
+        write_codestream_headers(meta, writer)
+        encode_ycbcr_vardct_frame(img, meta, writer, distance=distance,
+                                  subsampling=chroma_subsampling,
+                                  epf=epf, progressive=progressive)
+        writer.align_to_byte()
+        data = writer.get_bytes()
+        if container:
+            data = pack_container(data)
+        return data
     if modular and not lossless:
         # Lossy modular (cjxl -m with -d > 0): RCT + full squeeze,
         # post-squeeze residuals snapped to quality-scaled multiples

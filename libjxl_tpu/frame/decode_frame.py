@@ -535,8 +535,28 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
             r.seek_bits(frame_end_bits)
             return DecodedFrame(header=fh, feed=feed)
         from libjxl_tpu.tpu.pipeline import decode_frame_device2
+        # Run upsampling + noise as jitted post-stages when no
+        # host-only feature (patches/splines/extra channels) needs the
+        # base-resolution image in between (dec_cache.cc stage order:
+        # EPF -> upsampling -> patches -> splines -> noise).
+        post = {}
+        host_features = (patch_dict is not None or splines is not None
+                         or metadata.m.num_extra_channels)
+        if not host_features:
+            if fh.upsampling != 1:
+                post["upsample"] = fh.upsampling
+            if noise_lut is not None:
+                post["noise"] = (noise_lut, cmap.base_correlation_x,
+                                 cmap.base_correlation_b, fd.group_dim, 1)
+            if post:
+                post["final_hw"] = (fd.ysize_upsampled,
+                                    fd.xsize_upsampled)
         xyb_dev = decode_frame_device2(feed, fd.ysize, fd.xsize,
-                                       return_xyb=True)
+                                       return_xyb=True, post=post)
+        if post:
+            # Device output is final (already upsampled / noised).
+            r.seek_bits(frame_end_bits)
+            return DecodedFrame(header=fh, xyb=np.asarray(xyb_dev))
         out = np.zeros((3, fd.ysize_padded, fd.xsize_padded), np.float32)
         out[:, :fd.ysize, :fd.xsize] = xyb_dev
         # Filters already ran on device; skip the host filter stage.
@@ -615,18 +635,22 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     return DecodedFrame(header=fh, xyb=out, extra_channels=extra)
 
 
-def _decode_ac_subsampled(fh, fd, get, quantizer, ctx_map, orders,
-                          ac_codes, num_histograms, dc_data, raw_quant,
-                          shifts):
-    """Chroma-subsampled VarDCT decode (JPEG transcode profile): all
-    DCT8X8, per-channel planes reconstructed at coded resolution, then
-    triangle-upsampled (stage_chroma_upsampling.cc)."""
+def _decode_ac_subsampled(fh, fd, get, quantizer, ctx_map, pass_orders,
+                          pass_codes, num_histograms, dc_data, raw_quant,
+                          shifts, sharpness=None):
+    """Chroma-subsampled VarDCT decode: all DCT8X8, per-channel planes
+    reconstructed at coded resolution, progressive passes accumulated
+    per channel, then triangle-upsampled
+    (stage_chroma_upsampling.cc) and loop-filtered at full resolution
+    (dec_cache.cc stage order: chroma upsample -> gaborish -> EPF,
+    before the YCbCr color stage)."""
     from libjxl_tpu.color.ycbcr import chroma_upsample
     from libjxl_tpu.entropy.codes import SymbolReader
     from libjxl_tpu.vardct.dct import idct_matrix
     from libjxl_tpu.vardct.group import decode_group_coeffs_subsampled
     from libjxl_tpu.vardct.quantizer import adjust_quant_bias
 
+    num_passes = len(pass_codes)
     histo_bits = (num_histograms - 1).bit_length() \
         if num_histograms > 1 else 0
     mul_dc = quantizer.mul_dc()
@@ -652,19 +676,27 @@ def _decode_ac_subsampled(fh, fd, get, quantizer, ctx_map, orders,
 
     i8 = idct_matrix(8).astype(np.float32)
     for g in range(fd.num_groups):
-        br = get(2 + fd.num_dc_groups + g)
         brect = fd.block_group_rect(g)
-        cur_histogram = br.read(histo_bits) if histo_bits else 0
-        if cur_histogram >= num_histograms:
-            raise BitstreamError("invalid histogram selector")
-        ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
-        reader = SymbolReader(ac_codes, br)
         sl = brect.slices()
-        coeffs = decode_group_coeffs_subsampled(
-            reader, brect.xsize, brect.ysize, raw_quant[sl], orders,
-            ctx_map, ctx_offset, shifts)
-        if not reader.check_final_state():
-            raise BitstreamError("bad ANS state in AC group")
+        coeffs = None
+        for p in range(num_passes):
+            br = get(2 + fd.num_dc_groups + p * fd.num_groups + g)
+            cur_histogram = br.read(histo_bits) if histo_bits else 0
+            if cur_histogram >= num_histograms:
+                raise BitstreamError("invalid histogram selector")
+            ctx_offset = cur_histogram * ctx_map.num_ac_contexts()
+            reader = SymbolReader(pass_codes[p], br)
+            pc = decode_group_coeffs_subsampled(
+                reader, brect.xsize, brect.ysize, raw_quant[sl],
+                pass_orders[p], ctx_map, ctx_offset, shifts)
+            if not reader.check_final_state():
+                raise BitstreamError("bad ANS state in AC group")
+            shift = fh.passes.shift[p]
+            if coeffs is None:
+                coeffs = [c_ << shift for c_ in pc]
+            else:
+                for c_ in range(3):
+                    coeffs[c_] += pc[c_] << shift
         for c in range(3):
             h, v = shifts[c]
             cc = coeffs[c]
@@ -703,4 +735,16 @@ def _decode_ac_subsampled(fh, fd, get, quantizer, ctx_map, orders,
                                      w_img, h_img)
         else:
             out[c] = planes[c][:h_img, :w_img]
+
+    # Loop filters run at full resolution AFTER chroma upsampling and
+    # before the color stage (dec_cache.cc builds HChromaUps/VChromaUps
+    # first, then gaborish, then EPF).
+    lfp = fh.loop_filter
+    if lfp.gab or lfp.epf_iters > 0:
+        from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
+        strategies = np.zeros((fd.ysize_blocks, fd.xsize_blocks),
+                              np.int32)
+        out = apply_loop_filters(
+            np.ascontiguousarray(out), lfp, raw_quant, strategies,
+            quantizer, fd, sharpness=sharpness)
     return out

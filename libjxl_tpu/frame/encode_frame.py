@@ -1205,3 +1205,223 @@ def encode_modular_frame(channels: list, metadata: CodecMetadata,
     parts += [(lambda g: (lambda sw: write_ac_group(sw, g)))(g)
               for g in range(fd.num_groups)]
     _emit_sections(w, fh, fd, parts)
+
+
+# ---------------------------------------------------------------------------
+# Chroma-subsampled YCbCr VarDCT encode (420/422 with loop filters and
+# progressive passes — streams the reference only produces via JPEG
+# transcoding, but that its decoder accepts generally;
+# render_pipeline/stage_chroma_upsampling.cc + dec_group.cc hshift
+# handling define the decode semantics this mirrors).
+
+# JPEG Annex K base tables (quality scaling analogue; values transposed
+# into the jxl stored-coefficient layout at use site).
+_JPEG_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int64).reshape(8, 8)
+_JPEG_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int64).reshape(8, 8)
+
+
+def encode_ycbcr_vardct_frame(rgb: np.ndarray, metadata: CodecMetadata,
+                              w: BitWriter, *, distance: float = 1.0,
+                              subsampling: str = "420",
+                              gab: bool = True, epf: int = -1,
+                              progressive: bool = False) -> None:
+    """Encode (H, W, 3) uint8 sRGB as a chroma-subsampled YCbCr VarDCT
+    frame: BT.601 conversion, box-downsampled chroma, DCT8X8 with
+    RAW-signaled JPEG-style quant tables, optional gaborish/EPF and a
+    2-pass progressive split."""
+    from libjxl_tpu.color.ycbcr import rgb_to_ycbcr
+    from libjxl_tpu.entropy.codes import (
+        build_and_encode_histograms, write_tokens)
+    from libjxl_tpu.frame.frame_header import ColorTransform
+    from libjxl_tpu.vardct.dct import dct_matrix
+    from libjxl_tpu.vardct.group import tokenize_group_coeffs_subsampled
+    from libjxl_tpu.vardct.quant_weights import MODE_RAW, QuantEncoding
+
+    h_img, w_img = rgb.shape[:2]
+    fh = FrameHeader(nonserialized_metadata=metadata)
+    fh.encoding = FrameEncoding.VARDCT
+    fh.color_transform = ColorTransform.YCBCR
+    # channel_mode order is (X=Cb, Y, B=Cr); Y gets the max shift entry
+    # so chroma ends up shifted (frame_header.h kHShift/kVShift).
+    fh.chroma_subsampling.channel_mode = \
+        [0, 1, 0] if subsampling == "420" else [0, 2, 0]
+    fh.flags = int(FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
+    fh.loop_filter.all_default = False
+    fh.loop_filter.gab = bool(gab)
+    if epf < 0:
+        epf = 1 if distance >= 0.5 else 0
+    fh.loop_filter.epf_iters = int(epf)
+    pass_shifts = [2, 0] if progressive else [0]
+    if len(pass_shifts) > 1:
+        fh.passes.num_passes = len(pass_shifts)
+        for i, s in enumerate(pass_shifts):
+            fh.passes.shift[i] = s
+    fd = fh.to_frame_dimensions()
+    cs = fh.chroma_subsampling
+    shifts = [(cs.hshift(c), cs.vshift(c)) for c in range(3)]
+
+    # YCbCr planes; chroma box-downsampled to coded resolution.
+    srgb = rgb.astype(np.float32) / 255.0
+    cb, yp, cr = rgb_to_ycbcr(srgb[..., 0], srgb[..., 1], srgb[..., 2])
+    planes_full = [cb, yp, cr]      # channel order X=Cb, Y, B=Cr
+
+    # RAW quant tables scaled by distance (JPEG Annex K shapes).
+    den = 1.0 / (8.0 * 255.0)
+    qscale = max(0.25, min(8.0, distance))
+    qraw = np.zeros((3, 64), np.int64)
+    dc_quant = np.zeros(3, np.float32)
+    for p in range(3):
+        base = _JPEG_LUMA_Q if p == 1 else _JPEG_CHROMA_Q
+        q = np.clip(np.round(base * qscale * 0.5), 1, 255).astype(np.int64)
+        qraw[p] = q.T.ravel()
+        dc_quant[p] = q[0, 0] / (8.0 * 255.0)
+
+    matrices = DequantMatrices()
+    matrices.encodings[0] = QuantEncoding(MODE_RAW, qraw_table=qraw,
+                                          qraw_den=den)
+    matrices.dc_quant = dc_quant
+    matrices.inv_dc_quant = 1.0 / dc_quant
+    quantizer = Quantizer(matrices, quant_dc=1, global_scale=1 << 16)
+    ctx_map = BlockCtxMap()
+    cmap = ColorCorrelation()
+    cmap.base_correlation_b = 0.0
+
+    by, bx = fd.ysize_blocks, fd.xsize_blocks
+    strategies = np.zeros((by, bx), np.int32)
+    raw_quant = np.ones((by, bx), np.int32)
+    d8 = dct_matrix(8).astype(np.float64)
+
+    # Per-plane quantized (stored-layout) coefficients + quantized DC.
+    coeff_planes = []
+    dc_planes = []
+    table8 = quantizer.dequant.table(0)  # (3, 8, 8) stored layout
+    for p in range(3):
+        hs, vs = shifts[p]
+        cw = -(-bx // (1 << hs))
+        chh = -(-by // (1 << vs))
+        pw, ph = cw * 8, chh * 8
+        src = planes_full[p]
+        if hs or vs:
+            f = 1 << max(hs, vs)
+            hh = -(-src.shape[0] // (1 << vs)) * (1 << vs)
+            ww = -(-src.shape[1] // (1 << hs)) * (1 << hs)
+            pad = np.pad(src, ((0, hh - src.shape[0]),
+                               (0, ww - src.shape[1])), mode="edge")
+            src = pad.reshape(hh >> vs, 1 << vs, ww >> hs,
+                              1 << hs).mean(axis=(1, 3))
+        pad = np.pad(src, ((0, ph - src.shape[0]),
+                           (0, pw - src.shape[1])), mode="edge")
+        blocks = pad.reshape(chh, 8, cw, 8).transpose(0, 2, 1, 3)
+        # Decoder: pix = i8 @ dq_stored.T @ i8.T with i8 = inverse of
+        # dct_matrix  =>  dq_stored = d8 @ pix.T @ d8.T.
+        dq = np.einsum("vy,abwy,uw->abvu", d8, blocks, d8,
+                       optimize=True)
+        qc = np.round(dq.reshape(chh, cw, 64)
+                      / table8[p].reshape(64)).astype(np.int32)
+        dcq = np.round(dq[:, :, 0, 0] / dc_quant[p]).astype(np.int32)
+        qc[:, :, 0] = 0
+        coeff_planes.append(qc)
+        dc_planes.append(dcq)
+
+    ord_b = acs.STRATEGY_ORDER[acs.DCT8X8]
+    orders = {}
+    for c in range(3):
+        orders[(ord_b, c)] = acs.natural_coeff_order(acs.DCT8X8)
+
+    # Progressive split: pass p carries t_p with sum(t_p << shift_p)
+    # reconstructing the quantized coefficients.
+    pass_planes = []
+    residual = [cp.astype(np.int64) for cp in coeff_planes]
+    for s in pass_shifts:
+        cur = []
+        for p in range(3):
+            t = np.sign(residual[p]) * (np.abs(residual[p]) >> s)
+            residual[p] = residual[p] - (t << s)
+            cur.append(t.astype(np.int32))
+        pass_planes.append(cur)
+
+    pass_group_tokens = []
+    for pp in pass_planes:
+        group_tokens = []
+        for g in range(fd.num_groups):
+            brect = fd.block_group_rect(g)
+            sl = brect.slices()
+            gcoeffs = []
+            for p in range(3):
+                hs, vs = shifts[p]
+                gcoeffs.append(pp[p][brect.y0 >> vs:, brect.x0 >> hs:])
+            tokens = []
+            tokenize_group_coeffs_subsampled(
+                gcoeffs, brect.xsize, brect.ysize, raw_quant[sl], orders,
+                ctx_map, tokens, shifts)
+            group_tokens.append(tokens)
+        pass_group_tokens.append(group_tokens)
+
+    mfe = ModularFrameEncoder(fd)
+    holder = {}
+
+    def write_lf_global(sw):
+        matrices.encode_dc(sw)
+        quantizer.encode(sw)
+        ctx_map.encode(sw)
+        cmap.encode_dc(sw)
+        mfe.encode_global_info(sw)
+
+    def write_dc_group(sw, g):
+        rect = fd.dc_group_rect(g)
+        qdc_g = []
+        for p in range(3):
+            hs, vs = shifts[p]
+            y0, x0 = rect.y0 >> vs, rect.x0 >> hs
+            hh = -(-rect.ysize // (1 << vs))
+            ww = -(-rect.xsize // (1 << hs))
+            qdc_g.append(dc_planes[p][y0:y0 + hh, x0:x0 + ww])
+        mfe.encode_vardct_dc(sw, qdc_g, 8, shifts=shifts)
+        sl = rect.slices()
+        cr_w = (rect.xsize + 7) >> 3
+        cr_h = (rect.ysize + 7) >> 3
+        zeros = np.zeros((cr_h, cr_w), np.int32)
+        sharp = np.zeros((rect.ysize, rect.xsize), np.int32)
+        mfe.encode_ac_metadata(sw, rect, zeros, zeros, strategies[sl],
+                               raw_quant[sl], sharp, 8)
+
+    def write_ac_global(sw):
+        matrices.encode(sw)
+        num_histo_bits = max((fd.num_groups - 1).bit_length(), 0) \
+            if fd.num_groups > 1 else 0
+        if num_histo_bits:
+            sw.write(num_histo_bits, 0)
+        holder["codes"] = []
+        for pt in pass_group_tokens:
+            write_used_orders(0, sw)
+            holder["codes"].append(build_and_encode_histograms(
+                ctx_map.num_ac_contexts(), pt, sw))
+
+    def make_ac_group(p, g):
+        def write_ac_group(sw):
+            write_tokens(pass_group_tokens[p][g], holder["codes"][p], sw)
+        return write_ac_group
+
+    parts = [write_lf_global]
+    parts += [(lambda g: (lambda sw: write_dc_group(sw, g)))(g)
+              for g in range(fd.num_dc_groups)]
+    parts += [write_ac_global]
+    for p in range(len(pass_shifts)):
+        parts += [make_ac_group(p, g) for g in range(fd.num_groups)]
+    _emit_sections(w, fh, fd, parts, num_passes=len(pass_shifts))

@@ -81,7 +81,16 @@ class IncrementalFrameDecoder:
         if fh.frame_type not in (FrameType.REGULAR,
                                  FrameType.REFERENCE_ONLY):
             raise NotSupported("frame type outside incremental profile")
-        if fh.encoding != FrameEncoding.VARDCT \
+        self._modular = fh.encoding == FrameEncoding.MODULAR
+        if self._modular:
+            # Modular profile: plain (non-XYB) frames, no upsampling —
+            # section-at-a-time decode with O(n) accounting; transforms
+            # invert at finalize.
+            from libjxl_tpu.frame.frame_header import ColorTransform
+            if fh.color_transform != ColorTransform.NONE \
+                    or fh.upsampling != 1:
+                raise NotSupported("modular frame outside profile")
+        elif fh.encoding != FrameEncoding.VARDCT \
                 or not fh.chroma_subsampling.is_444() \
                 or (fh.flags & FrameFlags.USE_DC_FRAME) \
                 or fh.upsampling != 1:
@@ -131,15 +140,24 @@ class IncrementalFrameDecoder:
         self.quantizer = Quantizer(self.matrices)
         self.ctx_map = BlockCtxMap()
         self.cmap = ColorCorrelation()
-        self.quantizer.decode(r)
-        self.ctx_map.decode(r)
-        self.cmap.decode_dc(r)
+        if not self._modular:
+            self.quantizer.decode(r)
+            self.ctx_map.decode(r)
+            self.cmap.decode_dc(r)
         self.mfd = ModularFrameDecoder(self.fd)
         self.mfd.decode_global_info(r, fh, meta)
         self._lf_done = True
 
     def _decode_dc_group(self, r: BitReader, g: int) -> None:
         fd, meta = self.fd, self.meta
+        if self._modular:
+            rect = fd.dc_group_rect(g)
+            mrect = Rect(rect.x0 * 8, rect.y0 * 8, fd.dc_group_dim,
+                         fd.dc_group_dim)
+            self.mfd.decode_group(mrect, r, 3, 1000,
+                                  stream_modular_dc(g, fd))
+            self._dc_data[g] = True
+            return
         qdc, extra_precision = self.mfd.decode_vardct_dc(
             g, r, meta.m.bit_depth.bits_per_sample, shifts=None)
         self._dc_data[g] = (qdc, extra_precision)
@@ -196,6 +214,9 @@ class IncrementalFrameDecoder:
 
     def _decode_ac_global(self, r: BitReader) -> None:
         fh, fd = self.fh, self.fd
+        if self._modular:
+            self._acglobal_done = True
+            return
         if not self._maps_ready:
             self._assemble_maps()
         self.matrices.decode(r, self.mfd)
@@ -214,6 +235,13 @@ class IncrementalFrameDecoder:
         self._acglobal_done = True
 
     def _decode_ac_group(self, r: BitReader, p: int, g: int) -> None:
+        if self._modular:
+            fh, fd = self.fh, self.fd
+            min_s, max_s = fh.passes.downsampling_bracket(p)
+            self.mfd.decode_group(fd.group_rect(g), r, min_s, max_s,
+                                  stream_modular_ac(g, p, fd))
+            self._group_pass_done.add((p, g))
+            return
         from libjxl_tpu.base.errors import BitstreamError
         from libjxl_tpu.entropy.codes import SymbolReader
         from libjxl_tpu.vardct.group import decode_group_coeffs
@@ -335,7 +363,18 @@ class IncrementalFrameDecoder:
 
     @property
     def can_flush(self) -> bool:
-        return self._acglobal_done
+        return self._acglobal_done and not self._modular
+
+    @property
+    def is_modular(self) -> bool:
+        return self._modular
+
+    def finalize_modular(self) -> list:
+        """Channels of a completed modular frame (transform inverses
+        run here, mirroring ModularFrameDecoder.finalize)."""
+        assert self.complete and self._modular
+        gi = self.mfd.finalize()
+        return [c.data for c in gi.channel]
 
     def num_passes_done(self, g: int) -> int:
         return sum(1 for (p, gg) in self._group_pass_done if gg == g)

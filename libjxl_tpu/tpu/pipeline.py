@@ -425,9 +425,24 @@ def _unpack_dev(buf, layout, name):
     return out.reshape(shape) if shape else out.reshape(())
 
 
+_NOISE_DEV_CACHE: dict = {}
+
+
+def _device_noise_planes(h, w, gd, vfi):
+    """Device-resident raw noise planes, cached per shape (they are
+    content-independent; see ops/stages_tpu.py)."""
+    import jax
+    from libjxl_tpu.ops.stages_tpu import noise_planes_for
+    key = (h, w, gd, vfi)
+    if key not in _NOISE_DEV_CACHE:
+        _NOISE_DEV_CACHE[key] = jax.device_put(
+            noise_planes_for(h, w, gd, vfi))
+    return _NOISE_DEV_CACHE[key]
+
+
 def decode_frame_device2(feed: dict, image_h: int, image_w: int,
                          return_xyb: bool = False, as_numpy: bool = True,
-                         out: str = "srgb8"):
+                         out: str = "srgb8", post: dict | None = None):
     """Run the slim-feed (v2) device pipeline.
 
     The whole per-frame feed travels as ONE packed uint8 buffer
@@ -466,6 +481,17 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
         n_nz = nz[0].size
         nz_cap = max(1 << 16, -(-n_nz // _NZ_CAP_STEP) * _NZ_CAP_STEP)
 
+    # Post-stages (dec_cache.cc order: EPF -> upsampling -> noise).
+    post = post or {}
+    up_n = int(post.get("upsample", 1))
+    up_kernels = post.get("up_kernels")
+    noise_cfg = post.get("noise")       # (lut, ytox, ytob, gd, vfi)
+    if up_n > 1 and up_kernels is None:
+        from libjxl_tpu.pipeline.upsample import _kernels
+        up_kernels = _kernels(up_n).astype(np.float32)
+    final_h, final_w = post.get("final_hw",
+                                (image_h * up_n, image_w * up_n))
+
     specs = []
     if sparse:
         specs += [("nzi", np.int32, (nz_cap,)),
@@ -496,9 +522,10 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     packed = _use_packed()
     key = (class_keys, caps, epf_iters, gab, cshape,
            feed["coeff_img"].dtype.str, image_h, image_w, out,
-           BW_blocks, dense, sparse, nz_cap, packed)
+           BW_blocks, dense, sparse, nz_cap, packed, up_n,
+           final_h, final_w, noise_cfg is not None)
 
-    def core(get, mat_bank):
+    def core(get, mat_bank, noise_raw=None):
         """Shared pipeline body; `get(name)` yields the named input."""
         if sparse:
             coeff_img = jnp.zeros(
@@ -527,6 +554,16 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
         if gab or epf_iters > 0:
             xyb = apply_loop_filters_tpu(xyb, get("inv_sigma"),
                                          epf_iters=epf_iters, gab=gab)
+        if up_n > 1:
+            from libjxl_tpu.ops.stages_tpu import upsample_image_tpu
+            xyb = upsample_image_tpu(xyb, up_n, up_kernels)
+            xyb = xyb[:, :final_h, :final_w]
+        if noise_cfg is not None:
+            from libjxl_tpu.ops.stages_tpu import add_noise_tpu
+            lut_, ytox_, ytob_, gd_, vfi_ = noise_cfg
+            xyb = add_noise_tpu(xyb, noise_raw,
+                                jnp.asarray(lut_, jnp.float32),
+                                float(ytox_), float(ytob_))
         if out == "xyb":
             return xyb
         if out == "pq16":
@@ -538,16 +575,20 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     if key not in _FN2_CACHE:
         if packed:
             @jax.jit
-            def run(buf, mat_bank):
+            def run(buf, mat_bank, noise_raw=None):
                 return core(lambda n: _unpack_dev(buf, layout, n),
-                            mat_bank)
+                            mat_bank, noise_raw)
         else:
             @jax.jit
-            def run(mat_bank, *arrs):
+            def run(mat_bank, noise_raw, *arrs):
                 byname = dict(zip(names, arrs))
-                return core(byname.__getitem__, mat_bank)
+                return core(byname.__getitem__, mat_bank, noise_raw)
         _FN2_CACHE[key] = run
     fn = _FN2_CACHE[key]
+    noise_dev = None
+    if noise_cfg is not None:
+        _, _, _, gd_, vfi_ = noise_cfg
+        noise_dev = _device_noise_planes(final_h, final_w, gd_, vfi_)
 
     def host_value(name):
         if name == "nzi":
@@ -588,10 +629,11 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
         for n in rest:
             _pack_host(buf, layout, n, host_value(n))
         dbuf, dbank = jax.device_put((buf, family8_matrices()))
-        out = fn(dbuf, dbank)
+        out = fn(dbuf, dbank, noise_dev) if noise_dev is not None \
+            else fn(dbuf, dbank)
     else:
         arrs = [np.ascontiguousarray(host_value(n), dtype=layout[n][1])
                 .reshape(layout[n][2]) for n in names]
         dargs = jax.device_put([family8_matrices()] + arrs)
-        out = fn(*dargs)
+        out = fn(dargs[0], noise_dev, *dargs[1:])
     return np.asarray(out) if as_numpy else out

@@ -338,7 +338,7 @@ class TestEncoderStatsAndSettings:
         with pytest.raises(ValueError):
             fs.set_distance(26.0)
         # All 37 ids exist, mirroring the C enum.
-        assert len(FrameSettingId) == 37
+        assert len(FrameSettingId) == 41   # ids 0..40, encode.h:132-418
 
     def test_stats_lossless(self):
         from libjxl_tpu.api.encoder import Encoder, FrameSettings
@@ -427,3 +427,112 @@ def test_decoder_jpeg_reconstruction_event():
             assert ev == Event.SUCCESS
             break
     assert got == jpg
+
+
+def test_incremental_modular_sections_decoded_once():
+    """Modular (lossless) frames in the incremental profile: byte-by-
+    byte feed decodes each modular section exactly once (O(n)), and the
+    result is bit-exact."""
+    import libjxl_tpu.frame.incremental as inc_mod
+    img = _img(300, 300)   # 4 AC groups
+    data = encode(img, lossless=True, effort=3)
+
+    calls = {"lf": 0, "dc": 0, "ac": 0}
+    orig = (inc_mod.IncrementalFrameDecoder._decode_lf_global,
+            inc_mod.IncrementalFrameDecoder._decode_dc_group,
+            inc_mod.IncrementalFrameDecoder._decode_ac_group)
+
+    def wrap(name, fn):
+        def inner(self, *a, **k):
+            calls[name] += 1
+            return fn(self, *a, **k)
+        return inner
+
+    inc_mod.IncrementalFrameDecoder._decode_lf_global = wrap("lf", orig[0])
+    inc_mod.IncrementalFrameDecoder._decode_dc_group = wrap("dc", orig[1])
+    inc_mod.IncrementalFrameDecoder._decode_ac_group = wrap("ac", orig[2])
+    try:
+        dec = Decoder(events={Event.FULL_IMAGE})
+        status = Event.NEED_MORE_INPUT
+        step = 211
+        for i in range(0, len(data), step):
+            dec.set_input(data[i:i + step])
+            status = dec.process_input()
+            if status in (Event.FULL_IMAGE, Event.SUCCESS, Event.ERROR):
+                break
+        dec.close_input()
+        while status not in (Event.SUCCESS, Event.ERROR):
+            status = dec.process_input()
+        assert status == Event.SUCCESS
+    finally:
+        (inc_mod.IncrementalFrameDecoder._decode_lf_global,
+         inc_mod.IncrementalFrameDecoder._decode_dc_group,
+         inc_mod.IncrementalFrameDecoder._decode_ac_group) = orig
+    assert np.array_equal(dec.image, img)
+    assert calls["lf"] == 1
+    assert calls["dc"] == 1
+    assert calls["ac"] == 4           # 2x2 AC groups, one pass
+
+
+def test_incremental_animation_byte_by_byte():
+    """An animation fed byte-by-byte decodes every frame with per-frame
+    delivery (VERDICT item 8: multi-frame section resume)."""
+    from libjxl_tpu.api.simple import encode_animation
+    rng = np.random.default_rng(4)
+    frames = [np.clip(_img(96, 96).astype(int)
+                      + rng.integers(-20, 20, (96, 96, 3)), 0,
+                      255).astype(np.uint8) for _ in range(3)]
+    data = encode_animation(frames, durations=[1, 1, 1], distance=1.0)
+
+    dec = Decoder(events={Event.FULL_IMAGE})
+    got = []
+    status = Event.NEED_MORE_INPUT
+    step = 499
+    i = 0
+    while i < len(data) or status not in (Event.SUCCESS, Event.ERROR):
+        if status == Event.NEED_MORE_INPUT and i < len(data):
+            dec.set_input(data[i:i + step])
+            i += step
+            if i >= len(data):
+                dec.close_input()
+        status = dec.process_input()
+        if status == Event.FULL_IMAGE:
+            got.append(dec.image.copy())
+    assert status == Event.SUCCESS
+    assert len(got) == 3
+    from libjxl_tpu.api import decode_all
+    refs, _ = decode_all(data)
+    for g, r in zip(got, refs):
+        assert np.abs(g.astype(int) - r.pixels.astype(int)).max() <= 1
+
+
+def test_preferred_output_profile_and_callback():
+    """decode.h:1021 preferred color profile + decode.h:1152 image-out
+    callback: linear output = inverse sRGB TF of the default output;
+    the callback receives every row of the final image."""
+    from libjxl_tpu.color.xyb import srgb_to_linear
+    img = _img(32, 48)
+    data = encode(img, distance=1.0)
+
+    dec = Decoder(events={Event.FULL_IMAGE})
+    dec.set_input(data)
+    dec.close_input()
+    assert dec.process_input() == Event.FULL_IMAGE
+    default = dec.image.astype(np.float64) / 255.0
+
+    dec2 = Decoder(events={Event.FULL_IMAGE})
+    dec2.set_preferred_color_profile("linear")
+    rows = []
+    dec2.set_image_out_callback(
+        lambda x, y, n, row: rows.append((y, row.copy())))
+    dec2.set_input(data)
+    dec2.close_input()
+    assert dec2.process_input() == Event.FULL_IMAGE
+    lin = dec2.image.astype(np.float64) / 255.0
+    expect = srgb_to_linear(default.transpose(2, 0, 1)).transpose(1, 2, 0)
+    assert np.abs(lin - expect).max() < 2.5 / 255.0
+    assert len(rows) == 32
+    assert all(np.array_equal(r, dec2.image[y]) for y, r in rows)
+
+    with pytest.raises(ValueError):
+        dec2.set_preferred_color_profile("bogus")
