@@ -562,6 +562,32 @@ int mod_decoder_check_final(ModularDecoderHandle* h) {
 
 void mod_decoder_destroy(ModularDecoderHandle* h) { delete h; }
 
+// Tree simplification: clone the MA tree resolving every split on a
+// property whose value is constant for the scope (channel id, group
+// id per channel; y per row) — the per-pixel walk then touches a much
+// smaller tree (FlatTree/filtering idea from
+// modular/encoding/dec_ma.h, reimplemented structurally).
+
+static int copy_simplified(const TreeNode* tree, int pos, int prop,
+                           int64_t value, std::vector<TreeNode>& out) {
+  const TreeNode& n = tree[pos];
+  if (n.property < 0) {
+    out.push_back(n);
+    return static_cast<int>(out.size()) - 1;
+  }
+  if (n.property == prop) {
+    int child = value > n.splitval ? n.lchild : n.rchild;
+    return copy_simplified(tree, child, prop, value, out);
+  }
+  int idx = static_cast<int>(out.size());
+  out.push_back(n);
+  int l = copy_simplified(tree, n.lchild, prop, value, out);
+  int r = copy_simplified(tree, n.rchild, prop, value, out);
+  out[idx].lchild = l;
+  out[idx].rchild = r;
+  return idx;
+}
+
 // Decode channel `chan_idx` of the image described by `chans`
 // (num_chans entries), using `tree` (num_nodes). group_id is static
 // property 1. Returns 0 on success.
@@ -620,10 +646,20 @@ int mod_decode_channel(ModularDecoderHandle* h, ChannelDesc* chans,
   RefProps refs;
   if (num_ref > 0) refs.init(chans, chan_idx, num_ref);
 
+  // Resolve channel-constant splits once, row-constant splits per row.
+  std::vector<TreeNode> tree_c0, tree_c, tree_row;
+  tree_c0.reserve(num_nodes);
+  copy_simplified(tree, 0, 0, chan_idx, tree_c0);
+  tree_c.reserve(tree_c0.size());
+  copy_simplified(tree_c0.data(), 0, 1, group_id, tree_c);
+
   for (int y = 0; y < hgt; y++) {
     props[2] = y;
     props[9] = 0;
     if (num_ref > 0) refs.compute_row(y);
+    tree_row.clear();
+    copy_simplified(tree_c.data(), 0, 2, y, tree_row);
+    const TreeNode* rtree = tree_row.data();
     int32_t* r = ch.data + static_cast<int64_t>(y) * w;
     const int32_t* rt = r - w;
     const int32_t* rtt = r - 2 * w;
@@ -665,14 +701,14 @@ int mod_decode_channel(ModularDecoderHandle* h, ChannelDesc* chans,
         }
       }
 
-      // Tree lookup.
+      // Tree lookup over the row-simplified tree.
       int pos = 0;
-      while (tree[pos].property >= 0) {
-        pos = props[tree[pos].property] > tree[pos].splitval
-                  ? tree[pos].lchild
-                  : tree[pos].rchild;
+      while (rtree[pos].property >= 0) {
+        pos = props[rtree[pos].property] > rtree[pos].splitval
+                  ? rtree[pos].lchild
+                  : rtree[pos].rchild;
       }
-      const TreeNode& leaf = tree[pos];
+      const TreeNode& leaf = rtree[pos];
       int64_t guess = predict_one(leaf.predictor, left, top, toptop, topleft,
                                   topright, leftleft, trr, wp_pred)
                       + leaf.offset;
@@ -742,10 +778,20 @@ int64_t mod_encode_channel(ChannelDesc* chans, int num_chans, int chan_idx,
   RefProps refs;
   if (num_ref > 0) refs.init(chans, chan_idx, num_ref);
 
+  // Resolve channel-constant splits once, row-constant splits per row.
+  std::vector<TreeNode> tree_c0, tree_c, tree_row;
+  tree_c0.reserve(num_nodes);
+  copy_simplified(tree, 0, 0, chan_idx, tree_c0);
+  tree_c.reserve(tree_c0.size());
+  copy_simplified(tree_c0.data(), 0, 1, group_id, tree_c);
+
   for (int y = 0; y < hgt; y++) {
     props[2] = y;
     props[9] = 0;
     if (num_ref > 0) refs.compute_row(y);
+    tree_row.clear();
+    copy_simplified(tree_c.data(), 0, 2, y, tree_row);
+    const TreeNode* rtree = tree_row.data();
     int32_t* r = ch.data + static_cast<int64_t>(y) * w;
     const int32_t* rt = r - w;
     const int32_t* rtt = r - 2 * w;

@@ -56,6 +56,14 @@ def main(out_dir: str) -> int:
     emit("preview", encode(_gradient(200, 260, 1), distance=1.0,
                            preview=True))
     emit("effort8", encode(img, distance=1.0, effort=8))
+    # Round-3 feature classes: prefix-coded fast-lossless, subsampled
+    # YCbCr VarDCT with filters/progressive, device-encoder stream.
+    emit("fast_lossless_e1", encode(img, lossless=True, effort=1))
+    emit("ycbcr420_epf", encode(img, distance=1.0,
+                                chroma_subsampling="420", epf=2))
+    emit("ycbcr422_progressive", encode(img, distance=1.0,
+                                        chroma_subsampling="422",
+                                        progressive=True))
 
     # Differential cases (ADVICE r1: the corpus must not be fully
     # self-golden): streams produced by the INDEPENDENT system libjxl
@@ -85,6 +93,18 @@ def main(out_dir: str) -> int:
                          tolerance=0.0)
         emit_ref_encoded("ref_golden_our_stream",
                          encode(img, distance=1.0), tolerance=0.004)
+        # System-libjxl goldens for the new stream classes.
+        emit_ref_encoded("ref_golden_420",
+                         encode(img, distance=1.0,
+                                chroma_subsampling="420", epf=2),
+                         tolerance=0.004)
+        emit_ref_encoded("ref_encoded_fjxl",
+                         refjxl.encode(img, lossless=True, effort=1),
+                         tolerance=0.0)
+        emit_ref_encoded("ref_encoded_e7_multigroup",
+                         refjxl.encode(_gradient(384, 300, 2),
+                                       lossless=True, effort=7),
+                         tolerance=0.0)
     else:
         print("warning: system libjxl unavailable; corpus is "
               "self-golden only", file=sys.stderr)
