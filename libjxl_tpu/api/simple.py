@@ -473,6 +473,16 @@ def _butteraugli_qf_iteration(image, srgb, xyb, meta, header_writer,
             .reshape(by, bx, 64)
         err = np.quantile(blocks, 0.9, axis=-1)
         ratio = np.clip((err / max(distance, 1e-6)) ** 0.6, 1 / 1.3, 1.3)
+        # Keep the step monotone toward the target: while the global
+        # distance overshoots, blocks may only get finer (and vice
+        # versa) — per-block relaxation otherwise trades bits away from
+        # the max-norm driver (FindBestQuantization's one-sided update,
+        # enc_adaptive_quantization.cc:929).
+        global_err = float(dmap.max())
+        if global_err > distance:
+            ratio = np.maximum(ratio, 1.0)
+        elif global_err < 0.9 * distance:
+            ratio = np.minimum(ratio, 1.0)
         adjust[:by, :bx] = np.clip(adjust[:by, :bx] * ratio, 0.4, 2.5)
     return adjust
 

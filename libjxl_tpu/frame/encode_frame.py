@@ -175,7 +175,8 @@ def _adjust_quant_blocks(coeffs, flat_inv, raw_quant, inv_gs,
 
 def compute_vardct_encoding_device(planes, fd, fh, distance,
                                    qf_adjust=None, quantizer=None,
-                                   effort=7):
+                                   effort=7, aq_planes=None,
+                                   aq_distance=None):
     """Device (TPU) variant of compute_vardct_encoding: adaptive quant,
     ACS search, forward DCTs, CfL fit and quantization run as two jitted
     stages (ops/encode_pipeline.py); the host keeps the global-scale
@@ -190,11 +191,17 @@ def compute_vardct_encoding_device(planes, fd, fh, distance,
     from libjxl_tpu.ops import encode_pipeline as ep
 
     BY, BX = fd.ysize_blocks, fd.xsize_blocks
+    if aq_planes is None:
+        aq_planes = planes
+    if aq_distance is None:
+        aq_distance = distance
     planes_dev = jax.device_put(np.ascontiguousarray(planes, np.float32))
     if effort <= 2:
         qf = np.full((BY, BX), 0.52 / max(distance, 0.1), np.float32)
     else:
-        qf = np.asarray(ep.initial_quant_field_jnp(distance, planes_dev))
+        aq_dev = planes_dev if aq_planes is planes else jax.device_put(
+            np.ascontiguousarray(aq_planes, np.float32))
+        qf = np.asarray(ep.initial_quant_field_jnp(aq_distance, aq_dev))
     if qf_adjust is not None:
         qf = qf * qf_adjust[:qf.shape[0], :qf.shape[1]]
     if quantizer is None:
@@ -270,7 +277,8 @@ def compute_vardct_encoding_device(planes, fd, fh, distance,
 
 def compute_vardct_encoding(planes, fd, fh, distance,
                             qf_adjust=None, external_dc=None,
-                            quantizer=None, effort=7):
+                            quantizer=None, effort=7,
+                            aq_planes=None, aq_distance=None):
     """The per-region VarDCT encoding computation: adaptive quant,
     ACS selection, forward transforms, CfL fit, coefficient
     quantization (enc_frame.cc ComputeEncodingData's VarDCT half).
@@ -288,6 +296,10 @@ def compute_vardct_encoding(planes, fd, fh, distance,
                              quant-field iteration in the caller)."""
     from libjxl_tpu.frame.adaptive_quant import (
         initial_quant_dc as aq_dc, initial_quant_field as aq_field)
+    if aq_planes is None:
+        aq_planes = planes
+    if aq_distance is None:
+        aq_distance = distance
     if effort <= 2:
         # Flat quant field for the fastest tiers (enc_heuristics.cc:1107
         # uses 0.79/distance; rescaled to this encoder's AQ-field
@@ -295,7 +307,7 @@ def compute_vardct_encoding(planes, fd, fh, distance,
         qf = np.full((fd.ysize_blocks, fd.xsize_blocks),
                      0.52 / max(distance, 0.1), np.float32)
     else:
-        qf = aq_field(distance, planes)
+        qf = aq_field(aq_distance, aq_planes)
     if qf_adjust is not None:
         # Per-block multiplier from the butteraugli-guided outer loop
         # (enc_heuristics FindBestQuantization analogue).
@@ -703,18 +715,29 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     from libjxl_tpu.frame.adaptive_quant import (
         gaborish_inverse, initial_quant_dc as aq_dc,
         initial_quant_field as aq_field)
+    # The adaptive-quant field is computed on PRE-gaborish pixels
+    # (enc_heuristics.cc:1109 "relies on pre-gaborish values"; the
+    # gaborish inverse sharpens local contrast and would overestimate
+    # masking); without gaborish the reference tightens the target by
+    # 0.62x (enc_heuristics.cc:1121).
+    aq_planes = planes
+    aq_distance = distance if fh.loop_filter.gab else distance * 0.62
     if fh.loop_filter.gab:
         planes = gaborish_inverse(planes)
 
     if device and external_dc is None:
         enc = compute_vardct_encoding_device(planes, fd, fh, distance,
                                              qf_adjust=qf_adjust,
-                                             effort=effort)
+                                             effort=effort,
+                                             aq_planes=aq_planes,
+                                             aq_distance=aq_distance)
     else:
         enc = compute_vardct_encoding(planes, fd, fh, distance,
                                       qf_adjust=qf_adjust,
                                       external_dc=external_dc,
-                                      effort=effort)
+                                      effort=effort,
+                                      aq_planes=aq_planes,
+                                      aq_distance=aq_distance)
     matrices = enc["matrices"]
     quantizer = enc["quantizer"]
     ctx_map = enc["ctx_map"]
