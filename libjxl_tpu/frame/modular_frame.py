@@ -618,7 +618,16 @@ class ModularFrameEncoder:
             img.channel[0] = Channel(qdc[1].astype(np.int32))
             img.channel[1] = Channel(qdc[0].astype(np.int32))
             img.channel[2] = Channel(qdc[2].astype(np.int32))
-        self._encode_stream_image(w, img, P_GRADIENT)
+        # kWPFixedDC (enc_modular.cc:1591-1595): weighted predictor
+        # with the fixed WP-error split tree — much denser than plain
+        # gradient on smooth DC planes.
+        from libjxl_tpu.modular.tree import (
+            WP_FIXED_DC_CUTOFFS, WP_PROP, make_fixed_tree)
+        from libjxl_tpu.modular.predict import P_WEIGHTED
+        npix = sum(c.w * c.h for c in img.channel)
+        tree = make_fixed_tree(WP_PROP, WP_FIXED_DC_CUTOFFS, P_WEIGHTED,
+                               npix, bitdepth)
+        self._encode_stream_image(w, img, P_WEIGHTED, tree=tree)
 
     def encode_ac_metadata(self, w: BitWriter, rect: Rect,
                            ytox: np.ndarray, ytob: np.ndarray,

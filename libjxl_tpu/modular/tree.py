@@ -214,3 +214,46 @@ def build_fixed_tree_list(nodes: list[tuple]) -> Tree:
             to_decode += 2
     assert to_decode == 0
     return tree
+
+
+def make_fixed_tree(prop: int, cutoffs: list, predictor: int,
+                    num_pixels: int, bitdepth: int = 8) -> Tree:
+    """MakeFixedTree (enc_encoding.cc:72-102): balanced BFS tree
+    splitting one property at sorted `cutoffs`, every leaf using
+    `predictor`; depth reduced for small streams; cutoffs scaled for
+    deep bit depths. Leaf context ids follow decode (list) order."""
+    from collections import deque
+    log_px = max(1, (max(num_pixels, 1) - 1).bit_length())
+    min_gap = 8 * (14 - log_px) if log_px < 14 else 0
+    shift = min(4, bitdepth - 11) if bitdepth > 11 else 0
+    mul = 1 << shift
+    tree: Tree = [leaf(0, predictor)]
+    q = deque([(0, len(cutoffs), 0)])
+    while q:
+        begin, end, pos = q.popleft()
+        if begin + min_gap >= end:
+            continue
+        split = (begin + end) // 2
+        cutoff = cutoffs[split] * mul
+        tree[pos] = TreeNode(prop, cutoff, len(tree), len(tree) + 1,
+                             0, 0, 1)
+        q.append((split + 1, end, len(tree)))
+        tree.append(leaf(0, predictor))
+        q.append((begin, split, len(tree)))
+        tree.append(leaf(0, predictor))
+    # Renumber leaf contexts in list (decode) order.
+    lid = 0
+    for i, n in enumerate(tree):
+        if n.property == -1:
+            tree[i] = leaf(lid, n.predictor, n.predictor_offset,
+                           n.multiplier)
+            lid += 1
+    return tree
+
+
+# WP-error cutoffs of the reference's fixed DC tree
+# (enc_encoding.cc:543-549 kWPFixedDC).
+WP_FIXED_DC_CUTOFFS = [
+    -500, -392, -255, -191, -127, -95, -63, -47, -31, -23, -15,
+    -11, -7, -4, -3, -1, 0, 1, 3, 5, 7, 11,
+    15, 23, 31, 47, 63, 95, 127, 191, 255, 392, 500]
