@@ -654,4 +654,5 @@ class ModularFrameEncoder:
         img.channel[2] = Channel(
             np.stack([acs_list, qf_list]).astype(np.int32), 0, 0)
         img.channel[3] = Channel(epf.astype(np.int32), 0, 0)
-        self._encode_stream_image(w, img, P_ZERO)
+        from libjxl_tpu.modular.tree import ac_meta_tree
+        self._encode_stream_image(w, img, P_ZERO, tree=ac_meta_tree())

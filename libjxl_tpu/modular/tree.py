@@ -257,3 +257,64 @@ WP_FIXED_DC_CUTOFFS = [
     -500, -392, -255, -191, -127, -95, -63, -47, -31, -23, -15,
     -11, -7, -4, -3, -1, 0, 1, 3, 5, 7, 11,
     15, 23, 31, 47, 63, 95, 127, 191, 255, 392, 500]
+
+
+def reorder_bfs(tree: Tree) -> Tree:
+    """Reorders an arbitrarily-laid-out tree into the decoder's implied
+    breadth-first layout (children of the i-th emitted split follow in
+    queue order) and renumbers leaf contexts in list order."""
+    from collections import deque
+    out: Tree = []
+    q = deque([0])
+    pos_of = {}
+    order = []
+    while q:
+        i = q.popleft()
+        order.append(i)
+        pos_of[i] = len(order) - 1
+        n = tree[i]
+        if n.property >= 0:
+            q.append(n.lchild)
+            q.append(n.rchild)
+    lid = 0
+    remap = {old: new for new, old in enumerate(order)}
+    for i in order:
+        n = tree[i]
+        if n.property < 0:
+            out.append(leaf(lid, n.predictor, n.predictor_offset,
+                            n.multiplier))
+            lid += 1
+        else:
+            out.append(TreeNode(n.property, n.splitval,
+                                remap[n.lchild], remap[n.rchild],
+                                n.predictor, n.predictor_offset,
+                                n.multiplier))
+    return out
+
+
+def ac_meta_tree() -> Tree:
+    """The reference's handcrafted AC-metadata tree
+    (enc_encoding.cc:500-541 kACMeta): channel splits, gradient CfL,
+    left-predicted QF with magnitude contexts, zero-predicted ACS/EPF
+    with previous-value contexts."""
+    S, L = TreeNode, leaf
+    raw = [
+        S(0, 1, 1, 2, 0, 0, 1),      # 0: c > 1
+        S(0, 2, 3, 4, 0, 0, 1),      # 1: c > 2
+        S(0, 0, 5, 6, 0, 0, 1),      # 2: c > 0
+        S(6, 3, 21, 22, 0, 0, 1),    # 3: EPF, top > 3
+        S(2, 0, 7, 8, 0, 0, 1),      # 4: ACS+QF, y > 0
+        L(0, 5), L(0, 5),            # 5, 6: CfL x / b (gradient)
+        S(7, 5, 9, 10, 0, 0, 1),     # 7: QF row, left > 5
+        S(7, 5, 15, 16, 0, 0, 1),    # 8: ACS row
+        S(7, 11, 11, 12, 0, 0, 1),   # 9
+        S(7, 3, 13, 14, 0, 0, 1),    # 10
+        L(0, 1), L(0, 1), L(0, 1), L(0, 1),   # 11-14: QF (left)
+        S(7, 11, 17, 18, 0, 0, 1),   # 15
+        S(7, 3, 19, 20, 0, 0, 1),    # 16
+        L(0, 0), L(0, 0), L(0, 0), L(0, 0),   # 17-20: ACS (zero)
+        S(7, 3, 23, 24, 0, 0, 1),    # 21
+        S(7, 3, 25, 26, 0, 0, 1),    # 22
+        L(0, 0), L(0, 0), L(0, 0), L(0, 0),   # 23-26: EPF (zero)
+    ]
+    return reorder_bfs(raw)
