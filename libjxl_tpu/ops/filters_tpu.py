@@ -67,12 +67,29 @@ def _epf_pass(img, inv_sigma_blocks, *, pad, plus, cands, sigma_scale,
     scales = jnp.asarray(channel_scale, jnp.float32)[:, None, None]
     acc = img
     wsum = jnp.ones((h, w), jnp.float32)
+    # Shared shifted-difference fields: |at(p) - at(c+p)| equals the
+    # per-candidate channel-summed difference field D_c shifted by p,
+    # so each candidate needs ONE |diff| computation on a 1-px-extended
+    # region plus |plus| cheap shifted adds (~3x fewer elementwise
+    # passes than the naive 5-tap form; stage_epf.cc's shared-sum idea
+    # restated for whole-frame tensors).
+    ext = 1 if plus else 0
+
+    def diff_field(sy, sx):
+        # (h + 2*ext, w + 2*ext) field at offset (sy, sx).
+        a0, b0 = pad - ext, pad - ext
+        base = p[:, a0:a0 + h + 2 * ext, b0:b0 + w + 2 * ext]
+        off = p[:, a0 + sy:a0 + sy + h + 2 * ext,
+                b0 + sx:b0 + sx + w + 2 * ext]
+        return (jnp.abs(base - off) * scales).sum(axis=0)
+
     for (sy, sx) in cands:
         if single_pixel_sad:
             sad = (jnp.abs(at(sy, sx) - img) * scales).sum(axis=0)
         else:
-            sad = sum((jnp.abs(at(py, px) - at(sy + py, sx + px))
-                       * scales).sum(axis=0) for (py, px) in plus)
+            d = diff_field(sy, sx)
+            sad = sum(d[ext + py:ext + py + h, ext + px:ext + px + w]
+                      for (py, px) in plus)
         wgt = jnp.maximum(sad * inv_sigma + 1.0, 0.0)
         acc = acc + wgt[None] * at(sy, sx)
         wsum = wsum + wgt
