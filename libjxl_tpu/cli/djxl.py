@@ -19,6 +19,9 @@ def main(argv=None) -> int:
     p.add_argument("--device", action="store_true",
                    help="run the jitted TPU pipeline (dequant + IDCT + "
                         "loop filters + color) instead of the host path")
+    p.add_argument("--low-memory", action="store_true",
+                   help="row-streamed decode bounded to O(group-row) "
+                        "memory (low_memory_render_pipeline analogue)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -58,9 +61,17 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 0
     t0 = time.time()
-    res = decode(data, device=args.device)
-    dt = time.time() - t0
-    arr = res.pixels
+    if args.low_memory:
+        from libjxl_tpu.frame.low_memory import decode_low_memory
+        chunks = {}
+        h, w = decode_low_memory(
+            data, lambda y0, rows: chunks.__setitem__(y0, rows))
+        arr = np.concatenate([chunks[k] for k in sorted(chunks)], axis=0)
+        dt = time.time() - t0
+    else:
+        res = decode(data, device=args.device)
+        dt = time.time() - t0
+        arr = res.pixels
     mp = arr.shape[0] * arr.shape[1] / 1e6
     print(f"Decoded {arr.shape[1]}x{arr.shape[0]} image in {dt:.2f}s "
           f"({mp / dt:.3f} MP/s)", file=sys.stderr)
