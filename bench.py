@@ -55,27 +55,23 @@ def main():
     import jax.numpy as jnp
 
     from libjxl_tpu.tpu.batch_decode import DecodePipeline, parse_to_feed
-    from libjxl_tpu.tpu.pipeline import decode_frame_device2
 
     t_setup = time.perf_counter()
     streams = make_corpus()
     setup_s = time.perf_counter() - t_setup
     bpp = sum(len(s) for s in streams) * 8.0 / (N_IMAGES * W4K * H4K)
 
-    def device_render(feed):
-        h, w = feed["image_hw"]
-        return decode_frame_device2(feed, h, w, as_numpy=False, out="pq16")
-
     def sync_all(outs):
         # block_until_ready is unreliable over tunneled devices: force
         # completion with one tiny combined fetch that depends on every
         # output.
-        combined = jnp.stack([o[0, 0, :2].astype(jnp.int32) for o in outs])
+        combined = jnp.stack([o.ravel()[:2].astype(jnp.int32)
+                              for o in outs])
         return np.asarray(combined)
 
-    # Warm-up: compile each stream's pipeline config.
+    # Warm-up: compile the batched pipeline (the one program both the
+    # device-only and sustained metrics dispatch).
     feeds = [parse_to_feed(s) for s in streams]
-    sync_all([device_render(f) for f in feeds])
 
     # Host parse only (the single-core entropy + feed-build stage).
     t0 = time.perf_counter()
@@ -84,15 +80,19 @@ def main():
     t_parse = time.perf_counter() - t0
     parse_mpix = N_IMAGES * W4K * H4K / 1e6 / t_parse
 
-    # Device only: feeds pre-built on host; staging (host->device copy)
-    # + dispatch + compute, steady state.
+    # Device only: feeds pre-built on host; ONE packed transfer + ONE
+    # vmapped dispatch per corpus pass (batched path), steady state.
+    from libjxl_tpu.tpu.pipeline import decode_frames_device_batched
+    bout = decode_frames_device_batched(feeds, H4K, W4K, as_numpy=False,
+                                        out="pq16")
+    sync_all([bout[i] for i in range(len(feeds))])
     reps = 3
     t0 = time.perf_counter()
     outs = []
     for _ in range(reps):
-        for f in feeds:
-            outs.append(device_render(f))
-    sync_all(outs)
+        outs.append(decode_frames_device_batched(
+            feeds, H4K, W4K, as_numpy=False, out="pq16"))
+    sync_all([o[0] for o in outs])
     t_dev = (time.perf_counter() - t0) / reps
     dev_mpix = N_IMAGES * W4K * H4K / 1e6 / t_dev
 
@@ -100,10 +100,12 @@ def main():
     # with staging/dispatch via the pipeline. Best of 2 runs.
     t_e2e = float("inf")
     for _ in range(2):
-        pipe = DecodePipeline(out="pq16", max_inflight=4)
+        pipe = DecodePipeline(out="pq16", max_inflight=8,
+                              batch=N_IMAGES)
         t0 = time.perf_counter()
         futs = [pipe.submit(streams[i % N_IMAGES])
                 for i in range(SUSTAIN_DECODES)]
+        pipe.flush()
         sync_all([f.result() for f in futs])
         t_e2e = min(t_e2e, time.perf_counter() - t0)
         pipe.close()

@@ -637,3 +637,133 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
         dargs = jax.device_put([family8_matrices()] + arrs)
         out = fn(dargs[0], noise_dev, *dargs[1:])
     return np.asarray(out) if as_numpy else out
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-frame decode: one packed buffer + ONE dispatch for N
+# same-shape frames (vmap over the packed feed). Amortizes the
+# tunneled link's per-dispatch serialization with compute — the
+# multi-image throughput path of SURVEY.md §7 step 11.
+
+_FNB_CACHE: dict = {}
+
+
+def decode_frames_device_batched(feeds: list, image_h: int, image_w: int,
+                                 as_numpy: bool = True,
+                                 out: str = "srgb8"):
+    """Decode N same-shape feeds in one jitted dispatch; returns the
+    (N, ...) output batch. Frames may differ in strategies/content —
+    per-class masks are zero-filled for frames lacking a class."""
+    jax, jnp = _jax()
+    from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
+
+    n = len(feeds)
+    f0 = feeds[0]
+    lf = f0["lf"]
+    gab = bool(lf.gab)
+    epf_iters = int(lf.epf_iters)
+    cshape = f0["coeff_img"].shape
+    BH_blocks, BW_blocks = f0["mat_ids"].shape
+    def masks_of(f):
+        # class_masks is None both for "no big classes at all" (fine —
+        # treat as empty) and for misaligned anchors (gather-only path,
+        # not batchable).
+        m = f.get("class_masks")
+        if m is None and f["classes"]:
+            raise ValueError("batch requires dense-mask feeds")
+        return m or {}
+
+    for f in feeds:
+        if (f["coeff_img"].shape != cshape
+                or bool(f["lf"].gab) != gab
+                or int(f["lf"].epf_iters) != epf_iters):
+            raise ValueError("batch requires same-shape, same-filter "
+                             "frames")
+        if f.get("coeff_nz") is None:
+            raise ValueError("batch requires sparse feeds")
+        masks_of(f)
+
+    class_keys = tuple(sorted({k for f in feeds
+                               for k in masks_of(f)}))
+    nnz_max = max(f["coeff_nz"][0].size for f in feeds)
+    nz_cap = max(1 << 16, -(-nnz_max // _NZ_CAP_STEP) * _NZ_CAP_STEP)
+
+    specs = [("nzi", np.int32, (nz_cap,)),
+             ("nzv", np.int16, (nz_cap,)),
+             ("mat_ids", np.int8, (BH_blocks, BW_blocks)),
+             ("raw_quant", np.int16, (BH_blocks, BW_blocks)),
+             ("dc", np.float32, (3, BH_blocks, BW_blocks)),
+             ("fx", np.float32, (BH_blocks, BW_blocks)),
+             ("fb", np.float32, (BH_blocks, BW_blocks)),
+             ("inv_sigma", np.float32, (BH_blocks, BW_blocks)),
+             ("tables8", np.float32, f0["tables8"].shape),
+             ("biases", np.float32, (4,)),
+             ("scalars", np.float32, (4,))]
+    from libjxl_tpu.vardct import ac_strategy as acs_mod
+    for k in class_keys:
+        cy, cx = k
+        tbl_shape = (3, cy * cx * 64)
+        tbh, tbw = -(-BH_blocks // cy), -(-BW_blocks // cx)
+        specs.append((f"tbl{k}", np.float32, tbl_shape))
+        specs.append((f"mask{k}", np.uint8, (tbh, tbw)))
+    total, layout = _pack_layout(specs)
+
+    key = (n, class_keys, epf_iters, gab, cshape, image_h, image_w,
+           out, nz_cap)
+    if key not in _FNB_CACHE:
+        def one(buf, mat_bank):
+            get = lambda nm: _unpack_dev(buf, layout, nm)  # noqa: E731
+            coeff_img = jnp.zeros(
+                cshape[0] * cshape[1] * cshape[2], jnp.int16
+            ).at[get("nzi")].add(get("nzv")).reshape(cshape)
+            sc = get("scalars")
+            big_tables = {k: get(f"tbl{k}") for k in class_keys}
+            cmasks = {k: get(f"mask{k}").astype(jnp.bool_)
+                      for k in class_keys}
+            xyb = decode_xyb2(coeff_img, get("mat_ids"),
+                              get("raw_quant").astype(jnp.int32),
+                              get("dc"), get("fx"), get("fb"),
+                              sc[0], sc[1:4], get("tables8"), mat_bank,
+                              big_tables, None, get("biases"),
+                              BW_blocks, class_masks=cmasks)
+            xyb = xyb[:, :image_h, :image_w]
+            if gab or epf_iters > 0:
+                xyb = apply_loop_filters_tpu(xyb, get("inv_sigma"),
+                                             epf_iters=epf_iters,
+                                             gab=gab)
+            if out == "xyb":
+                return xyb
+            if out == "pq16":
+                from libjxl_tpu.ops.decode_tpu import xyb_to_pq16
+                return xyb_to_pq16(xyb)
+            return _srgb8(xyb)
+        _FNB_CACHE[key] = jax.jit(jax.vmap(one, in_axes=(0, None)))
+    fn = _FNB_CACHE[key]
+
+    bufs = np.zeros((n, total), np.uint8)
+    for i, f in enumerate(feeds):
+        buf = bufs[i]
+        nz = f["coeff_nz"]
+        off, _, _ = layout["nzi"]
+        buf[off:off + 4 * nz[0].size] = nz[0].view(np.uint8).ravel()
+        off, _, _ = layout["nzv"]
+        buf[off:off + 2 * nz[1].size] = nz[1].view(np.uint8).ravel()
+        _pack_host(buf, layout, "mat_ids", f["mat_ids"])
+        _pack_host(buf, layout, "raw_quant", f["raw_quant"])
+        _pack_host(buf, layout, "dc", f["dc"])
+        _pack_host(buf, layout, "fx", f["fx"])
+        _pack_host(buf, layout, "fb", f["fb"])
+        _pack_host(buf, layout, "inv_sigma", f["inv_sigma"])
+        _pack_host(buf, layout, "tables8", f["tables8"])
+        _pack_host(buf, layout, "biases", f["biases"])
+        _pack_host(buf, layout, "scalars", np.concatenate(
+            [[f["inv_gs"]], f["qmul"]]).astype(np.float32))
+        fmasks = masks_of(f)
+        for k in class_keys:
+            if k in fmasks:
+                _pack_host(buf, layout, f"tbl{k}", f["big_tables"][k])
+                _pack_host(buf, layout, f"mask{k}", fmasks[k])
+            # else: zeros already in place (mask all-False)
+    dbufs, dbank = jax.device_put((bufs, family8_matrices()))
+    res = fn(dbufs, dbank)
+    return np.asarray(res) if as_numpy else res

@@ -57,3 +57,31 @@ def test_device_matches_host_ref_streams():
                        np.cos(np.linspace(0, 4, 128)))[..., None]
               * [110, 120, 100] + 128).astype(np.uint8)
     _check(refjxl.encode(smooth, distance=1.0, effort=7))
+
+
+def test_batched_device_decode_matches_host():
+    """decode_frames_device_batched: one vmapped dispatch over N frames
+    matches the per-frame host decode."""
+    import numpy as np
+    from libjxl_tpu.api.simple import decode, encode
+    from libjxl_tpu.tpu.batch_decode import parse_to_feed
+    from libjxl_tpu.tpu.pipeline import decode_frames_device_batched
+
+    rng = np.random.default_rng(3)
+    streams = []
+    for i in range(3):
+        y, x = np.mgrid[0:200, 0:304]
+        img = np.stack(
+            [np.clip(0.5 + 0.3 * np.sin(x / (11 + 2 * i) + c)
+                     * np.cos(y / 17) + rng.normal(0, 0.02, (200, 304)),
+                     0, 1) for c in range(3)], axis=-1)
+        streams.append(encode((img * 255).astype(np.uint8),
+                              distance=1.0, effort=5))
+    feeds = [parse_to_feed(s) for s in streams]
+    outs = decode_frames_device_batched(feeds, 200, 304, out="srgb8")
+    for o, s in zip(outs, streams):
+        ref = decode(s).pixels
+        got = np.asarray(o)
+        if got.shape != ref.shape:
+            got = got.transpose(1, 2, 0)
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
