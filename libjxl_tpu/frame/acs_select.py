@@ -19,6 +19,15 @@ from libjxl_tpu.vardct.dct import dct_matrix
 _MERGE_FACTOR = 0.92
 
 
+def _big_merge_factor(distance: float) -> float:
+    """Stricter acceptance for >=32px transforms at low distance: the
+    rate proxy carries no distortion term, and at tight targets large
+    blocks ring visibly (the reference's entropy estimate includes an
+    information-loss penalty, enc_ac_strategy.cc EstimateEntropy; at d1
+    its e7 search picks no >=32 blocks on photographic content)."""
+    return max(0.0, _MERGE_FACTOR - max(0.0, (2.0 - distance)) * 0.45)
+
+
 # Fixed per-block signalling overhead (nzeros token, strategy, etc.).
 _BLOCK_OVERHEAD = 2.0
 
@@ -33,7 +42,8 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
                       quantizer, *, enable_16: bool = True,
                       enable_32: bool = True,
                       enable_rect: bool = True,
-                      enable_64: bool = True) -> np.ndarray:
+                      enable_64: bool = True,
+                      distance: float = 1.0) -> np.ndarray:
     """Returns per-8x8-block strategy map (-1 marks covered non-first
     blocks). planes: (3, H, W) XYB padded to blocks."""
     _, h, w = planes.shape
@@ -101,7 +111,8 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
                 bits32 = _bits_proxy(q32, axis=(-2, -1))
                 bits16_q = bits16[:qy * 2, :qx * 2].reshape(qy, 2, qx, 2) \
                     .sum(axis=(1, 3))
-                accept32 = cand & (bits32 < bits16_q * _MERGE_FACTOR)
+                accept32 = cand & (bits32 < bits16_q
+                                   * _big_merge_factor(distance))
                 accept32_grid = (accept32, bits32)
                 for t_y, t_x in zip(*np.nonzero(accept32)):
                     b0y, b0x = t_y * 4, t_x * 4
@@ -132,8 +143,8 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
                     bits64 = _bits_proxy(q64, axis=(-2, -1))
                     bits32_o = bits32[:oy * 2, :ox * 2] \
                         .reshape(oy, 2, ox, 2).sum(axis=(1, 3))
-                    accept64 = cand64 & (bits64
-                                         < bits32_o * _MERGE_FACTOR)
+                    accept64 = cand64 & (
+                        bits64 < bits32_o * _big_merge_factor(distance))
                     for t_y, t_x in zip(*np.nonzero(accept64)):
                         b0y, b0x = t_y * 8, t_x * 8
                         strategies[b0y:b0y + 8, b0x:b0x + 8] = -1
@@ -155,7 +166,7 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
         bits8_p = bits8[:, :px * 2].reshape(by, px, 2).sum(axis=-1)
         free = (strategies[:, 0:px * 2:2] == acs.DCT8X8) \
             & (strategies[:, 1:px * 2:2] == acs.DCT8X8)
-        accept_w = free & (bitsw < bits8_p * _MERGE_FACTOR)
+        accept_w = free & (bitsw < bits8_p * _big_merge_factor(distance))
         for yy, pp in zip(*np.nonzero(accept_w)):
             strategies[yy, pp * 2] = acs.DCT8X16
             strategies[yy, pp * 2 + 1] = -1
@@ -179,7 +190,7 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
         bits8_t = bits8[:py * 2, :].reshape(py, 2, bx).sum(axis=1)
         free = (strategies[0:py * 2:2, :] == acs.DCT8X8) \
             & (strategies[1:py * 2:2, :] == acs.DCT8X8)
-        accept_t = free & (bitst < bits8_t * _MERGE_FACTOR)
+        accept_t = free & (bitst < bits8_t * _big_merge_factor(distance))
         for pp, xx in zip(*np.nonzero(accept_t)):
             strategies[pp * 2, xx] = acs.DCT16X8
             strategies[pp * 2 + 1, xx] = -1

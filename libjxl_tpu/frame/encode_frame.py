@@ -223,9 +223,11 @@ def compute_vardct_encoding_device(planes, fd, fh, distance,
     cfl_fac = cmap.dc_factors()
 
     from libjxl_tpu.vardct.quantizer import QUANT_MAX
+    from libjxl_tpu.frame.acs_select import _big_merge_factor
     eff = min(effort, 7)
     fn = ep.stage_b_jitted(eff, QUANT_MAX, cmap.base_correlation_x,
-                           cmap.base_correlation_b, cmap.color_scale)
+                           cmap.base_correlation_b, cmap.color_scale,
+                           big_factor=float(_big_merge_factor(distance)))
     tables = ep.make_tables(matrices)
     res = fn(planes_dev, raw_quant,
              np.float32(quantizer.inv_global_scale),
@@ -344,7 +346,7 @@ def compute_vardct_encoding(planes, fd, fh, distance,
         strategies = select_strategies(
             planes, raw_quant, quantizer,
             enable_32=effort >= 5, enable_rect=effort >= 6,
-            enable_64=effort >= 7)
+            enable_64=effort >= 7, distance=distance)
     # AdjustQuantField: uniform qf within a multi-block strategy (max).
     for by0, bx0 in zip(*np.nonzero(strategies > 0)):
         s = int(strategies[by0, bx0])

@@ -270,7 +270,7 @@ def _fwd_dct_tiles(y, cy8, cx8):
 
 def acs_select_jnp(y, raw_quant, inv_gs, inv8y, inv16y, inv32y, inv64y,
                    invwy, invty, *, enable_16, enable_32, enable_64,
-                   enable_rect):
+                   enable_rect, big_factor=_MERGE_FACTOR):
     """select_strategies (frame/acs_select.py) as pure array ops.
 
     Returns the (BY, BX) strategy map with -1 on covered blocks."""
@@ -314,7 +314,7 @@ def acs_select_jnp(y, raw_quant, inv_gs, inv8y, inv16y, inv32y, inv64y,
             q32 = q32.at[..., :4, :4].set(0)
             bits32 = _bits_proxy_jnp(q32, axis=(-2, -1))
             bits16_q = _tile_sum(bits16[:qy * 2, :qx * 2], 2, 2)
-            accept32 = cand & (bits32 < bits16_q * _MERGE_FACTOR)
+            accept32 = cand & (bits32 < bits16_q * big_factor)
 
         accept64 = None
         if enable_32 and enable_64 and accept32 is not None \
@@ -331,7 +331,7 @@ def acs_select_jnp(y, raw_quant, inv_gs, inv8y, inv16y, inv32y, inv64y,
                 q64 = q64.at[..., :8, :8].set(0)
                 bits64 = _bits_proxy_jnp(q64, axis=(-2, -1))
                 bits32_o = _tile_sum(bits32[:oy * 2, :ox * 2], 2, 2)
-                accept64 = cand64 & (bits64 < bits32_o * _MERGE_FACTOR)
+                accept64 = cand64 & (bits64 < bits32_o * big_factor)
 
         # Apply largest-first precedence: 64 wins over 32 wins over 16.
         def expand(mask, cy, cx):
@@ -381,7 +381,7 @@ def acs_select_jnp(y, raw_quant, inv_gs, inv8y, inv16y, inv32y, inv64y,
         free = (~cover[:, 0:px * 2:2]) & (~cover[:, 1:px * 2:2]) \
             & (strategies[:, 0:px * 2:2] == acs.DCT8X8) \
             & (strategies[:, 1:px * 2:2] == acs.DCT8X8)
-        accept_w = free & (bitsw < bits8_p * _MERGE_FACTOR)
+        accept_w = free & (bitsw < bits8_p * big_factor)
         strategies = strategies.at[:, 0:px * 2:2].set(
             jnp.where(accept_w, acs.DCT8X16, strategies[:, 0:px * 2:2]))
         strategies = strategies.at[:, 1:px * 2:2].set(
@@ -402,7 +402,7 @@ def acs_select_jnp(y, raw_quant, inv_gs, inv8y, inv16y, inv32y, inv64y,
         bits8_t = _tile_sum(bits8, 2, 1)
         free = (strategies[0:py * 2:2, :] == acs.DCT8X8) \
             & (strategies[1:py * 2:2, :] == acs.DCT8X8)
-        accept_t = free & (bitst < bits8_t * _MERGE_FACTOR)
+        accept_t = free & (bitst < bits8_t * big_factor)
         strategies = strategies.at[0:py * 2:2, :].set(
             jnp.where(accept_t, acs.DCT16X8, strategies[0:py * 2:2, :]))
         strategies = strategies.at[1:py * 2:2, :].set(
@@ -566,7 +566,7 @@ def _adjust_bias_y(q):
 def encode_stage_b(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
                    tables, *, effort: int, quant_max: int,
                    base_cx: float, base_cb: float, color_scale: float,
-                   fixed_strategies=None):
+                   fixed_strategies=None, big_factor=_MERGE_FACTOR):
     """XYB + raw quant field -> strategies, quantized coefficients, DC,
     CfL maps (compute_vardct_encoding's device half). All dense."""
     _, H, W = xyb.shape
@@ -583,7 +583,8 @@ def encode_stage_b(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
             tables["inv32y"], tables["inv64y"], tables["invwy"],
             tables["invty"],
             enable_16=True, enable_32=effort >= 5,
-            enable_rect=effort >= 6, enable_64=effort >= 7)
+            enable_rect=effort >= 6, enable_64=effort >= 7,
+            big_factor=big_factor)
 
     # ---- AdjustQuantField: uniform (max) qf within multi-block
     # strategies, dense per class ----
@@ -733,8 +734,10 @@ _STAGE_B_JIT: dict = {}
 
 def stage_b_jitted(effort: int, quant_max: int, base_cx: float,
                    base_cb: float, color_scale: float,
-                   with_fixed: bool = False):
-    key = (effort, quant_max, base_cx, base_cb, color_scale, with_fixed)
+                   with_fixed: bool = False,
+                   big_factor: float = _MERGE_FACTOR):
+    key = (effort, quant_max, base_cx, base_cb, color_scale, with_fixed,
+           big_factor)
     if key not in _STAGE_B_JIT:
         if with_fixed:
             def fn(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
@@ -743,7 +746,7 @@ def stage_b_jitted(effort: int, quant_max: int, base_cx: float,
                     xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc,
                     cfl_fac, tables, effort=effort, quant_max=quant_max,
                     base_cx=base_cx, base_cb=base_cb,
-                    color_scale=color_scale,
+                    color_scale=color_scale, big_factor=big_factor,
                     fixed_strategies=fixed_strategies)
         else:
             def fn(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
@@ -752,7 +755,7 @@ def stage_b_jitted(effort: int, quant_max: int, base_cx: float,
                     xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc,
                     cfl_fac, tables, effort=effort, quant_max=quant_max,
                     base_cx=base_cx, base_cb=base_cb,
-                    color_scale=color_scale)
+                    color_scale=color_scale, big_factor=big_factor)
         _STAGE_B_JIT[key] = jax.jit(fn)
     return _STAGE_B_JIT[key]
 
