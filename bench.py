@@ -80,19 +80,26 @@ def main():
     t_parse = time.perf_counter() - t0
     parse_mpix = N_IMAGES * W4K * H4K / 1e6 / t_parse
 
-    # Device only: feeds pre-built on host; ONE packed transfer + ONE
-    # vmapped dispatch per corpus pass (batched path), steady state.
-    from libjxl_tpu.tpu.pipeline import decode_frames_device_batched
-    bout = decode_frames_device_batched(feeds, H4K, W4K, as_numpy=False,
-                                        out="pq16")
-    sync_all([bout[i] for i in range(len(feeds))])
+    # Device only: feeds pre-built on host; per-frame packed transfer +
+    # async dispatch, steady state. (The vmapped batched path exists —
+    # decode_frames_device_batched — but measures ~30% slower per frame
+    # on this chip: the batched scatter/einsum program trades MXU/VPU
+    # efficiency for fewer dispatches.)
+    from libjxl_tpu.tpu.pipeline import decode_frame_device2
+
+    def device_render(feed):
+        h, w = feed["image_hw"]
+        return decode_frame_device2(feed, h, w, as_numpy=False,
+                                    out="pq16")
+
+    sync_all([device_render(f) for f in feeds])
     reps = 3
     t0 = time.perf_counter()
     outs = []
     for _ in range(reps):
-        outs.append(decode_frames_device_batched(
-            feeds, H4K, W4K, as_numpy=False, out="pq16"))
-    sync_all([o[0] for o in outs])
+        for f in feeds:
+            outs.append(device_render(f))
+    sync_all(outs)
     t_dev = (time.perf_counter() - t0) / reps
     dev_mpix = N_IMAGES * W4K * H4K / 1e6 / t_dev
 
@@ -100,8 +107,7 @@ def main():
     # with staging/dispatch via the pipeline. Best of 2 runs.
     t_e2e = float("inf")
     for _ in range(2):
-        pipe = DecodePipeline(out="pq16", max_inflight=8,
-                              batch=N_IMAGES)
+        pipe = DecodePipeline(out="pq16", max_inflight=4)
         t0 = time.perf_counter()
         futs = [pipe.submit(streams[i % N_IMAGES])
                 for i in range(SUSTAIN_DECODES)]
