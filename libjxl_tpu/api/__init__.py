@@ -10,5 +10,14 @@ from libjxl_tpu.api.simple import (
     encode_streaming,
 )
 
+
+def decode_low_memory(data, callback):
+    """Row-streaming decode with O(group-row) peak memory; see
+    frame/low_memory.py (low_memory_render_pipeline analogue)."""
+    from libjxl_tpu.frame.low_memory import decode_low_memory as _impl
+    return _impl(data, callback)
+
+
 __all__ = ["decode", "encode", "decode_all", "encode_animation",
-           "encode_streaming", "DecodeResult", "FrameResult"]
+           "encode_streaming", "decode_low_memory", "DecodeResult",
+           "FrameResult"]

@@ -51,11 +51,24 @@ def decode_low_memory(data: bytes, callback) -> tuple:
                    | FrameFlags.NOISE):
         raise NotSupported("image features outside low-memory profile")
 
-    inc._decode_lf_global(inc._section(data, 0))
-    for g in range(fd.num_dc_groups):
-        inc._decode_dc_group(inc._section(data, 1 + g), g)
-    inc._assemble_maps()
-    inc._decode_ac_global(inc._section(data, 1 + fd.num_dc_groups))
+    if inc._single:
+        # One-section frame (small image): all sections share one
+        # sequential reader; memory is bounded by the single group
+        # anyway.
+        r1 = inc._section(data, 0)
+        inc._decode_lf_global(r1)
+        for g in range(fd.num_dc_groups):
+            inc._decode_dc_group(r1, g)
+        inc._assemble_maps()
+        inc._decode_ac_global(r1)
+        seq_reader = r1
+    else:
+        inc._decode_lf_global(inc._section(data, 0))
+        for g in range(fd.num_dc_groups):
+            inc._decode_dc_group(inc._section(data, 1 + g), g)
+        inc._assemble_maps()
+        inc._decode_ac_global(inc._section(data, 1 + fd.num_dc_groups))
+        seq_reader = None
 
     from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear_rgb
     from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
@@ -81,7 +94,9 @@ def decode_low_memory(data: bytes, callback) -> tuple:
         for gx in range(groups_x):
             g = row * groups_x + gx
             idx = 2 + fd.num_dc_groups + g
-            inc._decode_ac_group(inc._section(data, idx), 0, g)
+            rg = seq_reader if seq_reader is not None \
+                else inc._section(data, idx)
+            inc._decode_ac_group(rg, 0, g)
             blocks = inc._group_blocks[g]
             brect = fd.block_group_rect(g)
             sl = brect.slices()

@@ -67,3 +67,13 @@ def test_low_memory_rejects_features():
     with pytest.raises(NotSupported):
         decode_low_memory(encode(img, lossless=True),
                           lambda y0, rows: None)
+
+
+def test_low_memory_small_single_section():
+    # Single-TOC-entry frames (small images) share one sequential
+    # reader across sections.
+    img = _img(64, 80, seed=2)
+    data = encode(img, distance=1.0)
+    ref = decode(data).pixels
+    out = _assemble(data, ref.shape)
+    np.testing.assert_array_equal(out, ref)
