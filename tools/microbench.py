@@ -71,6 +71,38 @@ def bench_modular_decode():
     _bench("modular lossless decode (512^2)", run, 512 * 512, "pix")
 
 
+def bench_fast_lossless():
+    from libjxl_tpu.api.simple import decode, encode
+    rng = np.random.default_rng(4)
+    y, x = np.mgrid[0:1024, 0:1024]
+    img = np.clip((128 + 90 * np.sin(x / 31) * np.cos(y / 41))[..., None]
+                  + rng.normal(0, 5, (1024, 1024, 3)), 0,
+                  255).astype(np.uint8)
+    data = encode(img, lossless=True, effort=1)
+
+    def enc():
+        encode(img, lossless=True, effort=1)
+    _bench("fast-lossless e1 encode (1 MPix)", enc, 1024 * 1024, "pix")
+
+    def dec():
+        decode(data)
+    _bench("fast-lossless e1 decode (1 MPix)", dec, 1024 * 1024, "pix")
+
+
+def bench_low_memory():
+    from libjxl_tpu.api.simple import encode
+    from libjxl_tpu.frame.low_memory import decode_low_memory
+    rng = np.random.default_rng(5)
+    img = np.clip(rng.normal(128, 30, (768, 768, 3)),
+                  0, 255).astype(np.uint8)
+    data = encode(img, distance=1.0, effort=5)
+
+    def run():
+        decode_low_memory(data, lambda y0, rows: None)
+    _bench("low-memory row-streamed decode (768^2)", run, 768 * 768,
+           "pix")
+
+
 def bench_transfer_functions():
     from libjxl_tpu.color.transfer_functions import (
         pq_display_from_encoded, pq_encoded_from_display)
@@ -151,6 +183,8 @@ def main(argv=None) -> int:
     bench_splines()
     bench_ans_decode()
     bench_modular_decode()
+    bench_fast_lossless()
+    bench_low_memory()
     if args.device:
         bench_device()
     return 0
