@@ -540,11 +540,22 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         # base-resolution image in between (dec_cache.cc stage order:
         # EPF -> upsampling -> patches -> splines -> noise).
         post = {}
-        host_features = (patch_dict is not None or splines is not None
+        spline_args = None
+        if splines is not None and patch_dict is None \
+                and not metadata.m.num_extra_channels \
+                and fh.upsampling == 1:
+            # Splines render at base resolution; huge-sigma strokes
+            # (params None) fall back to the host renderer.
+            from libjxl_tpu.ops.stages_tpu import spline_stroke_params
+            spline_args = spline_stroke_params(splines, cmap)
+        host_features = (patch_dict is not None
+                         or (splines is not None and spline_args is None)
                          or metadata.m.num_extra_channels)
         if not host_features:
             if fh.upsampling != 1:
                 post["upsample"] = fh.upsampling
+            if spline_args is not None:
+                post["splines"] = spline_args
             if noise_lut is not None:
                 post["noise"] = (noise_lut, cmap.base_correlation_x,
                                  cmap.base_correlation_b, fd.group_dim, 1)

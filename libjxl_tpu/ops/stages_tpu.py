@@ -128,3 +128,98 @@ def add_noise_tpu(xyb, raw_planes, lut, ytox, ytob):
         xyb[1] + rg_noise,
         xyb[2] + ytob * rg_noise,
     ])
+
+
+# ---------------------------------------------------------------------------
+# Spline rendering (stage order: after upsampling/patches, before noise)
+
+
+_SPLINE_R = 48   # max splat window radius handled on device
+
+
+def spline_stroke_params(splines, cmap):
+    """Host geometry walk of render_splines (Catmull-Rom -> equally
+    spaced arc samples -> per-sample color/sigma), WITHOUT drawing.
+    Returns (cy, cx, sigma, intensity, color3, radius) float32 arrays,
+    or None when any stroke's splat radius exceeds the device window
+    (caller falls back to the host renderer)."""
+    import math
+
+    from libjxl_tpu.frame import splines as SP
+
+    y_to_x = cmap.base_correlation_x
+    y_to_b = cmap.base_correlation_b
+    rows = []
+    for qs, start in zip(splines.splines, splines.starting_points):
+        cps, color_dct, sigma_dct = SP._dequantize(
+            qs, start, splines.quantization_adjustment, y_to_x, y_to_b)
+        if len(cps) > 1 and any(a == b for a, b in zip(cps, cps[1:])):
+            from libjxl_tpu.base.errors import BitstreamError
+            raise BitstreamError(
+                "identical successive spline control points")
+        dense = SP._catmull_rom(cps)
+        arc_length = (len(dense) - 2) * SP.DESIRED_RENDERING_DISTANCE
+        pts = SP._equally_spaced(dense)
+        inv_arc = 1.0 / arc_length if arc_length > 0 else 0.0
+        for k, (pt, mult) in enumerate(pts):
+            progress = min(1.0, k * SP.DESIRED_RENDERING_DISTANCE
+                           * inv_arc)
+            t31 = 31.0 * progress
+            color = np.array([SP._continuous_idct(color_dct[c], t31)
+                              for c in range(3)])
+            sigma = SP._continuous_idct(sigma_dct, t31)
+            if not (np.isfinite(sigma) and sigma != 0.0
+                    and np.isfinite(mult)):
+                continue
+            max_color = max(0.01, float(np.max(np.abs(color * mult))))
+            arg = -2.0 * sigma * sigma * (math.log(0.1) * 5
+                                          - math.log(max_color))
+            if arg <= 0:
+                continue
+            r = math.sqrt(arg)
+            if r > _SPLINE_R:
+                return None
+            rows.append((pt[1], pt[0], sigma, mult, color))
+    n = len(rows)
+    cap = max(64, 1 << (n - 1).bit_length()) if n else 64
+    cy = np.zeros(cap, np.float32)
+    cx = np.zeros(cap, np.float32)
+    sig = np.ones(cap, np.float32)
+    inten = np.zeros(cap, np.float32)     # zero-padding draws nothing
+    col = np.zeros((cap, 3), np.float32)
+    for i, (a, b, c_, d, e) in enumerate(rows):
+        cy[i], cx[i], sig[i], inten[i] = a, b, c_, d
+        col[i] = e
+    return cy, cx, sig, inten, col
+
+
+def render_splines_tpu(xyb, cy, cx, sig, inten, col):
+    """Jittable additive erf-profile strokes (splines.cc DrawSegment):
+    every stroke drawn as a (2R+1)^2 splat scatter-added into the
+    frame; zero-intensity padding entries contribute nothing."""
+    jax, jnp = _jnp()
+    R = _SPLINE_R
+    _, h, w = xyb.shape
+    n = cy.shape[0]
+    y0 = jnp.clip(jnp.round(cy).astype(jnp.int32) - R, -2 * R, h)
+    x0 = jnp.clip(jnp.round(cx).astype(jnp.int32) - R, -2 * R, w)
+    yy = y0[:, None] + jnp.arange(2 * R + 1)[None, :]
+    xx = x0[:, None] + jnp.arange(2 * R + 1)[None, :]
+    dy = yy.astype(jnp.float32) - cy[:, None]
+    dx = xx.astype(jnp.float32) - cx[:, None]
+    dist = jnp.sqrt(dy[:, :, None] ** 2 + dx[:, None, :] ** 2)
+    inv_sigma = (1.0 / sig)[:, None, None]
+    c = 0.353553391
+    factor = jax.scipy.special.erf((dist * 0.5 + c) * inv_sigma) \
+        - jax.scipy.special.erf((dist * 0.5 - c) * inv_sigma)
+    local = (0.25 * sig * inten)[:, None, None] * factor * factor
+    valid = ((yy[:, :, None] >= 0) & (yy[:, :, None] < h)
+             & (xx[:, None, :] >= 0) & (xx[:, None, :] < w))
+    lin = (jnp.clip(yy[:, :, None], 0, h - 1) * w
+           + jnp.clip(xx[:, None, :], 0, w - 1))
+    contrib = jnp.where(valid, local, 0.0)
+    flat = xyb.reshape(3, h * w)
+    for ch in range(3):
+        flat = flat.at[ch, lin.reshape(n, -1)].add(
+            (contrib * col[:, ch][:, None, None]).reshape(n, -1))
+    return flat.reshape(3, h, w)

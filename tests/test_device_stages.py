@@ -46,3 +46,43 @@ def test_device_noise_plus_upsampling():
     dev = decode(data, device=True).pixels.astype(np.int32)
     assert host.shape == dev.shape
     assert np.abs(host - dev).max() <= 1
+
+
+def test_device_splines_match_host():
+    """Spline strokes render as jitted erf splats on device, matching
+    the host renderer (splines.cc DrawSegment)."""
+    from libjxl_tpu.api.simple import CodecMetadata
+    from libjxl_tpu.bitstream.bit_io import BitWriter
+    from libjxl_tpu.color.xyb import linear_rgb_to_xyb, srgb_to_linear
+    from libjxl_tpu.frame.encode_frame import encode_vardct_frame
+    from libjxl_tpu.frame.headers import (BitDepth,
+                                          write_codestream_headers)
+    from libjxl_tpu.frame.splines import Splines, quantize_spline
+
+    base = np.full((160, 200, 3), 110, np.uint8)
+    cps = [(10.0, 20.0), (60.0, 10.0), (100.0, 60.0), (150.0, 120.0)]
+    color_dct = np.zeros((3, 32))
+    color_dct[1, 0] = 0.4
+    color_dct[0, 1] = 0.15
+    sigma_dct = np.zeros(32)
+    sigma_dct[0] = 2.0
+    qs = quantize_spline(cps, color_dct, sigma_dct, 0, 0.0, 1.0)
+    s = Splines(splines=[qs], starting_points=[cps[0]])
+
+    meta = CodecMetadata()
+    meta.size.set(200, 160)
+    meta.m.bit_depth = BitDepth.uint(8)
+    meta.m.xyb_encoded = True
+    wtr = BitWriter()
+    write_codestream_headers(meta, wtr)
+    srgb = base.astype(np.float32) / 255.0
+    xyb = linear_rgb_to_xyb(srgb_to_linear(srgb).transpose(2, 0, 1))
+    encode_vardct_frame(xyb, meta, wtr, distance=1.0, splines=s)
+    wtr.align_to_byte()
+    data = wtr.get_bytes()
+
+    host = decode(data).pixels.astype(np.int32)
+    dev = decode(data, device=True).pixels.astype(np.int32)
+    assert np.abs(host - dev).max() <= 1
+    # the stroke is actually present
+    assert host[:, :, 1].max() > 120
