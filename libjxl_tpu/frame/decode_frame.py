@@ -541,19 +541,32 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         # EPF -> upsampling -> patches -> splines -> noise).
         post = {}
         spline_args = None
-        if splines is not None and patch_dict is None \
+        patch_ka = None
+        if splines is not None \
                 and not metadata.m.num_extra_channels \
                 and fh.upsampling == 1:
             # Splines render at base resolution; huge-sigma strokes
             # (params None) fall back to the host renderer.
             from libjxl_tpu.ops.stages_tpu import spline_stroke_params
             spline_args = spline_stroke_params(splines, cmap)
-        host_features = (patch_dict is not None
-                         or (splines is not None and spline_args is None)
-                         or metadata.m.num_extra_channels)
+        if patch_dict is not None \
+                and not metadata.m.num_extra_channels:
+            # Fold the patch stack into per-pixel affine (K, A) at the
+            # post-upsampling resolution; alpha-sourced blends fall
+            # back to the host loop (patch_affine returns None).
+            from libjxl_tpu.frame.patches import patch_affine
+            patch_ka = patch_affine(patch_dict, fd.ysize_upsampled,
+                                    fd.xsize_upsampled,
+                                    reference_frames)
+        host_features = (
+            (patch_dict is not None and patch_ka is None)
+            or (splines is not None and spline_args is None)
+            or metadata.m.num_extra_channels)
         if not host_features:
             if fh.upsampling != 1:
                 post["upsample"] = fh.upsampling
+            if patch_ka is not None:
+                post["patch_affine"] = patch_ka
             if spline_args is not None:
                 post["splines"] = spline_args
             if noise_lut is not None:

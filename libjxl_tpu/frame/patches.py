@@ -246,3 +246,51 @@ def apply_patches(d: PatchDictionary, xyb: np.ndarray,
             else:
                 a = np.ones(src.shape[-2:], np.float32)
             xyb[(slice(None),) + dsl] += src * a
+
+
+def patch_affine(d: PatchDictionary, h: int, w: int,
+                 reference_frames: list):
+    """Folds the whole patch stack into per-pixel affine coefficients:
+    applying every patch in order equals ``xyb * K + A`` (each blend
+    mode is affine in the destination, and affine maps compose) —
+    the device path applies one fused multiply-add instead of looping
+    host-side (dec_patch_dictionary.cc AddOneRow, color channels, no
+    extra-channel alpha sources).
+
+    Returns (K, A) float32 (3, h, w), or None when a patch uses an
+    alpha-channel source (caller falls back to the host loop)."""
+    K = np.ones((3, h, w), np.float32)
+    A = np.zeros((3, h, w), np.float32)
+    for pos, blend in zip(d.positions, d.blendings):
+        rp = d.ref_positions[pos.ref_idx]
+        ref = reference_frames[rp.ref]
+        src = ref[:, rp.y0:rp.y0 + rp.ysize, rp.x0:rp.x0 + rp.xsize]
+        dsl = (slice(None), slice(pos.y, pos.y + rp.ysize),
+               slice(pos.x, pos.x + rp.xsize))
+        mode = blend[0].mode
+        if mode == PatchBlendMode.NONE:
+            continue
+        if mode == PatchBlendMode.REPLACE:
+            k_p, a_p = 0.0, src
+        elif mode == PatchBlendMode.ADD:
+            k_p, a_p = 1.0, src
+        elif mode == PatchBlendMode.MUL:
+            k_p, a_p = src, 0.0
+        elif mode in (PatchBlendMode.BLEND_ABOVE,
+                      PatchBlendMode.BLEND_BELOW):
+            if blend[0].alpha_channel >= 0 and mode in (
+                    PatchBlendMode.BLEND_ABOVE,
+                    PatchBlendMode.BLEND_BELOW):
+                # With no extra channels the host path uses alpha == 1.
+                if mode == PatchBlendMode.BLEND_BELOW:
+                    k_p, a_p = 1.0, 0.0 * src
+                else:
+                    k_p, a_p = 0.0, src
+            else:
+                return None
+        else:   # alpha-weighted add; alpha == 1 without extra channels
+            k_p, a_p = 1.0, src
+        # compose: x -> (x*K+A)*k_p + a_p
+        K[dsl] = K[dsl] * k_p
+        A[dsl] = A[dsl] * k_p + a_p
+    return K, A

@@ -488,6 +488,7 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     noise_cfg = post.get("noise")       # (lut, ytox, ytob, gd, vfi)
     spline_args = post.get("splines")   # (cy, cx, sig, inten, col)
     spline_cap = spline_args[0].shape[0] if spline_args else 0
+    patch_ka = post.get("patch_affine")  # (K, A) float32 (3, H, W)
     if up_n > 1 and up_kernels is None:
         from libjxl_tpu.pipeline.upsample import _kernels
         up_kernels = _kernels(up_n).astype(np.float32)
@@ -525,9 +526,11 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     key = (class_keys, caps, epf_iters, gab, cshape,
            feed["coeff_img"].dtype.str, image_h, image_w, out,
            BW_blocks, dense, sparse, nz_cap, packed, up_n,
-           final_h, final_w, noise_cfg is not None, spline_cap)
+           final_h, final_w, noise_cfg is not None, spline_cap,
+           patch_ka is not None)
 
-    def core(get, mat_bank, noise_raw=None, splines_dev=None):
+    def core(get, mat_bank, noise_raw=None, splines_dev=None,
+             patch_ka_dev=None):
         """Shared pipeline body; `get(name)` yields the named input."""
         if sparse:
             coeff_img = jnp.zeros(
@@ -560,6 +563,8 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
             from libjxl_tpu.ops.stages_tpu import upsample_image_tpu
             xyb = upsample_image_tpu(xyb, up_n, up_kernels)
             xyb = xyb[:, :final_h, :final_w]
+        if patch_ka_dev is not None:
+            xyb = xyb * patch_ka_dev[0] + patch_ka_dev[1]
         if splines_dev is not None:
             from libjxl_tpu.ops.stages_tpu import render_splines_tpu
             xyb = render_splines_tpu(xyb, *splines_dev)
@@ -580,15 +585,18 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     if key not in _FN2_CACHE:
         if packed:
             @jax.jit
-            def run(buf, mat_bank, noise_raw=None, splines_dev=None):
+            def run(buf, mat_bank, noise_raw=None, splines_dev=None,
+                    patch_ka_dev=None):
                 return core(lambda n: _unpack_dev(buf, layout, n),
-                            mat_bank, noise_raw, splines_dev)
+                            mat_bank, noise_raw, splines_dev,
+                            patch_ka_dev)
         else:
             @jax.jit
-            def run(mat_bank, noise_raw, splines_dev, *arrs):
+            def run(mat_bank, noise_raw, splines_dev, patch_ka_dev,
+                    *arrs):
                 byname = dict(zip(names, arrs))
                 return core(byname.__getitem__, mat_bank, noise_raw,
-                            splines_dev)
+                            splines_dev, patch_ka_dev)
         _FN2_CACHE[key] = run
     fn = _FN2_CACHE[key]
     noise_dev = None
@@ -635,15 +643,17 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
         for n in rest:
             _pack_host(buf, layout, n, host_value(n))
         dbuf, dbank = jax.device_put((buf, family8_matrices()))
-        if noise_dev is not None or spline_args is not None:
-            out = fn(dbuf, dbank, noise_dev, spline_args)
+        if (noise_dev is not None or spline_args is not None
+                or patch_ka is not None):
+            out = fn(dbuf, dbank, noise_dev, spline_args, patch_ka)
         else:
             out = fn(dbuf, dbank)
     else:
         arrs = [np.ascontiguousarray(host_value(n), dtype=layout[n][1])
                 .reshape(layout[n][2]) for n in names]
         dargs = jax.device_put([family8_matrices()] + arrs)
-        out = fn(dargs[0], noise_dev, spline_args, *dargs[1:])
+        out = fn(dargs[0], noise_dev, spline_args, patch_ka,
+                 *dargs[1:])
     return np.asarray(out) if as_numpy else out
 
 

@@ -86,3 +86,22 @@ def test_device_splines_match_host():
     assert np.abs(host - dev).max() <= 1
     # the stroke is actually present
     assert host[:, :, 1].max() > 120
+
+
+def test_device_patches_match_host():
+    """Patch application folds to a per-pixel affine (K, A) applied on
+    device; compare against the host patch loop."""
+    from libjxl_tpu.api.simple import encode as enc
+    rng = np.random.default_rng(11)
+    # An image with repeated glyph-like content triggers the text-patch
+    # detector (patches + a reference frame).
+    img = np.full((160, 200, 3), 240, np.uint8)
+    glyph = (rng.random((12, 10, 3)) * 120).astype(np.uint8)
+    for gy in range(4):
+        for gx in range(8):
+            img[10 + gy * 30:22 + gy * 30,
+                8 + gx * 22:18 + gx * 22] = glyph
+    data = enc(img, distance=1.0, effort=7)
+    host = decode(data).pixels.astype(np.int32)
+    dev = decode(data, device=True).pixels.astype(np.int32)
+    assert np.abs(host - dev).max() <= 1
