@@ -59,6 +59,16 @@ def main(out_dir: str) -> int:
     # Round-3 feature classes: prefix-coded fast-lossless, subsampled
     # YCbCr VarDCT with filters/progressive, device-encoder stream.
     emit("fast_lossless_e1", encode(img, lossless=True, effort=1))
+    # Text-patch (screenshot) frame: repeated glyphs -> patches + a
+    # reference frame.
+    shot = np.full((128, 176, 3), 235, np.uint8)
+    g_rng = np.random.default_rng(3)
+    glyph = (g_rng.random((12, 10, 3)) * 110).astype(np.uint8)
+    for gy in range(3):
+        for gx in range(7):
+            shot[8 + gy * 36:20 + gy * 36,
+                 6 + gx * 24:16 + gx * 24] = glyph
+    emit("text_patches", encode(shot, distance=1.0, effort=7))
     emit("ycbcr420_epf", encode(img, distance=1.0,
                                 chroma_subsampling="420", epf=2))
     emit("ycbcr422_progressive", encode(img, distance=1.0,
@@ -94,6 +104,9 @@ def main(out_dir: str) -> int:
         emit_ref_encoded("ref_golden_our_stream",
                          encode(img, distance=1.0), tolerance=0.004)
         # System-libjxl goldens for the new stream classes.
+        emit_ref_encoded("ref_golden_patches",
+                         encode(shot, distance=1.0, effort=7),
+                         tolerance=0.004)
         emit_ref_encoded("ref_golden_420",
                          encode(img, distance=1.0,
                                 chroma_subsampling="420", epf=2),
