@@ -288,12 +288,14 @@ def _fuzzy_erosion(from_: np.ndarray) -> np.ndarray:
             if dy == 0 and dx == 0:
                 continue
             vals.append(shifted(dy, dx))
-    stack = np.stack(vals)
     # min0 from all; min1/min2 seeded at 2*center like the reference.
+    # Partition along the LAST axis (contiguous) — an axis-0 partition
+    # of the (11, H, W) stack strides across whole planes per compare
+    # and dominated effort-8 encode time.
     center = from_
-    seeded = np.concatenate([stack, np.stack([2 * center, 2 * center])])
-    part = np.partition(seeded, 2, axis=0)
-    min0, min1, min2 = part[0], part[1], part[2]
+    seeded = np.stack(vals + [2 * center, 2 * center], axis=-1)
+    part = np.partition(seeded, 2, axis=-1)
+    min0, min1, min2 = part[..., 0], part[..., 1], part[..., 2]
     return 0.45 * min0 + 0.3 * min1 + 0.25 * min2
 
 
