@@ -163,8 +163,15 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
             for g in range(fd.num_groups):
                 br = get(2 + fd.num_dc_groups + p * fd.num_groups + g) \
                     if not single else seq
-                rect = fd.group_rect(g)
-                mfd.decode_group(rect, br, min_s, max_s,
+                # UNCLIPPED group rect: per-channel clamping comes from
+                # the channel dims (dec_frame.cc ProcessACGroup mrect is
+                # group_dim x group_dim); clipping to image size here
+                # floor-truncates odd-width squeezed channels and LOSES
+                # their last column/row.
+                mrect = fd.group_rect(g)
+                prect = Rect(mrect.x0, mrect.y0, fd.group_dim,
+                             fd.group_dim)
+                mfd.decode_group(prect, br, min_s, max_s,
                                  stream_modular_ac(g, p, fd))
         gi = mfd.finalize()
         r.seek_bits(frame_end_bits)

@@ -238,7 +238,9 @@ class IncrementalFrameDecoder:
         if self._modular:
             fh, fd = self.fh, self.fd
             min_s, max_s = fh.passes.downsampling_bracket(p)
-            self.mfd.decode_group(fd.group_rect(g), r, min_s, max_s,
+            mrect = fd.group_rect(g)
+            prect = Rect(mrect.x0, mrect.y0, fd.group_dim, fd.group_dim)
+            self.mfd.decode_group(prect, r, min_s, max_s,
                                   stream_modular_ac(g, p, fd))
             self._group_pass_done.add((p, g))
             return

@@ -476,7 +476,12 @@ class ModularFrameEncoder:
             specs.append((mrect, 3, 1000, stream_modular_dc(g, fd)))
         min_s, max_s = fh.passes.downsampling_bracket(0)
         for g in range(fd.num_groups):
-            specs.append((fd.group_rect(g), min_s, max_s,
+            mrect = fd.group_rect(g)
+            # UNCLIPPED rect (see decode_frame modular AC loop): the
+            # per-channel clamp against fc.w/fc.h keeps odd-width
+            # squeezed channels whole.
+            specs.append((Rect(mrect.x0, mrect.y0, fd.group_dim,
+                               fd.group_dim), min_s, max_s,
                           stream_modular_ac(g, 0, fd)))
         for (rect, mn, mx, sid) in specs:
             sub = self._build_sub_image(work, rect, mn, mx)

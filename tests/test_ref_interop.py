@@ -313,3 +313,44 @@ def test_effort_ladder_lossless_decodable_by_reference():
         data = encode(img, lossless=True, effort=effort)
         ref = refjxl.decode(data, dtype="uint8").pixels
         assert np.array_equal(ref, img), f"lossless effort {effort}"
+
+
+@pytest.mark.parametrize("hw", [(300, 45), (257, 45), (300, 257)])
+def test_squeeze_odd_dims_interop(hw):
+    """Odd-dimension squeezed channels in multi-group frames: group
+    streams must use UNCLIPPED group rects (dec_frame.cc mrect is
+    group_dim x group_dim; clipping to image size floor-truncates the
+    channel rect and drops its last column). Regression for a bug
+    that corrupted both our roundtrip and ref-stream decode."""
+    h, w = hw
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    from libjxl_tpu.api import simple
+    from libjxl_tpu.modular.codec import Transform, TransformId
+    from libjxl_tpu.frame.encode_frame import encode_modular_frame
+    from libjxl_tpu.api.simple import (CodecMetadata, BitDepth,
+                                       write_codestream_headers)
+    from libjxl_tpu.color.color_encoding import ColorEncoding
+    from libjxl_tpu.bitstream.bit_io import BitWriter
+    meta = CodecMetadata()
+    meta.size.set(w, h)
+    meta.m.bit_depth = BitDepth.uint(8)
+    meta.m.xyb_encoded = False
+    meta.m.color_encoding = ColorEncoding.srgb(is_gray=False)
+    bw = BitWriter()
+    write_codestream_headers(meta, bw)
+    encode_modular_frame(img_to_chans(img), meta, bw,
+                         transforms=[Transform(id=TransformId.SQUEEZE)],
+                         learn_tree=False)
+    bw.align_to_byte()
+    s = bw.get_bytes()
+    assert np.array_equal(simple.decode(s).pixels, img)
+    ref = np.asarray(refjxl.decode(s, dtype="uint8").pixels)
+    assert np.array_equal(ref.reshape(h, w, -1)[..., :3], img)
+    # reference-encoded responsive (squeeze) stream -> our decoder
+    rs = refjxl.encode(img, lossless=True, effort=5, options={16: 1})
+    assert np.array_equal(simple.decode(rs).pixels, img)
+
+
+def img_to_chans(img):
+    return [img[:, :, c].astype(np.int32) for c in range(img.shape[2])]
