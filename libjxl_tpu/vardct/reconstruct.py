@@ -188,7 +188,11 @@ def _dct4x4_to_pixels(grid: np.ndarray) -> np.ndarray:
                     if ix == 0 and iy == 0:
                         continue
                     block[iy, ix] = grid[y + iy * 2, x + ix * 2]
-            out[y * 4:y * 4 + 4, x * 4:x * 4 + 4] = idct2d(block)
+            # ComputeScaledIDCT<4,4>: square blocks store coefficients
+            # TRANSPOSED (same ROWS >= COLS convention as the main DCT
+            # family); interop-verified against djxl on forced-DCT4X4
+            # streams.
+            out[y * 4:y * 4 + 4, x * 4:x * 4 + 4] = idct2d(block.T)
     return out
 
 
@@ -197,7 +201,7 @@ def _dct4x4_from_pixels(pixels: np.ndarray) -> np.ndarray:
     dcs = []
     for y in range(2):
         for x in range(2):
-            block = dct2d(pixels[y * 4:y * 4 + 4, x * 4:x * 4 + 4])
+            block = dct2d(pixels[y * 4:y * 4 + 4, x * 4:x * 4 + 4]).T
             dcs.append(block[0, 0])
             for iy in range(4):
                 for ix in range(4):
@@ -427,7 +431,8 @@ def _afv_to_pixels(grid: np.ndarray, kind: int) -> np.ndarray:
                 continue
             b44[iy, ix] = grid[iy * 2, ix * 2 + 1]
     x0 = 0 if afv_x == 1 else 4
-    out[afv_y * 4:afv_y * 4 + 4, x0:x0 + 4] = idct2d(b44)
+    # Square 4x4: transposed-coefficient convention (see DCT4X4).
+    out[afv_y * 4:afv_y * 4 + 4, x0:x0 + 4] = idct2d(b44.T)
 
     b48 = np.zeros((4, 8))
     b48[0, 0] = dc_48
@@ -454,7 +459,7 @@ def _afv_from_pixels(pixels: np.ndarray, kind: int) -> np.ndarray:
             grid[iy * 2, ix * 2] = coeff[iy, ix]
 
     x0 = 0 if afv_x == 1 else 4
-    b44 = dct2d(pixels[afv_y * 4:afv_y * 4 + 4, x0:x0 + 4])
+    b44 = dct2d(pixels[afv_y * 4:afv_y * 4 + 4, x0:x0 + 4]).T
     for iy in range(4):
         for ix in range(4):
             grid[iy * 2, ix * 2 + 1] = b44[iy, ix]

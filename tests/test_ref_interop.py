@@ -354,3 +354,40 @@ def test_squeeze_odd_dims_interop(hw):
 
 def img_to_chans(img):
     return [img[:, :, c].astype(np.int32) for c in range(img.shape[2])]
+
+
+@pytest.mark.skipif(not refjxl.available(), reason="no system libjxl")
+def test_forced_special_strategies_match_djxl():
+    """AFV0-3 and DCT4X4 use the TRANSPOSED square-block coefficient
+    convention (dec_transforms-inl.h ComputeScaledIDCT<4,4>: ROWS >=
+    COLS stores coefficients transposed). Encode with each strategy
+    forced and check djxl reads our stream identically (regression for
+    a self-consistent-but-nonspec layout)."""
+    import libjxl_tpu.frame.acs_select as acs_select
+    from libjxl_tpu.api.simple import decode, encode
+    from libjxl_tpu.vardct import ac_strategy as acs
+
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:64, 0:80]
+    img = np.stack([128 + 90 * np.sin(x / 13),
+                    128 + 70 * np.cos(y / 11),
+                    120 + 60 * np.sin((x + y) / 17)], -1)
+    img = np.clip(img + rng.normal(0, 10, img.shape),
+                  0, 255).astype(np.uint8)
+    orig = acs_select.select_strategies
+    try:
+        for forced in (acs.AFV0, acs.AFV1, acs.AFV2, acs.AFV3,
+                       acs.DCT4X4, acs.DCT4X8, acs.DCT8X4):
+            def fake(planes, raw_quant, quantizer, **kw):
+                out = np.zeros(raw_quant.shape, np.int32)
+                out[::2, ::2] = forced
+                return out
+            acs_select.select_strategies = fake
+            s = encode(img, distance=0.5, effort=6)
+            ours = decode(s).pixels
+            ref = np.asarray(refjxl.decode(s, dtype="uint8").pixels)
+            ref = ref.reshape(64, 80, -1)[..., :3]
+            err = np.abs(ours.astype(int) - ref.astype(int)).max()
+            assert err <= 1, f"strategy {forced}: maxerr {err}"
+    finally:
+        acs_select.select_strategies = orig
