@@ -5,10 +5,10 @@ Usage: python tools/interop_sweep.py [seed] [iterations]
 Random sizes/content/settings, both directions (their streams -> our
 decoder vs their decoder; our streams -> their decoder). Round-3 runs
 of this sweep found and fixed: multigroup local-transform lossless
-streams decoding wrong, and odd-dimension squeezed channels losing
-their last column (clipped group rects). Known open finding: one
-flat/blocky content case at d=8 e7 (DC-frame + dot patches) shows a
-localized ~6x6-px divergence (maxerr 91) vs the 0.7 decoder.
+streams decoding wrong, odd-dimension squeezed channels losing
+their last column (clipped group rects), and AFV/DCT4X4 square
+sub-blocks using untransposed coefficients (which also explained a
+localized d=8 flat-content divergence: e7 picks AFV there).
 """
 import sys, traceback
 sys.path.insert(0, "/root/repo")
