@@ -653,8 +653,16 @@ def _decode_impl(data: bytes, device: bool = False,
                                  [a for _, a in extra_list])
             for c in range(3):
                 chans[c] = np.round(color[c] * maxval).astype(np.int64)
-        arr = np.stack(chans[:keep], axis=-1)
-        arr = np.clip(arr, 0, maxval).astype(dtype)
+        from libjxl_tpu.native import bindings as _nb
+        if (_nb.available()
+                and all(isinstance(c, np.ndarray) and c.dtype == np.int32
+                        and c.flags.c_contiguous
+                        and c.shape == chans[0].shape
+                        for c in chans[:keep])):
+            arr = _nb.interleave_clip(chans[:keep], maxval, dtype)
+        else:
+            arr = np.stack(chans[:keep], axis=-1)
+            arr = np.clip(arr, 0, maxval).astype(dtype)
         arr = _apply_orientation(arr, meta.m.orientation)
         return DecodeResult(pixels=arr, metadata=meta, lossless=True,
                             preview=preview, extra=extra_list)

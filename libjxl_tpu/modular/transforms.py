@@ -20,6 +20,14 @@ from libjxl_tpu.modular.predict import (
 # RCT (rct.cc): 42 types = 6 permutations x 7 custom types (6=YCoCg)
 
 
+def _native_ok() -> bool:
+    import os
+    if os.environ.get("LIBJXL_TPU_NO_NATIVE"):
+        return False
+    from libjxl_tpu.native import bindings
+    return bindings.available()
+
+
 def _perm_indices(permutation: int) -> list[int]:
     """Output channel index for each of the three inputs (rct.cc:119-126)."""
     return [permutation % 3,
@@ -30,13 +38,20 @@ def _perm_indices(permutation: int) -> list[int]:
 def inv_rct(image: ModularImage, begin_c: int, rct_type: int) -> None:
     if rct_type == 0:
         return
-    if begin_c + 2 >= len(image.channel) + 1:
-        pass
-    c0 = image.channel[begin_c].data.astype(np.int64)
-    c1 = image.channel[begin_c + 1].data.astype(np.int64)
-    c2 = image.channel[begin_c + 2].data.astype(np.int64)
     permutation = rct_type // 7
     custom = rct_type % 7
+    planes = [image.channel[begin_c + k].data for k in range(3)]
+    if (_native_ok() and
+            all(p.dtype == np.int32 and p.flags.c_contiguous
+                and p.shape == planes[0].shape for p in planes)):
+        from libjxl_tpu.native import bindings
+        bindings.rct3(planes[0], planes[1], planes[2], custom,
+                      forward=False)
+        idx = _perm_indices(permutation)
+        for i in range(3):
+            image.channel[begin_c + idx[i]].data = planes[i]
+        return
+    c0, c1, c2 = (p.astype(np.int64) for p in planes)
     if custom == 6:  # YCoCg
         y, co, cg = c0, c1, c2
         tmp = y - (cg >> 1)
@@ -76,6 +91,15 @@ def fwd_rct(image: ModularImage, begin_c: int, rct_type: int) -> None:
                                                         copy=False)
         b = image.channel[begin_c + idx[2]].data.astype(np.int32,
                                                         copy=False)
+        if (_native_ok() and r.flags.c_contiguous and g.flags.c_contiguous
+                and b.flags.c_contiguous and r.shape == g.shape == b.shape):
+            from libjxl_tpu.native import bindings
+            r, g, b = (np.copy(p) for p in (r, g, b))
+            bindings.rct3(r, g, b, 6, forward=True)
+            image.channel[begin_c].data = r
+            image.channel[begin_c + 1].data = g
+            image.channel[begin_c + 2].data = b
+            return
         co = r - b
         tmp = b + (co >> 1)
         cg = g - tmp

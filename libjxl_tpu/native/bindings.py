@@ -119,6 +119,19 @@ def get_lib():
         C.POINTER(C.c_uint64), C.POINTER(C.c_int32),
         C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.c_int64,
         C.POINTER(C.c_int64)]
+    lib.inv_rct3.restype = None
+    lib.inv_rct3.argtypes = [C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+                             C.POINTER(C.c_int32), C.c_int64, C.c_int]
+    lib.fwd_rct3.restype = None
+    lib.fwd_rct3.argtypes = lib.inv_rct3.argtypes
+    lib.interleave_clip_u8.restype = None
+    lib.interleave_clip_u8.argtypes = [
+        C.POINTER(C.c_void_p), C.c_int, C.c_int64, C.c_int32,
+        C.POINTER(C.c_uint8)]
+    lib.interleave_clip_u16.restype = None
+    lib.interleave_clip_u16.argtypes = [
+        C.POINTER(C.c_void_p), C.c_int, C.c_int64, C.c_int32,
+        C.POINTER(C.c_uint16)]
     lib.vardct_decode_ac_frame.restype = C.c_int
     lib.vardct_decode_ac_frame.argtypes = [
         C.c_void_p, C.c_int, C.c_int, C.c_int,
@@ -263,3 +276,30 @@ class NativeModularDecoder:
 
     def __del__(self):
         self.close()
+
+
+def rct3(c0: np.ndarray, c1: np.ndarray, c2: np.ndarray,
+         custom: int, forward: bool) -> None:
+    """In-place RCT arithmetic on three contiguous int32 planes
+    (rct.cc); the caller handles the channel permutation."""
+    lib = get_lib()
+    fn = lib.fwd_rct3 if forward else lib.inv_rct3
+    fn(_as_ptr(c0, C.c_int32), _as_ptr(c1, C.c_int32),
+       _as_ptr(c2, C.c_int32), c0.size, custom)
+
+
+def interleave_clip(planes, maxval: int, dtype) -> np.ndarray:
+    """(k) int32 HxW planes -> (H, W, k) clipped uint8/uint16."""
+    lib = get_lib()
+    h, w = planes[0].shape
+    k = len(planes)
+    ptrs = (C.c_void_p * k)(*[p.ctypes.data for p in planes])
+    ptrs_cast = C.cast(ptrs, C.POINTER(C.c_void_p))
+    out = np.empty((h, w, k), dtype)
+    if dtype == np.uint8:
+        lib.interleave_clip_u8(ptrs_cast, k, h * w, maxval,
+                               out.ctypes.data_as(C.POINTER(C.c_uint8)))
+    else:
+        lib.interleave_clip_u16(ptrs_cast, k, h * w, maxval,
+                                out.ctypes.data_as(C.POINTER(C.c_uint16)))
+    return out

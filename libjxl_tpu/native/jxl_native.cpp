@@ -124,6 +124,10 @@ struct AnsDecoderC {
   // Prefix mode: per-cluster 15-bit single-level decode LUT; entry =
   // sym | (len << 16). Index = next 15 stream bits, LSB-first.
   const uint32_t* prefix_lut;    // [clusters][1 << 15]
+  // First-level 12-bit table (16KB/cluster, stays L1/L2-resident
+  // where the 128KB full table cache-misses on nearly every symbol):
+  // covers codes of length <= 12; 0 = escape to prefix_lut.
+  const uint32_t* prefix_l1;     // [clusters][1 << 12]
   // LZ77
   int lz77_enabled;
   uint32_t lz77_min_symbol, lz77_min_length, lz77_ctx;
@@ -138,7 +142,10 @@ struct AnsDecoderC {
   inline uint32_t read_symbol_prefix(uint32_t cluster) {
     br->refill_pad(15);
     uint32_t idx = static_cast<uint32_t>(br->buf) & 0x7FFF;
-    uint32_t e = prefix_lut[(static_cast<size_t>(cluster) << 15) | idx];
+    uint32_t e = prefix_l1[(static_cast<size_t>(cluster) << 12)
+                           | (idx & 0xFFF)];
+    if (e == 0)
+      e = prefix_lut[(static_cast<size_t>(cluster) << 15) | idx];
     br->consume(e >> 16);
     if (br->consumed > br->size * 8) br->overread = true;
     return e & 0xFFFF;
@@ -464,6 +471,7 @@ struct ModularDecoderHandle {
   AnsDecoderC ans;
   std::vector<UintCfg> cfg_storage;
   std::vector<uint32_t> special;
+  std::vector<uint32_t> prefix_l1;
 };
 
 ModularDecoderHandle* mod_decoder_create(
@@ -544,6 +552,15 @@ void mod_decoder_set_prefix(ModularDecoderHandle* h,
                             const uint32_t* lut) {
   h->ans.use_prefix = 1;
   h->ans.prefix_lut = lut;
+  const size_t nc = h->cfg_storage.size();
+  h->prefix_l1.assign(nc << 12, 0);
+  for (size_t c = 0; c < nc; c++) {
+    for (size_t i = 0; i < (1u << 12); i++) {
+      uint32_t e = lut[(c << 15) | i];
+      if ((e >> 16) <= 12) h->prefix_l1[(c << 12) | i] = e;
+    }
+  }
+  h->ans.prefix_l1 = h->prefix_l1.data();
   // Prefix streams carry no 32-bit ANS state: push back the bits
   // create()'s init_state consumed (they are exactly h->ans.state).
   h->br.buf = (h->br.buf << 32) | h->ans.state;
@@ -615,6 +632,91 @@ int mod_decode_channel(ModularDecoderHandle* h, ChannelDesc* chans,
   if (num_nodes == 1 && !use_wp && num_ref == 0) {
     const TreeNode& leaf = tree[0];
     const uint32_t ctx = leaf.lchild;
+    // Prefix-code streams without LZ77 (the fast-lossless layout):
+    // register-local reader state, one combined refill per symbol
+    // (<= 15 token bits + <= 32 extra bits fit one 47-bit top-up).
+    if (ans.use_prefix && !ans.lz77_enabled &&
+        (leaf.predictor == 0 ||
+         (leaf.predictor == 5 && leaf.offset == 0 &&
+          leaf.multiplier == 1))) {
+      BitReaderC& b = *ans.br;
+      const uint32_t cluster = ans.context_map[ctx];
+      const uint32_t* lut =
+          ans.prefix_lut + (static_cast<size_t>(cluster) << 15);
+      const uint32_t* l1 =
+          ans.prefix_l1 + (static_cast<size_t>(cluster) << 12);
+      const UintCfg cfg = ans.cfgs[cluster];
+      const uint32_t split_token = 1u << cfg.split_exponent;
+      const uint32_t mt = cfg.msb + cfg.lsb;
+      uint64_t buf = b.buf;
+      uint32_t bits = b.bits;
+      uint64_t pos = b.pos;
+      uint64_t consumed = b.consumed;
+      const uint8_t* data = b.data;
+      const uint64_t size = b.size;
+      auto next = [&]() -> uint32_t {
+        if (bits < 47) {
+          if (pos + 8 <= size) {
+            uint64_t chunk;
+            __builtin_memcpy(&chunk, data + pos, 8);
+            buf |= chunk << bits;
+            uint32_t nb = (63 - bits) >> 3;
+            pos += nb;
+            bits += nb * 8;
+          } else {
+            while (bits < 47 && pos < size) {
+              buf |= static_cast<uint64_t>(data[pos++]) << bits;
+              bits += 8;
+            }
+            if (bits < 47) bits = 47;  // zero pad; overread checked last
+          }
+        }
+        uint32_t e = l1[static_cast<uint32_t>(buf) & 0xFFF];
+        if (e == 0) e = lut[static_cast<uint32_t>(buf) & 0x7FFF];
+        uint32_t len = e >> 16;
+        uint32_t token = e & 0xFFFF;
+        buf >>= len;
+        bits -= len;
+        consumed += len;
+        if (token < split_token) return token;
+        uint32_t nbits =
+            (cfg.split_exponent - mt + ((token - split_token) >> mt)) & 31u;
+        uint32_t low = token & ((1u << cfg.lsb) - 1);
+        token >>= cfg.lsb;
+        uint32_t extra = static_cast<uint32_t>(
+            buf & ((nbits ? (1ull << nbits) : 1ull) - 1));
+        buf >>= nbits;
+        bits -= nbits;
+        consumed += nbits;
+        uint32_t msb_part = (1u << cfg.msb) | (token & ((1u << cfg.msb) - 1));
+        return (((msb_part << nbits) | extra) << cfg.lsb) | low;
+      };
+      if (leaf.predictor == 0) {
+        const int64_t mult = leaf.multiplier, off = leaf.offset;
+        for (int64_t i = 0; i < static_cast<int64_t>(w) * hgt; i++) {
+          ch.data[i] =
+              static_cast<int32_t>(unpack_signed(next()) * mult + off);
+        }
+      } else {
+        for (int y = 0; y < hgt; y++) {
+          int32_t* r = ch.data + static_cast<int64_t>(y) * w;
+          const int32_t* rt = r - w;
+          for (int x = 0; x < w; x++) {
+            int64_t left = x ? r[x - 1] : (y ? rt[x] : 0);
+            int64_t top = y ? rt[x] : left;
+            int64_t topleft = (x && y) ? rt[x - 1] : left;
+            int64_t guess = clamped_gradient(top, left, topleft);
+            r[x] = static_cast<int32_t>(unpack_signed(next()) + guess);
+          }
+        }
+      }
+      b.buf = buf;
+      b.bits = bits;
+      b.pos = pos;
+      b.consumed = consumed;
+      if (consumed > size * 8) b.overread = true;
+      return b.overread ? -1 : 0;
+    }
     if (leaf.predictor == 0) {
       for (int64_t i = 0; i < static_cast<int64_t>(w) * hgt; i++) {
         uint32_t v = ans.read_ctx(ctx);
@@ -1017,6 +1119,91 @@ int64_t token_histogram(const int32_t* ctxs, const uint32_t* values,
       max_token = static_cast<int64_t>(token);
   }
   return max_token;
+}
+
+// rct.cc arithmetic: inverse (stored -> original) on three equal-size
+// int32 planes in place; the caller applies the channel permutation by
+// reassigning plane references. int64 intermediates match the Python
+// oracle's astype(int64) -> int32 cast.
+void inv_rct3(int32_t* c0, int32_t* c1, int32_t* c2, int64_t n,
+              int custom) {
+  if (custom == 6) {  // YCoCg
+    for (int64_t i = 0; i < n; i++) {
+      int64_t y = c0[i], co = c1[i], cg = c2[i];
+      int64_t tmp = y - (cg >> 1);
+      int64_t g = cg + tmp;
+      int64_t bb = tmp - (co >> 1);
+      c0[i] = static_cast<int32_t>(bb + co);
+      c1[i] = static_cast<int32_t>(g);
+      c2[i] = static_cast<int32_t>(bb);
+    }
+    return;
+  }
+  const int second = custom >> 1, third = custom & 1;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t f = c0[i], s = c1[i], t = c2[i];
+    if (third) t += f;
+    if (second == 1) {
+      s += f;
+    } else if (second == 2) {
+      s += (f + t) >> 1;
+    }
+    c1[i] = static_cast<int32_t>(s);
+    c2[i] = static_cast<int32_t>(t);
+  }
+}
+
+// Forward RCT (original -> stored), inverse of inv_rct3.
+void fwd_rct3(int32_t* c0, int32_t* c1, int32_t* c2, int64_t n,
+              int custom) {
+  if (custom == 6) {  // YCoCg: inputs r, g, b
+    for (int64_t i = 0; i < n; i++) {
+      int64_t r = c0[i], g = c1[i], bb = c2[i];
+      int64_t co = r - bb;
+      int64_t tmp = bb + (co >> 1);
+      int64_t cg = g - tmp;
+      c0[i] = static_cast<int32_t>(tmp + (cg >> 1));
+      c1[i] = static_cast<int32_t>(co);
+      c2[i] = static_cast<int32_t>(cg);
+    }
+    return;
+  }
+  const int second = custom >> 1, third = custom & 1;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t f = c0[i], s = c1[i], t = c2[i];
+    if (second == 1) {
+      s -= f;
+    } else if (second == 2) {
+      s -= (f + t) >> 1;
+    }
+    if (third) t -= f;
+    c1[i] = static_cast<int32_t>(s);
+    c2[i] = static_cast<int32_t>(t);
+  }
+}
+
+// Fused plane interleave + clamp for final pixel output (saves a
+// full-image np.stack + np.clip + astype on the host's one core).
+void interleave_clip_u8(const int32_t* const* planes, int k, int64_t n,
+                        int32_t maxval, uint8_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    for (int c = 0; c < k; c++) {
+      int32_t v = planes[c][i];
+      v = v < 0 ? 0 : (v > maxval ? maxval : v);
+      out[i * k + c] = static_cast<uint8_t>(v);
+    }
+  }
+}
+
+void interleave_clip_u16(const int32_t* const* planes, int k, int64_t n,
+                         int32_t maxval, uint16_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    for (int c = 0; c < k; c++) {
+      int32_t v = planes[c][i];
+      v = v < 0 ? 0 : (v > maxval ? maxval : v);
+      out[i * k + c] = static_cast<uint16_t>(v);
+    }
+  }
 }
 
 }  // extern "C"
