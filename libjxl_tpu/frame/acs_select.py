@@ -14,18 +14,27 @@ import numpy as np
 from libjxl_tpu.vardct import ac_strategy as acs
 from libjxl_tpu.vardct.dct import dct_matrix
 
-# Required relative rate saving before accepting a merge; conservative
-# to avoid smearing detail into large transforms.
-_MERGE_FACTOR = 0.92
+# Merge-acceptance thresholds. The rate proxy carries no distortion
+# term (the reference's EstimateEntropy mixes rate with a masked
+# information-loss penalty, enc_ac_strategy.cc), so acceptance is
+# distance-scheduled instead: strict below d=0.6 where any extra
+# smearing is visible, loose at d>=1.0 where the reference also tiles
+# smooth/noisy content with 16x16-64x64 transforms. Calibrated A/B vs
+# cjxl e5 at d in {0.5, 1, 2} on photo/noise/text corpora (merge at
+# 0.92/0.45 overspent up to 1.8x on noisy content for negligible
+# butteraugli gain; 1.05/0.10 at d<1 overshot distortion).
+
+
+def _merge_factor(distance: float) -> tuple:
+    t = min(1.0, max(0.0, (distance - 0.6) / 0.4))
+    return 0.92 + 0.13 * t, 0.45 - 0.35 * t
 
 
 def _big_merge_factor(distance: float) -> float:
-    """Stricter acceptance for >=32px transforms at low distance: the
-    rate proxy carries no distortion term, and at tight targets large
-    blocks ring visibly (the reference's entropy estimate includes an
-    information-loss penalty, enc_ac_strategy.cc EstimateEntropy; at d1
-    its e7 search picks no >=32 blocks on photographic content)."""
-    return max(0.0, _MERGE_FACTOR - max(0.0, (2.0 - distance)) * 0.45)
+    """Acceptance for >=32px transforms, stricter at low distance
+    (ringing) via the residual (2 - d) penalty."""
+    mf, bd = _merge_factor(distance)
+    return max(0.0, mf - bd * max(0.0, 2.0 - distance))
 
 
 # Fixed per-block signalling overhead (nzeros token, strategy, etc.).
@@ -84,7 +93,7 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
         bits16 = _bits_proxy(q16, axis=(-2, -1))
         bits8_t = bits8[:ty * 2, :tx * 2].reshape(ty, 2, tx, 2) \
             .sum(axis=(1, 3))
-        accept = bits16 < bits8_t * _MERGE_FACTOR
+        accept = bits16 < bits8_t * _merge_factor(distance)[0]
         for t_y, t_x in zip(*np.nonzero(accept)):
             b0y, b0x = t_y * 2, t_x * 2
             strategies[b0y:b0y + 2, b0x:b0x + 2] = -1

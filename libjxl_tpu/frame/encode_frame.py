@@ -223,11 +223,13 @@ def compute_vardct_encoding_device(planes, fd, fh, distance,
     cfl_fac = cmap.dc_factors()
 
     from libjxl_tpu.vardct.quantizer import QUANT_MAX
-    from libjxl_tpu.frame.acs_select import _big_merge_factor
+    from libjxl_tpu.frame.acs_select import (_big_merge_factor,
+                                             _merge_factor)
     eff = min(effort, 7)
     fn = ep.stage_b_jitted(eff, QUANT_MAX, cmap.base_correlation_x,
                            cmap.base_correlation_b, cmap.color_scale,
-                           big_factor=float(_big_merge_factor(distance)))
+                           big_factor=float(_big_merge_factor(distance)),
+                           merge16=float(_merge_factor(distance)[0]))
     tables = ep.make_tables(matrices)
     res = fn(planes_dev, raw_quant,
              np.float32(quantizer.inv_global_scale),

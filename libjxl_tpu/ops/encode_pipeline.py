@@ -270,7 +270,8 @@ def _fwd_dct_tiles(y, cy8, cx8):
 
 def acs_select_jnp(y, raw_quant, inv_gs, inv8y, inv16y, inv32y, inv64y,
                    invwy, invty, *, enable_16, enable_32, enable_64,
-                   enable_rect, big_factor=_MERGE_FACTOR):
+                   enable_rect, big_factor=_MERGE_FACTOR,
+                   merge16=_MERGE_FACTOR):
     """select_strategies (frame/acs_select.py) as pure array ops.
 
     Returns the (BY, BX) strategy map with -1 on covered blocks."""
@@ -299,7 +300,7 @@ def acs_select_jnp(y, raw_quant, inv_gs, inv8y, inv16y, inv32y, inv64y,
         q16 = q16.at[..., :2, :2].set(0)
         bits16 = _bits_proxy_jnp(q16, axis=(-2, -1))
         bits8_t = _tile_sum(bits8, 2, 2)
-        accept16 = bits16 < bits8_t * _MERGE_FACTOR
+        accept16 = bits16 < bits8_t * merge16
 
         accept32 = None
         bits32 = None
@@ -566,7 +567,8 @@ def _adjust_bias_y(q):
 def encode_stage_b(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
                    tables, *, effort: int, quant_max: int,
                    base_cx: float, base_cb: float, color_scale: float,
-                   fixed_strategies=None, big_factor=_MERGE_FACTOR):
+                   fixed_strategies=None, big_factor=_MERGE_FACTOR,
+                   merge16=_MERGE_FACTOR):
     """XYB + raw quant field -> strategies, quantized coefficients, DC,
     CfL maps (compute_vardct_encoding's device half). All dense."""
     _, H, W = xyb.shape
@@ -584,7 +586,7 @@ def encode_stage_b(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
             tables["invty"],
             enable_16=True, enable_32=effort >= 5,
             enable_rect=effort >= 6, enable_64=effort >= 7,
-            big_factor=big_factor)
+            big_factor=big_factor, merge16=merge16)
 
     # ---- AdjustQuantField: uniform (max) qf within multi-block
     # strategies, dense per class ----
@@ -735,9 +737,10 @@ _STAGE_B_JIT: dict = {}
 def stage_b_jitted(effort: int, quant_max: int, base_cx: float,
                    base_cb: float, color_scale: float,
                    with_fixed: bool = False,
-                   big_factor: float = _MERGE_FACTOR):
+                   big_factor: float = _MERGE_FACTOR,
+                   merge16: float = _MERGE_FACTOR):
     key = (effort, quant_max, base_cx, base_cb, color_scale, with_fixed,
-           big_factor)
+           big_factor, merge16)
     if key not in _STAGE_B_JIT:
         if with_fixed:
             def fn(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
@@ -747,6 +750,7 @@ def stage_b_jitted(effort: int, quant_max: int, base_cx: float,
                     cfl_fac, tables, effort=effort, quant_max=quant_max,
                     base_cx=base_cx, base_cb=base_cb,
                     color_scale=color_scale, big_factor=big_factor,
+                    merge16=merge16,
                     fixed_strategies=fixed_strategies)
         else:
             def fn(xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc, cfl_fac,
@@ -755,7 +759,8 @@ def stage_b_jitted(effort: int, quant_max: int, base_cx: float,
                     xyb, raw_quant, inv_gs, x_mul, b_mul, mul_dc,
                     cfl_fac, tables, effort=effort, quant_max=quant_max,
                     base_cx=base_cx, base_cb=base_cb,
-                    color_scale=color_scale, big_factor=big_factor)
+                    color_scale=color_scale, big_factor=big_factor,
+                    merge16=merge16)
         _STAGE_B_JIT[key] = jax.jit(fn)
     return _STAGE_B_JIT[key]
 
