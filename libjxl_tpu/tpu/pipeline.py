@@ -57,18 +57,22 @@ def decode_xyb(coeff_img, weight_img, llf_img, fx, fb, mat_bank, mat_ids,
                     dq[2] + fb_cell * dq[1]])
     dq = dq + llf_img
 
-    # 4a: 8x8 family via masked matmuls over the matrix bank.
+    # 4a: 8x8 family: ONE matmul against the horizontally concatenated
+    # matrix bank, then a one-hot select of each block's slot. A single
+    # large matmul compiles and autotunes far faster than S unrolled
+    # masked matmuls and keeps the MXU busy with one big shape.
     cells = dq.reshape(3, BH, 8, BW, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(3, BH * BW, 64)
     ids = mat_ids.reshape(BH * BW)
     # f32 MXU precision: TPU matmuls default to bf16, which is far too
     # coarse for IDCT (visible banding); force the 3-pass f32 algorithm.
     hi = jax.lax.Precision.HIGHEST
-    pix_cells = jnp.zeros_like(cells)
-    for slot in range(mat_bank.shape[0]):
-        mask = (ids == slot).astype(jnp.float32)[None, :, None]
-        pix_cells = pix_cells + jnp.matmul(cells * mask, mat_bank[slot],
-                                           precision=hi)
+    S = mat_bank.shape[0]
+    bank_cat = mat_bank.transpose(1, 0, 2).reshape(64, S * 64)
+    y = jnp.matmul(cells, bank_cat, precision=hi)      # (3, N, S*64)
+    oh = (ids[:, None] == jnp.arange(S)[None, :]).astype(jnp.float32)
+    pix_cells = jnp.einsum("cnsv,ns->cnv",
+                           y.reshape(3, BH * BW, S, 64), oh)
     pix = pix_cells.reshape(3, BH, BW, 8, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(3, H, W)
 
@@ -255,11 +259,12 @@ def decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
                      dqc[1],
                      dqc[2] + fbf[:, None] * dqc[1]])
     dqc = dqc.at[..., 0].set(dc.reshape(3, N))
-    pix_cells = jnp.zeros_like(dqc)
-    for slot in range(mat_bank.shape[0]):
-        mask = (ids == slot).astype(jnp.float32)[None, :, None]
-        pix_cells = pix_cells + jnp.matmul(dqc * mask, mat_bank[slot],
-                                           precision=hi)
+    # One concatenated-bank matmul + one-hot select (see decode_xyb).
+    S = mat_bank.shape[0]
+    bank_cat = mat_bank.transpose(1, 0, 2).reshape(64, S * 64)
+    y = jnp.matmul(dqc, bank_cat, precision=hi)        # (3, N, S*64)
+    oh = (ids[:, None] == jnp.arange(S)[None, :]).astype(jnp.float32)
+    pix_cells = jnp.einsum("cnsv,ns->cnv", y.reshape(3, N, S, 64), oh)
     pix = pix_cells.reshape(3, BH, BW, 8, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(3, H, W)
 
