@@ -167,3 +167,89 @@ def test_byte_exact_with_restart_markers():
     jpg2 = write_jpeg(base)  # canonical rewrite (no DRI)
     box = transcode_jpeg_container(jpg2)
     assert reconstruct_jpeg(box) == jpg2
+
+
+def _prog_jpeg(img, subsampling=0, quality=85):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=quality,
+                              subsampling=subsampling, progressive=True)
+    return buf.getvalue()
+
+
+def _with_restarts(data: bytes, interval: int) -> bytes:
+    """Synthesize a restart-marker variant of `data` via the bit-exact
+    spec writer: inject DRI and re-emit the entropy stream with RSTn
+    flushes (dec_jpeg_data_writer.cc handles both on decode).
+
+    The source's per-scan optimized Huffman tables may lack symbols the
+    restart-altered stream needs (EOB where the original had none), so
+    every table is replaced with a complete one covering all symbols.
+    """
+    from libjxl_tpu.extras import jbrd
+    jd = jbrd.parse_jpeg_full(data)
+    jd.restart_interval = interval
+    sos = jd.marker_order.index(0xDA)
+    jd.marker_order.insert(sos, 0xDD)
+    for hc in jd.huffman_code:
+        if hc.slot_id & 0x10:   # AC: all 256 symbols (+sentinel)
+            hc.counts = [0] * 17
+            hc.counts[8], hc.counts[9] = 200, 57
+            hc.values = list(range(256)) + [0]
+        else:                   # DC: symbols 0..11 at 4 bits (+sentinel)
+            hc.counts = [0] * 17
+            hc.counts[4] = 13
+            hc.values = list(range(12)) + [0]
+    # The re-emitted stream has its own flush points; drop recorded
+    # ones from the source parse.
+    for scan in jd.scan_info:
+        scan.reset_points = []
+        scan.extra_zero_runs = []
+    out = jbrd.write_jpeg_full(jd)
+    # Must stay a valid JPEG with identical pixels.
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    np.testing.assert_array_equal(ref, rec)
+    return out
+
+
+@pytest.mark.parametrize("sub", [0, 1, 2])
+def test_byte_exact_reconstruction_progressive(sub):
+    """Progressive (multi-scan, EOB runs, successive approximation)
+    round trip: jpg -> jxl+jbrd -> byte-exact jpg
+    (dec_jpeg_data_writer.h:25 WriteJpeg; BASELINE config 4)."""
+    from libjxl_tpu.extras.jpeg_transcode import (
+        reconstruct_jpeg, transcode_jpeg_container)
+    data = _prog_jpeg(_img(), subsampling=sub)
+    box = transcode_jpeg_container(data)
+    assert reconstruct_jpeg(box) == data
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_byte_exact_reconstruction_restart_markers(progressive):
+    """DRI + RSTn streams (sequential and progressive) reconstruct
+    byte-exactly, including predictor resets and EOB-run flushes at
+    restart boundaries."""
+    from libjxl_tpu.extras.jpeg_transcode import (
+        reconstruct_jpeg, transcode_jpeg_container)
+    # Progressive uses interval=1: the source tables carry no EOBn
+    # (n>1) symbols, and flushing at every restart keeps EOB runs <= 1.
+    src = (_prog_jpeg if progressive else _jpeg)(_img(), subsampling=2)
+    data = _with_restarts(src, interval=1 if progressive else 3)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data
+    box = transcode_jpeg_container(data)
+    assert reconstruct_jpeg(box) == data
+
+
+def test_progressive_jbrd_oracle_interop():
+    """Cross-interop on progressive streams: djxl reconstructs OUR
+    jbrd container byte-exactly, and we reconstruct djxl's."""
+    from libjxl_tpu.extras import refjxl
+    from libjxl_tpu.extras.jpeg_transcode import (
+        reconstruct_jpeg, transcode_jpeg_container)
+    if not refjxl.available():
+        pytest.skip("no system libjxl")
+    data = _prog_jpeg(_img(), subsampling=2)
+    ours = transcode_jpeg_container(data)
+    assert refjxl.decode_to_jpeg(ours) == data
+    theirs = refjxl.encode_jpeg(data)
+    assert reconstruct_jpeg(theirs) == data
