@@ -2,8 +2,11 @@
 
 Reference: tools/ssimulacra2.cc (537 LoC) — 6-scale XYB multi-scale
 SSIM' with ringing/blur edge maps and a tuned 108-weight sum. Ported
-with the same constants; the recursive Gaussian is replaced by an FIR
-Gaussian (sigma 1.5, radius 8), numerically close.
+with the same constants, including the reference's recursive Gaussian
+(tools/gauss_blur.cc CreateRecursiveGaussian/FastGaussian1D: the
+three-pole cosine-modulated IIR approximation of Charalampidis 2016,
+sigma 1.5, zero-pad boundary) — NOT a true Gaussian, so matching it
+exactly matters for score parity with the reference binary.
 """
 
 from __future__ import annotations
@@ -17,30 +20,75 @@ _C2 = 0.0009
 _NUM_SCALES = 6
 
 
-def _gauss_kernel(sigma: float = 1.5, radius: int = 8) -> np.ndarray:
-    x = np.arange(-radius, radius + 1)
-    k = np.exp(-0.5 * (x / sigma) ** 2)
-    return k / k.sum()
+def _rg_constants(sigma: float = 1.5):
+    """gauss_blur.cc:433 CreateRecursiveGaussian — solve for the
+    three-pole IIR weights in double, store float32 like the
+    reference's RecursiveGaussian struct."""
+    radius = round(3.2795 * sigma + 0.2546)              # (57), "N"
+    pi_div_2r = np.pi / (2.0 * radius)
+    omega = np.array([pi_div_2r, 3.0 * pi_div_2r, 5.0 * pi_div_2r])
+    p = np.array([+1.0 / np.tan(0.5 * omega[0]),         # (37)
+                  -1.0 / np.tan(0.5 * omega[1]),
+                  +1.0 / np.tan(0.5 * omega[2])])
+    r = np.array([+p[0] * p[0] / np.sin(omega[0]),       # (44)
+                  -p[1] * p[1] / np.sin(omega[1]),
+                  +p[2] * p[2] / np.sin(omega[2])])
+    neg_half_sigma2 = -0.5 * sigma * sigma
+    rho = np.exp(neg_half_sigma2 * omega * omega) / radius   # (50)
+    d_13 = p[0] * r[1] - r[0] * p[1]
+    d_35 = p[1] * r[2] - r[1] * p[2]
+    d_51 = p[2] * r[0] - r[2] * p[0]
+    zeta_15 = d_35 / d_13                                # (52)
+    zeta_35 = d_51 / d_13
+    a = np.array([[p[0], p[1], p[2]],
+                  [r[0], r[1], r[2]],
+                  [zeta_15, zeta_35, 1.0]])
+    gamma = np.array([1.0, radius * radius - sigma * sigma,  # (55)
+                      zeta_15 * rho[0] + zeta_35 * rho[1] + rho[2]])
+    beta = np.linalg.inv(a) @ gamma                      # (53)
+    n2 = -beta * np.cos(omega * (radius + 1.0))          # (33)
+    d1 = -2.0 * np.cos(omega)                            # (33)
+    return int(radius), n2.astype(np.float32), d1.astype(np.float32)
 
 
-_KERNEL = _gauss_kernel()
+_RG = _rg_constants()
 
 
-def _blur_plane(img: np.ndarray) -> np.ndarray:
-    r = len(_KERNEL) // 2
-    p = np.pad(img, ((r, r), (0, 0)), mode="symmetric")
-    out = np.zeros_like(img)
-    for i, k in enumerate(_KERNEL):
-        out += k * p[i:i + img.shape[0], :]
-    p = np.pad(out, ((0, 0), (r, r)), mode="symmetric")
-    out2 = np.zeros_like(img)
-    for i, k in enumerate(_KERNEL):
-        out2 += k * p[:, i:i + img.shape[1]]
-    return out2
+def _fast_gaussian_1d(rows: np.ndarray) -> np.ndarray:
+    """FastGaussian1D (gauss_blur.cc:46) along the last axis of a
+    float32 (R, X) batch: out[n] = sum_k y_k[n] with
+    y_k[n] = n2_k*(in[n-N-1] + in[n+N-1]) - d1_k*y_k[n-1] - y_k[n-2],
+    zero-padded input, warm-up from n = -N+1."""
+    n_r, n2, d1 = _RG
+    rows = np.ascontiguousarray(rows, np.float32)
+    nrows, xsize = rows.shape
+    out = np.empty((nrows, xsize), np.float32)
+    prev = np.zeros((3, nrows), np.float32)
+    prev2 = np.zeros((3, nrows), np.float32)
+    zero = np.zeros(nrows, np.float32)
+    n2c = n2[:, None]
+    d1c = d1[:, None]
+    for n in range(-n_r + 1, xsize):
+        left = n - n_r - 1
+        right = n + n_r - 1
+        lv = rows[:, left] if left >= 0 else zero
+        rv = rows[:, right] if right < xsize else zero
+        y = n2c * (lv + rv)[None, :] - d1c * prev - prev2
+        prev2 = prev
+        prev = y
+        if n >= 0:
+            out[:, n] = y[0] + y[1] + y[2]
+    return out
 
 
 def _blur(img3: np.ndarray) -> np.ndarray:
-    return np.stack([_blur_plane(img3[c]) for c in range(3)])
+    """FastGaussian (gauss_blur.cc:528): horizontal then vertical IIR
+    pass, all three planes batched."""
+    c, h, w = img3.shape
+    hpass = _fast_gaussian_1d(img3.reshape(c * h, w)).reshape(c, h, w)
+    t = hpass.transpose(0, 2, 1).reshape(c * w, h)
+    vpass = _fast_gaussian_1d(t).reshape(c, w, h).transpose(0, 2, 1)
+    return np.ascontiguousarray(vpass)
 
 
 def _downsample2(img3: np.ndarray) -> np.ndarray:
@@ -66,10 +114,13 @@ def _ssim_map(mu1, mu2, s11, s22, s12) -> np.ndarray:
     n = mu1[0].size
     for c in range(3):
         m1, m2 = mu1[c], mu2[c]
-        num_m = 1.0 - (m1 - m2) ** 2
-        num_s = 2 * (s12[c] - m1 * m2) + _C2
-        denom_s = (s11[c] - m1 * m1) + (s22[c] - m2 * m2) + _C2
-        d = np.maximum(1.0 - num_m * num_s / denom_s, 0.0)
+        # float32 intermediates, double accumulation — the reference's
+        # exact promotion pattern (ssimulacra2.cc:143-180).
+        num_m = np.float32(1.0) - (m1 - m2) ** 2
+        num_s = np.float32(2) * (s12[c] - m1 * m2) + np.float32(_C2)
+        denom_s = (s11[c] - m1 * m1) + (s22[c] - m2 * m2) + np.float32(_C2)
+        d = np.maximum(
+            1.0 - (num_s / denom_s * num_m).astype(np.float64), 0.0)
         out[c * 2] = d.sum() / n
         out[c * 2 + 1] = (np.sum(_quartic(d)) / n) ** 0.25
     return out
@@ -79,8 +130,9 @@ def _edge_diff_map(img1, mu1, img2, mu2) -> np.ndarray:
     out = np.zeros(12)
     n = img1[0].size
     for c in range(3):
-        d1 = (1.0 + np.abs(img2[c] - mu2[c])) \
-            / (1.0 + np.abs(img1[c] - mu1[c])) - 1.0
+        # |.| in float32, the ratio in double (ssimulacra2.cc:196-200).
+        d1 = (1.0 + np.abs(img2[c] - mu2[c]).astype(np.float64)) \
+            / (1.0 + np.abs(img1[c] - mu1[c]).astype(np.float64)) - 1.0
         artifact = np.maximum(d1, 0.0)
         detail_lost = np.maximum(-d1, 0.0)
         out[c * 4] = artifact.sum() / n
@@ -110,8 +162,9 @@ def ssimulacra2(orig: np.ndarray, dist: np.ndarray) -> float:
         if scale:
             lin1 = _downsample2(lin1)
             lin2 = _downsample2(lin2)
-        img1 = _positive_xyb(linear_rgb_to_xyb(lin1).astype(np.float64))
-        img2 = _positive_xyb(linear_rgb_to_xyb(lin2).astype(np.float64))
+        # float32 planes end-to-end like the reference's Image3F.
+        img1 = _positive_xyb(linear_rgb_to_xyb(lin1).astype(np.float32))
+        img2 = _positive_xyb(linear_rgb_to_xyb(lin2).astype(np.float32))
         mu1 = _blur(img1)
         mu2 = _blur(img2)
         s11 = _blur(img1 * img1)
