@@ -373,13 +373,15 @@ def build_and_encode_histograms(
         if len(val) == 0:
             continue
         if native_hist:
-            scratch = np.zeros_like(hist2d)
-            mt = native_hist(ctx, val, uint_config, scratch)
-            if mt >= 0:
-                hist2d += scratch
+            # token_histogram accumulates in place (jxl_native.cpp),
+            # so the 2-D histogram is passed directly — a per-stream
+            # zeroed scratch dominated encode profiles (~35 ms/stream
+            # at AC context counts).
+            mt = native_hist(ctx, val, uint_config, hist2d)
+            if mt < 0:
+                raise BitstreamError(
+                    f"native token histogram failed ({mt})")
         else:
-            mt = None
-        if mt is None or mt < 0:
             toks, _, _ = uint_config.encode_np(val)
             if toks.max() >= ANS_MAX_ALPHABET_SIZE:
                 raise BitstreamError("token exceeds ANS alphabet")

@@ -176,7 +176,8 @@ def _adjust_quant_blocks(coeffs, flat_inv, raw_quant, inv_gs,
 def compute_vardct_encoding_device(planes, fd, fh, distance,
                                    qf_adjust=None, quantizer=None,
                                    effort=7, aq_planes=None,
-                                   aq_distance=None):
+                                   aq_distance=None,
+                                   pre_gaborish_gab=None):
     """Device (TPU) variant of compute_vardct_encoding: adaptive quant,
     ACS search, forward DCTs, CfL fit and quantization run as two jitted
     stages (ops/encode_pipeline.py); the host keeps the global-scale
@@ -195,13 +196,27 @@ def compute_vardct_encoding_device(planes, fd, fh, distance,
         aq_planes = planes
     if aq_distance is None:
         aq_distance = distance
-    planes_dev = jax.device_put(np.ascontiguousarray(planes, np.float32))
-    if effort <= 2:
-        qf = np.full((BY, BX), 0.52 / max(distance, 0.1), np.float32)
+    if pre_gaborish_gab is not None:
+        # `planes` are PRE-gaborish: one upload, qf + gaborish inverse
+        # fused on device (encode_stage_pre).
+        pre_dev = jax.device_put(np.ascontiguousarray(planes, np.float32))
+        # The flat e<=2 field uses the frame distance, not the
+        # AQ-modulated one (matches the host branch below).
+        qf_dev, planes_dev = ep.encode_stage_pre(
+            pre_dev,
+            float(distance if effort <= 2 else aq_distance),
+            bool(pre_gaborish_gab), flat_qf=effort <= 2)
+        qf = np.asarray(qf_dev)
     else:
-        aq_dev = planes_dev if aq_planes is planes else jax.device_put(
-            np.ascontiguousarray(aq_planes, np.float32))
-        qf = np.asarray(ep.initial_quant_field_jnp(aq_distance, aq_dev))
+        planes_dev = jax.device_put(
+            np.ascontiguousarray(planes, np.float32))
+        if effort <= 2:
+            qf = np.full((BY, BX), 0.52 / max(distance, 0.1), np.float32)
+        else:
+            aq_dev = planes_dev if aq_planes is planes else jax.device_put(
+                np.ascontiguousarray(aq_planes, np.float32))
+            qf = np.asarray(ep.initial_quant_field_jnp(aq_distance,
+                                                       aq_dev))
     if qf_adjust is not None:
         qf = qf * qf_adjust[:qf.shape[0], :qf.shape[1]]
     if quantizer is None:
@@ -726,15 +741,21 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     # 0.62x (enc_heuristics.cc:1121).
     aq_planes = planes
     aq_distance = distance if fh.loop_filter.gab else distance * 0.62
-    if fh.loop_filter.gab:
+    # The AR-sharpness heuristic consumes the post-gaborish planes on
+    # host, so the fused device pre-stage only runs without it.
+    ar_active = (ar_sharpness and fh.loop_filter.epf_iters > 0
+                 and distance >= 0.5 and dc_frame_level is None)
+    device_pre = device and external_dc is None and not ar_active
+    if fh.loop_filter.gab and not device_pre:
         planes = gaborish_inverse(planes)
 
     if device and external_dc is None:
-        enc = compute_vardct_encoding_device(planes, fd, fh, distance,
-                                             qf_adjust=qf_adjust,
-                                             effort=effort,
-                                             aq_planes=aq_planes,
-                                             aq_distance=aq_distance)
+        enc = compute_vardct_encoding_device(
+            planes, fd, fh, distance, qf_adjust=qf_adjust,
+            effort=effort, aq_planes=aq_planes,
+            aq_distance=aq_distance,
+            pre_gaborish_gab=(bool(fh.loop_filter.gab) if device_pre
+                              else None))
     else:
         enc = compute_vardct_encoding(planes, fd, fh, distance,
                                       qf_adjust=qf_adjust,

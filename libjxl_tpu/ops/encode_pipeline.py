@@ -180,6 +180,24 @@ def gaborish_inverse_jnp(xyb, mul: float = 1.0):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("distance", "gab", "flat_qf"))
+def encode_stage_pre(xyb, distance: float, gab: bool,
+                     flat_qf: bool = False):
+    """Pre-gaborish XYB -> (qf, stage-B input XYB), both device-resident.
+
+    The adaptive-quant field reads PRE-gaborish pixels while the coded
+    planes are gaborish-inverted (enc_heuristics.cc:1109,1121) — fusing
+    both here keeps one host->device transfer and drops the host numpy
+    gaborish_inverse from the device encode path."""
+    if flat_qf:
+        _, h, w = xyb.shape
+        qf = jnp.full((h // 8, w // 8), 0.52 / max(distance, 0.1),
+                      jnp.float32)
+    else:
+        qf = initial_quant_field_jnp(distance, xyb)
+    return qf, (gaborish_inverse_jnp(xyb) if gab else xyb)
+
+
 @jax.jit
 def srgb_to_xyb(srgb):
     """(..., 3, H, W) sRGB [0,1] -> XYB (enc_xyb.cc LinearRGBToXYB)."""
