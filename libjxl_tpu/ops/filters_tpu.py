@@ -53,7 +53,17 @@ def _expand_blocks(block_map, h, w):
 
 def _epf_pass(img, inv_sigma_blocks, *, pad, plus, cands, sigma_scale,
               border_sad_mul, channel_scale, single_pixel_sad=False):
+    """One EPF pass with the candidate loop ROLLED via lax.scan.
+
+    A Python-unrolled candidate loop duplicates ~5 full-frame ops per
+    candidate (12 for pass 0) into the XLA graph; at 4K that graph is
+    big enough to OOM the TPU compile helper. The scan body compiles
+    once, and each candidate's shifted window is a dynamic_slice into
+    the padded frame (offsets are data, not program structure).
+    """
+    import jax
     jnp = _jnp()
+    lax = jax.lax
     _, h, w = img.shape
     sm = sigma_scale * 1.65
     inv_sigma = _expand_blocks(inv_sigma_blocks, h, w) \
@@ -61,12 +71,7 @@ def _epf_pass(img, inv_sigma_blocks, *, pad, plus, cands, sigma_scale,
     skip = _expand_blocks(inv_sigma_blocks, h, w) < MIN_SIGMA
     p = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="symmetric")
 
-    def at(dy, dx):
-        return p[:, pad + dy:pad + dy + h, pad + dx:pad + dx + w]
-
     scales = jnp.asarray(channel_scale, jnp.float32)[:, None, None]
-    acc = img
-    wsum = jnp.ones((h, w), jnp.float32)
     # Shared shifted-difference fields: |at(p) - at(c+p)| equals the
     # per-candidate channel-summed difference field D_c shifted by p,
     # so each candidate needs ONE |diff| computation on a 1-px-extended
@@ -74,25 +79,28 @@ def _epf_pass(img, inv_sigma_blocks, *, pad, plus, cands, sigma_scale,
     # passes than the naive 5-tap form; stage_epf.cc's shared-sum idea
     # restated for whole-frame tensors).
     ext = 1 if plus else 0
+    offs = jnp.asarray(cands, jnp.int32)            # (K, 2)
 
-    def diff_field(sy, sx):
-        # (h + 2*ext, w + 2*ext) field at offset (sy, sx).
-        a0, b0 = pad - ext, pad - ext
-        base = p[:, a0:a0 + h + 2 * ext, b0:b0 + w + 2 * ext]
-        off = p[:, a0 + sy:a0 + sy + h + 2 * ext,
-                b0 + sx:b0 + sx + w + 2 * ext]
-        return (jnp.abs(base - off) * scales).sum(axis=0)
-
-    for (sy, sx) in cands:
+    def body(carry, off):
+        acc, wsum = carry
+        sy, sx = off[0], off[1]
+        at_c = lax.dynamic_slice(p, (0, pad + sy, pad + sx), (3, h, w))
         if single_pixel_sad:
-            sad = (jnp.abs(at(sy, sx) - img) * scales).sum(axis=0)
+            sad = (jnp.abs(at_c - img) * scales).sum(axis=0)
         else:
-            d = diff_field(sy, sx)
+            base = p[:, pad - ext:pad - ext + h + 2 * ext,
+                     pad - ext:pad - ext + w + 2 * ext]
+            offw = lax.dynamic_slice(
+                p, (0, pad - ext + sy, pad - ext + sx),
+                (3, h + 2 * ext, w + 2 * ext))
+            d = (jnp.abs(base - offw) * scales).sum(axis=0)
             sad = sum(d[ext + py:ext + py + h, ext + px:ext + px + w]
                       for (py, px) in plus)
         wgt = jnp.maximum(sad * inv_sigma + 1.0, 0.0)
-        acc = acc + wgt[None] * at(sy, sx)
-        wsum = wsum + wgt
+        return (acc + wgt[None] * at_c, wsum + wgt), None
+
+    (acc, wsum), _ = lax.scan(
+        body, (img, jnp.ones((h, w), jnp.float32)), offs)
     return jnp.where(skip[None], img, acc / wsum[None])
 
 

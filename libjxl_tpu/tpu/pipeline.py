@@ -30,6 +30,29 @@ def _jax():
     return jax, jnp
 
 
+def _family8_select_matmul(cells, ids, mat_bank, precision):
+    """(3, N, 64) cells, (N,) strategy ids -> (3, N, 64) pixel cells.
+
+    lax.scan over the bank: step s computes (cells * [ids==s]) @ M_s and
+    accumulates. Exactly one step has a nonzero mask per block, and the
+    masked matmuls contribute exact zeros, so the accumulation equals a
+    per-block matrix select bit-for-bit.
+    """
+    jax, jnp = _jax()
+    S = mat_bank.shape[0]
+
+    def body(acc, sm):
+        s, mat = sm
+        mask = (ids == s).astype(jnp.float32)[None, :, None]
+        return acc + jnp.matmul(cells * mask, mat,
+                                precision=precision), None
+
+    acc0 = jnp.zeros(cells.shape, jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0,
+                          (jnp.arange(S, dtype=ids.dtype), mat_bank))
+    return acc
+
+
 def decode_xyb(coeff_img, weight_img, llf_img, fx, fb, mat_bank, mat_ids,
                big, biases):
     """Jit-traceable core: frame tensors -> (3, H, W) float32 XYB.
@@ -57,22 +80,19 @@ def decode_xyb(coeff_img, weight_img, llf_img, fx, fb, mat_bank, mat_ids,
                     dq[2] + fb_cell * dq[1]])
     dq = dq + llf_img
 
-    # 4a: 8x8 family: ONE matmul against the horizontally concatenated
-    # matrix bank, then a one-hot select of each block's slot. A single
-    # large matmul compiles and autotunes far faster than S unrolled
-    # masked matmuls and keeps the MXU busy with one big shape.
+    # 4a: 8x8 family: scan over the matrix bank — each step masks the
+    # cells to the blocks using that strategy and runs ONE (N,64)@(64,64)
+    # matmul. Masked lanes contribute exact zeros, so the result is
+    # bit-identical to a per-block select while never materializing the
+    # (3, N, S*64) product (~1 GB at 4K, which OOMed the TPU compile
+    # helper) and keeping the scan body a single small compiled graph.
     cells = dq.reshape(3, BH, 8, BW, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(3, BH * BW, 64)
     ids = mat_ids.reshape(BH * BW)
     # f32 MXU precision: TPU matmuls default to bf16, which is far too
     # coarse for IDCT (visible banding); force the 3-pass f32 algorithm.
     hi = jax.lax.Precision.HIGHEST
-    S = mat_bank.shape[0]
-    bank_cat = mat_bank.transpose(1, 0, 2).reshape(64, S * 64)
-    y = jnp.matmul(cells, bank_cat, precision=hi)      # (3, N, S*64)
-    oh = (ids[:, None] == jnp.arange(S)[None, :]).astype(jnp.float32)
-    pix_cells = jnp.einsum("cnsv,ns->cnv",
-                           y.reshape(3, BH * BW, S, 64), oh)
+    pix_cells = _family8_select_matmul(cells, ids, mat_bank, hi)
     pix = pix_cells.reshape(3, BH, BW, 8, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(3, H, W)
 
@@ -259,12 +279,8 @@ def decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
                      dqc[1],
                      dqc[2] + fbf[:, None] * dqc[1]])
     dqc = dqc.at[..., 0].set(dc.reshape(3, N))
-    # One concatenated-bank matmul + one-hot select (see decode_xyb).
-    S = mat_bank.shape[0]
-    bank_cat = mat_bank.transpose(1, 0, 2).reshape(64, S * 64)
-    y = jnp.matmul(dqc, bank_cat, precision=hi)        # (3, N, S*64)
-    oh = (ids[:, None] == jnp.arange(S)[None, :]).astype(jnp.float32)
-    pix_cells = jnp.einsum("cnsv,ns->cnv", y.reshape(3, N, S, 64), oh)
+    # Scanned masked-matmul bank select (see _family8_select_matmul).
+    pix_cells = _family8_select_matmul(dqc, ids, mat_bank, hi)
     pix = pix_cells.reshape(3, BH, BW, 8, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(3, H, W)
 
