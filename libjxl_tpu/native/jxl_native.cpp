@@ -1900,9 +1900,19 @@ struct AcStream {
 
 // Decode exactly one token for stream s (a coefficient, or the nzeros
 // count opening a (block, channel) pair). Tables shared across streams.
+// Per-(cluster, token) hybrid-uint decode table: u = base + (eb << lsb)
+// with eb = next `nbits` bits. Covers the token < split case with
+// nbits = lsb = 0, base = token, so the extra-bits read is branchless.
+struct TokLut {
+  uint32_t base;
+  uint8_t nbits;
+  uint8_t lsb;
+  uint16_t _pad;
+};
+
 static inline __attribute__((always_inline)) void ac_step(
     AcStream& s, const uint32_t* alias, const uint8_t* cmap,
-    const UintCfg* cfgs, int num_ctxs) {
+    const TokLut* toklut, int num_ctxs) {
   uint32_t ctx;
   if (s.phase == 1) {
     ctx = s.histo_offset +
@@ -1959,30 +1969,24 @@ static inline __attribute__((always_inline)) void ac_step(
   uint32_t token = slot & 0xFF;
   s.state = ((slot >> 20) + 1) * (s.state >> kAnsLogTabSize) +
             ((slot >> 8) & 0xFFF);
-  if (s.state < (1u << 16)) {
-    s.state = (s.state << 16) | (uint32_t)(s.bbuf & 0xFFFF);
-    s.bbuf >>= 16;
-    s.bbits -= 16;
-    s.bconsumed += 16;
+  // Branchless renorm: the 16-bit refill fires on ~half of tokens with
+  // no predictable pattern, so a cmov beats a branch by ~8 cyc/token.
+  {
+    const uint32_t renorm = s.state < (1u << 16);
+    const uint32_t ns = (s.state << 16) | (uint32_t)(s.bbuf & 0xFFFF);
+    const uint32_t sh = renorm << 4;
+    s.state = renorm ? ns : s.state;
+    s.bbuf >>= sh;
+    s.bbits -= sh;
+    s.bconsumed += sh;
   }
-  const UintCfg& c_ = cfgs[cluster];
-  const uint32_t split = 1u << c_.split_exponent;
-  uint32_t u;
-  if (token < split) {
-    u = token;
-  } else {
-    const uint32_t mt = c_.msb + c_.lsb;
-    const uint32_t nbits =
-        (c_.split_exponent - mt + ((token - split) >> mt)) & 31u;
-    const uint32_t low = token & ((1u << c_.lsb) - 1);
-    const uint32_t tk = token >> c_.lsb;
-    const uint32_t eb = (uint32_t)(s.bbuf & ((1ull << nbits) - 1));
-    s.bbuf >>= nbits;
-    s.bbits -= nbits;
-    s.bconsumed += nbits;
-    const uint32_t msbp = (1u << c_.msb) | (tk & ((1u << c_.msb) - 1));
-    u = (((msbp << nbits) | eb) << c_.lsb) | low;
-  }
+  // Branchless hybrid-uint via the per-(cluster, token) LUT.
+  const TokLut tl = toklut[((size_t)cluster << 8) | token];
+  const uint32_t eb = (uint32_t)(s.bbuf & ((1ull << tl.nbits) - 1));
+  s.bbuf >>= tl.nbits;
+  s.bbits -= tl.nbits;
+  s.bconsumed += tl.nbits;
+  const uint32_t u = tl.base + (eb << tl.lsb);
   // --- consume the token ---
   if (s.phase == 1) {
     const int32_t v = unpack_signed(u);
@@ -1995,19 +1999,19 @@ static inline __attribute__((always_inline)) void ac_step(
       return;
     }
     *dst = (int16_t)nv;
-    if (s.nz_idx && v != 0) {
+    if (s.nz_idx) {
       // Append this pass's CONTRIBUTION (a device scatter-add over all
       // passes reconstructs the frame); on capacity overflow flag via
       // cursor = -1 and the host falls back to the dense transfer.
+      // Branchless: always store at the cursor, advance by (v != 0) —
+      // the zero/nonzero pattern is unpredictable per token.
       int64_t cur = *s.nz_cursor;
-      if (cur >= 0) {
-        if (cur < s.nz_cap) {
-          s.nz_idx[cur] = (int32_t)(dst - s.frame_base);
-          s.nz_val[cur] = (int16_t)(v << s.shift);
-          *s.nz_cursor = cur + 1;
-        } else {
-          *s.nz_cursor = -1;
-        }
+      if (cur >= 0 && cur < s.nz_cap) {
+        s.nz_idx[cur] = (int32_t)(dst - s.frame_base);
+        s.nz_val[cur] = (int16_t)(v << s.shift);
+        *s.nz_cursor = cur + (v != 0);
+      } else if (cur >= 0 && v != 0) {
+        *s.nz_cursor = -1;
       }
     }
     s.prev = u != 0 ? 1 : 0;
@@ -2088,10 +2092,29 @@ int vardct_decode_ac_multi(
     uint64_t* out_bitpos, int32_t* out_final,
     int32_t* nz_idx, int16_t* nz_val, int64_t nz_cap,
     int64_t* nz_cursor) {
-  std::vector<UintCfg> cfgs(num_clusters);
+  // Expand each cluster's hybrid-uint config into a 256-entry token LUT
+  // (u = base + (extra_bits << lsb)); ~2 KB per cluster, built once per
+  // pass and shared by every group section.
+  std::vector<TokLut> toklut((size_t)num_clusters << 8);
   for (int i = 0; i < num_clusters; i++) {
-    cfgs[i] = {(uint32_t)uint_cfgs[i * 3], (uint32_t)uint_cfgs[i * 3 + 1],
-               (uint32_t)uint_cfgs[i * 3 + 2]};
+    const uint32_t se = (uint32_t)uint_cfgs[i * 3];
+    const uint32_t msb = (uint32_t)uint_cfgs[i * 3 + 1];
+    const uint32_t lsb = (uint32_t)uint_cfgs[i * 3 + 2];
+    const uint32_t split = 1u << se;
+    for (uint32_t t = 0; t < 256; t++) {
+      TokLut& e = toklut[((size_t)i << 8) | t];
+      if (t < split) {
+        e = {t, 0, 0, 0};
+      } else {
+        const uint32_t mt = msb + lsb;
+        const uint32_t nbits = (se - mt + ((t - split) >> mt)) & 31u;
+        const uint32_t low = t & ((1u << lsb) - 1);
+        const uint32_t tk = t >> lsb;
+        const uint32_t msbp = (1u << msb) | (tk & ((1u << msb) - 1));
+        e = {(msbp << (nbits + lsb)) | low, (uint8_t)nbits, (uint8_t)lsb,
+             0};
+      }
+    }
   }
   std::vector<AcStream> streams(n_groups);
   std::vector<std::vector<int32_t>> nzbufs(n_groups);
@@ -2149,9 +2172,28 @@ int vardct_decode_ac_multi(
   act.reserve(n_groups);
   for (auto& s : streams)
     if (!s.done) act.push_back(&s);
-  const UintCfg* cf = cfgs.data();
+  const TokLut* cf = toklut.data();
   // 4-way lockstep measured fastest on one core (8-way spills registers);
   // compact the active list whenever a stream finishes.
+  while (act.size() >= 8) {
+    AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
+    AcStream &e = *act[4], &f = *act[5], &g2 = *act[6], &h2 = *act[7];
+    while (!a.done && !b.done && !c.done && !d.done &&
+           !e.done && !f.done && !g2.done && !h2.done) {
+      ac_step(a, alias32, cmap, cf, num_ctxs);
+      ac_step(b, alias32, cmap, cf, num_ctxs);
+      ac_step(c, alias32, cmap, cf, num_ctxs);
+      ac_step(d, alias32, cmap, cf, num_ctxs);
+      ac_step(e, alias32, cmap, cf, num_ctxs);
+      ac_step(f, alias32, cmap, cf, num_ctxs);
+      ac_step(g2, alias32, cmap, cf, num_ctxs);
+      ac_step(h2, alias32, cmap, cf, num_ctxs);
+    }
+    for (size_t i = 0; i < act.size();) {
+      if (act[i]->done) act.erase(act.begin() + i);
+      else i++;
+    }
+  }
   while (act.size() >= 4) {
     AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
     while (!a.done && !b.done && !c.done && !d.done) {
