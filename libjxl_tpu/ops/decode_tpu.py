@@ -131,24 +131,33 @@ def xyb_to_pq16(xyb: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, H, W) XYB -> uint16 PQ-encoded BT.2100 output, fused on
     device (HDR output stage: XYB linear output is in nits/255 units;
     cms/transfer_functions-inl.h TF_PQ inverse EOTF)."""
-    bias = jnp.asarray(OPSIN_ABSORBANCE_BIAS, jnp.float32)
-    bias_cbrt = jnp.cbrt(bias)
-    inv_m = jnp.asarray(DEFAULT_INVERSE_OPSIN_MATRIX, jnp.float32)
+    import numpy as np
+    bias = np.asarray(OPSIN_ABSORBANCE_BIAS, np.float32)
+    bias_cbrt = np.cbrt(bias)
+    inv_m = np.asarray(DEFAULT_INVERSE_OPSIN_MATRIX, np.float32)
     x = xyb[..., 0, :, :]
     y = xyb[..., 1, :, :]
     b = xyb[..., 2, :, :]
-    gl = y + x + bias_cbrt[0]
-    gm = y - x + bias_cbrt[1]
-    gs = b + bias_cbrt[2]
-    mixed = jnp.stack([gl ** 3 - bias[0], gm ** 3 - bias[1],
-                       gs ** 3 - bias[2]], axis=-3)
-    linear = jnp.einsum("ij,...jhw->...ihw", inv_m, mixed,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+    gl = y + x + float(bias_cbrt[0])
+    gm = y - x + float(bias_cbrt[1])
+    gs = b + float(bias_cbrt[2])
+    m0 = gl * gl * gl - float(bias[0])
+    m1_ = gm * gm * gm - float(bias[1])
+    m2_ = gs * gs * gs - float(bias[2])
+    # 3x3 opsin inverse as explicit per-channel FMAs: a dot_general with
+    # a 3-wide contraction over axis -3 makes XLA transpose the whole
+    # frame to a channels-minor layout and back (~20 ms at 4K); nine
+    # scalar-weighted adds fuse into the surrounding elementwise code.
+    chans = [inv_m[i, 0] * m0 + inv_m[i, 1] * m1_ + inv_m[i, 2] * m2_
+             for i in range(3)]
     # nits/255 -> display fraction of 10000 nits, then PQ OETF.
-    d = jnp.clip(linear * (255.0 / 10000.0), 0.0, 1.0)
     m1, m2 = 0.1593017578125, 78.84375
     c1, c2, c3 = 0.8359375, 18.8515625, 18.6875
-    xp = d ** m1
-    pq = ((c1 + c2 * xp) / (1.0 + c3 * xp)) ** m2
-    return jnp.clip(jnp.round(pq * 65535.0), 0, 65535).astype(jnp.uint16)
+    outs = []
+    for lin in chans:
+        d = jnp.clip(lin * (255.0 / 10000.0), 0.0, 1.0)
+        xp = d ** m1
+        pq = ((c1 + c2 * xp) / (1.0 + c3 * xp)) ** m2
+        outs.append(jnp.clip(jnp.round(pq * 65535.0), 0, 65535)
+                    .astype(jnp.uint16))
+    return jnp.stack(outs, axis=-3)

@@ -128,7 +128,8 @@ def make_decode_fn(big_keys: tuple, epf_iters: int, gab: bool,
                    image_h: int, image_w: int):
     """Builds the jitted frame decoder for a given static config."""
     jax, jnp = _jax()
-    from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
+    from libjxl_tpu.ops.epf_pallas import \
+        apply_loop_filters_auto as apply_loop_filters_tpu
 
     @jax.jit
     def run(coeff_img, weight_img, llf_img, fx, fb, mat_bank, mat_ids,
@@ -170,7 +171,8 @@ def decode_frame_device(feed: dict, lf, quantizer, raw_quant, sharpness,
            image_h, image_w, return_xyb)
     if key not in _FN_CACHE:
         if return_xyb:
-            from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
+            from libjxl_tpu.ops.epf_pallas import \
+        apply_loop_filters_auto as apply_loop_filters_tpu
 
             def make_xyb():
                 @jax.jit
@@ -478,7 +480,8 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     BT.2100 HDR output, stage_from_linear TF_PQ analogue) or "xyb"
     (float32 planes)."""
     jax, jnp = _jax()
-    from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
+    from libjxl_tpu.ops.epf_pallas import \
+        apply_loop_filters_auto as apply_loop_filters_tpu
 
     lf = feed["lf"]
     if return_xyb:
@@ -694,7 +697,8 @@ def decode_frames_device_batched(feeds: list, image_h: int, image_w: int,
     (N, ...) output batch. Frames may differ in strategies/content —
     per-class masks are zero-filled for frames lacking a class."""
     jax, jnp = _jax()
-    from libjxl_tpu.ops.filters_tpu import apply_loop_filters_tpu
+    from libjxl_tpu.ops.epf_pallas import \
+        apply_loop_filters_auto as apply_loop_filters_tpu
 
     n = len(feeds)
     f0 = feeds[0]

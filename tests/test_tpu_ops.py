@@ -59,3 +59,25 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (3, 128, 128)
     assert out.dtype == np.uint8
+
+
+def test_xyb_to_pq16_matches_host_reference():
+    """Device PQ output stage (ops/decode_tpu.py xyb_to_pq16) vs the
+    host xyb_to_linear_rgb + PQ inverse-EOTF composition (lib/jxl/cms/
+    transfer_functions-inl.h TF_PQ)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libjxl_tpu.ops.decode_tpu import xyb_to_pq16
+    from libjxl_tpu.color.xyb import xyb_to_linear_rgb
+    from libjxl_tpu.color.transfer_functions import pq_encoded_from_display
+
+    rng = np.random.default_rng(11)
+    xyb = np.stack([rng.uniform(-0.02, 0.03, (33, 47)),
+                    rng.uniform(0.0, 0.8, (33, 47)),
+                    rng.uniform(0.0, 0.9, (33, 47))]).astype(np.float32)
+    got = np.asarray(xyb_to_pq16(jnp.asarray(xyb)))
+    lin = xyb_to_linear_rgb(xyb).astype(np.float64)
+    d = np.clip(lin * (255.0 / 10000.0), 0.0, 1.0)
+    want = np.round(np.clip(pq_encoded_from_display(d, 10000.0), 0, 1)
+                    * 65535.0)
+    assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 1
