@@ -26,9 +26,20 @@ the LAST line printed is always the most complete result.
 import glob
 import json
 import os
+import threading
 import time
 
 import numpy as np
+
+# Hard wall-clock budget: a wedged TPU tunnel can hang any device call
+# indefinitely (observed: rc=124 with no JSON in round 3). A daemon
+# watchdog re-prints the most complete checkpoint and exits 0 just
+# before the budget expires, so the driver always gets a parseable
+# final line.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+_T_START = time.perf_counter()
+_LAST = {"metric": "e2e_4k_hdr_progressive_epf3_decode", "value": 0.0,
+         "unit": "MPix/s", "vs_baseline": 0.0, "phase": "startup"}
 
 N_IMAGES = 3          # distinct 4K streams
 SUSTAIN_DECODES = 12  # decodes per sustained run (cycling the corpus)
@@ -59,10 +70,27 @@ def load_corpus():
 def checkpoint(fields):
     """Print a complete, parseable JSON line for the driver. Later
     checkpoints strictly extend earlier ones."""
+    _LAST.clear()
+    _LAST.update(fields)
     print(json.dumps(fields), flush=True)
 
 
+def _watchdog():
+    rem = BUDGET_S - (time.perf_counter() - _T_START) - 8.0
+    if rem > 0:
+        time.sleep(rem)
+    out = dict(_LAST)
+    out["phase"] = out.get("phase", "startup") + "+watchdog_timeout"
+    print(json.dumps(out), flush=True)
+    os._exit(0)
+
+
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - _T_START)
+
+
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     result = {
         "metric": "e2e_4k_hdr_progressive_epf3_decode",
         "value": 0.0,
@@ -140,8 +168,10 @@ def main():
 
     # Phase 3: sustained end-to-end — bitstream -> PQ16 pixels; parse
     # overlapped with staging/dispatch via the pipeline. Best of 2.
+    if _remaining() < 90:
+        return   # device_only checkpoint stands as the final line
     t_e2e = float("inf")
-    for _ in range(2):
+    for _ in range(1 if _remaining() < 180 else 2):
         pipe = DecodePipeline(out="pq16", max_inflight=4)
         t0 = time.perf_counter()
         futs = [pipe.submit(streams[i % N_IMAGES])
