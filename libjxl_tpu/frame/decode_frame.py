@@ -394,7 +394,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                 or coeff_frame.dtype != np.int16:
             return False
         fprep = _frame_prep()
-        flat_orders, blk_oo = pass_order_offsets(fprep, pass_orders[p])
+        flat_orders, blk_oo = pass_order_offsets(
+            fprep, pass_orders[p], coeff_frame.shape[2])
         sections, ctx_offs, brs = [], [], []
         for g in range(fd.num_groups):
             br = _read_selector(p, g)

@@ -1838,20 +1838,26 @@ void inverse_mtf_u32(uint32_t* values, int64_t n) {
 // (the single-stream decode is latency-bound on alias-table loads and
 // the state multiply; 4-way interleave measures ~4x on one core).
 
+}  // extern "C" (templates below need C++ linkage)
+
 namespace {
 
 struct AcStream {
-  // bit reader (register-local mirror of BitReaderC)
+  // bit reader (register-local mirror of BitReaderC). Consumed-bit
+  // count is NOT tracked per token: the invariant
+  //   bconsumed == (bpos + vbytes) * 8 - bbits
+  // holds because every refill adds whole (possibly virtual) bytes and
+  // every consumption decrements bbits; recompute it at the end.
   const uint8_t* bdata;
-  uint64_t bsize, bpos, bbuf, bconsumed;
+  uint64_t bsize, bpos, bbuf, vbytes = 0;
   uint32_t bbits;
   uint32_t state;
   // FSM position
   int b = 0;        // block index
   int ci = 0;       // channel-order index (0..2 -> channel 1,0,2)
   int phase = 0;    // 0 = read nzeros next, 1 = coefficient loop
-  uint32_t k = 0, size = 0, covered = 0, log2_covered = 0, wlog = 3,
-           wmask = 7, nzeros = 0, prev = 0;
+  uint32_t k = 0, size = 0, covered = 0, log2_covered = 0,
+           nzeros = 0, prev = 0;
   // cached per (b, ci)
   int16_t* block = nullptr;
   const int32_t* order = nullptr;
@@ -1891,11 +1897,14 @@ struct AcStream {
       } else {
         while (bbits < 56) {
           if (bpos < bsize) bbuf |= (uint64_t)bdata[bpos++] << bbits;
+          else vbytes++;
           bbits += 8;
         }
       }
     }
   }
+
+  uint64_t bconsumed() const { return (bpos + vbytes) * 8 - bbits; }
 };
 
 // Decode exactly one token for stream s (a coefficient, or the nzeros
@@ -1910,9 +1919,28 @@ struct TokLut {
   uint16_t _pad;
 };
 
+// Optional per-token counter for microbenchmarks only: an unconditional
+// global RMW serializes all interleaved streams, so it is compiled out
+// by default (build with -DJXL_COUNT_TOKENS to enable).
+#ifdef JXL_COUNT_TOKENS
+uint64_t g_ac_tokens = 0;
+#define JXL_TOKEN_TICK() g_ac_tokens++
+#else
+#define JXL_TOKEN_TICK()
+#endif
+extern "C" uint64_t jxl_ac_token_count() {
+#ifdef JXL_COUNT_TOKENS
+  return g_ac_tokens;
+#else
+  return 0;
+#endif
+}
+
+template <bool kSink>
 static inline __attribute__((always_inline)) void ac_step(
     AcStream& s, const uint32_t* alias, const uint8_t* cmap,
-    const TokLut* toklut, int num_ctxs) {
+    const TokLut* toklut, int num_ctxs, int64_t& nzcur) {
+  JXL_TOKEN_TICK();
   uint32_t ctx;
   if (s.phase == 1) {
     ctx = s.histo_offset +
@@ -1926,9 +1954,6 @@ static inline __attribute__((always_inline)) void ac_step(
       s.log2_covered = 0;
       while ((1u << (s.log2_covered + 1)) <= s.covered) s.log2_covered++;
       s.size = s.covered * 64;
-      s.wlog = 3;
-      while ((1u << s.wlog) < (uint32_t)(cx * 8)) s.wlog++;
-      s.wmask = (1u << s.wlog) - 1;
       s.base0 = s.frame + s.origin +
                 (int64_t)s.blk_by[b] * 8 * s.row_stride +
                 (int64_t)s.blk_bx[b] * 8;
@@ -1966,32 +1991,30 @@ static inline __attribute__((always_inline)) void ac_step(
   const uint32_t cluster = cmap[ctx];
   const uint32_t slot =
       alias[(size_t)cluster * kAnsTabSize + (s.state & (kAnsTabSize - 1))];
-  uint32_t token = slot & 0xFF;
+  const uint32_t token = slot & 0xFF;
+  // The hybrid-uint LUT load only needs (cluster, token) — issue it
+  // before the renorm chain so it overlaps the state arithmetic.
+  const TokLut tl = toklut[((size_t)cluster << 8) | token];
   s.state = ((slot >> 20) + 1) * (s.state >> kAnsLogTabSize) +
             ((slot >> 8) & 0xFFF);
-  // Branchless renorm: the 16-bit refill fires on ~half of tokens with
-  // no predictable pattern, so a cmov beats a branch by ~8 cyc/token.
-  {
-    const uint32_t renorm = s.state < (1u << 16);
-    const uint32_t ns = (s.state << 16) | (uint32_t)(s.bbuf & 0xFFFF);
-    const uint32_t sh = renorm << 4;
-    s.state = renorm ? ns : s.state;
-    s.bbuf >>= sh;
-    s.bbits -= sh;
-    s.bconsumed += sh;
-  }
-  // Branchless hybrid-uint via the per-(cluster, token) LUT.
-  const TokLut tl = toklut[((size_t)cluster << 8) | token];
-  const uint32_t eb = (uint32_t)(s.bbuf & ((1ull << tl.nbits) - 1));
-  s.bbuf >>= tl.nbits;
-  s.bbits -= tl.nbits;
-  s.bconsumed += tl.nbits;
+  // Branchless renorm (the 16-bit refill fires on ~half of tokens with
+  // no predictable pattern) merged with the extra-bits read: ONE
+  // combined bbuf shift and bbits update instead of two of each.
+  const uint32_t renorm = s.state < (1u << 16);
+  const uint32_t ns = (s.state << 16) | (uint32_t)(s.bbuf & 0xFFFF);
+  const uint32_t sh = renorm << 4;
+  s.state = renorm ? ns : s.state;
+  const uint32_t eb =
+      (uint32_t)((s.bbuf >> sh) & ((1ull << tl.nbits) - 1));
+  s.bbuf >>= sh + tl.nbits;
+  s.bbits -= sh + tl.nbits;
   const uint32_t u = tl.base + (eb << tl.lsb);
   // --- consume the token ---
   if (s.phase == 1) {
     const int32_t v = unpack_signed(u);
-    const uint32_t p = (uint32_t)s.order[s.k];
-    int16_t* dst = s.block + (p >> s.wlog) * s.row_stride + (p & s.wmask);
+    // Orders are pre-baked PIXEL offsets (pass_order_offsets): one add
+    // replaces the shift/mask/multiply block-address math per token.
+    int16_t* dst = s.block + s.order[s.k];
     const int32_t nv = *dst + (v << s.shift);
     if (nv != (int16_t)nv) {
       s.rc = -12;
@@ -1999,19 +2022,20 @@ static inline __attribute__((always_inline)) void ac_step(
       return;
     }
     *dst = (int16_t)nv;
-    if (s.nz_idx) {
+    if (kSink) {
       // Append this pass's CONTRIBUTION (a device scatter-add over all
       // passes reconstructs the frame); on capacity overflow flag via
       // cursor = -1 and the host falls back to the dense transfer.
       // Branchless: always store at the cursor, advance by (v != 0) —
-      // the zero/nonzero pattern is unpredictable per token.
-      int64_t cur = *s.nz_cursor;
-      if (cur >= 0 && cur < s.nz_cap) {
-        s.nz_idx[cur] = (int32_t)(dst - s.frame_base);
-        s.nz_val[cur] = (int16_t)(v << s.shift);
-        *s.nz_cursor = cur + (v != 0);
-      } else if (cur >= 0 && v != 0) {
-        *s.nz_cursor = -1;
+      // the zero/nonzero pattern is unpredictable per token. The cursor
+      // lives in a register in the lockstep driver (a shared in-memory
+      // cursor would serialize the interleaved streams on one RMW chain).
+      if (nzcur >= 0 && nzcur < s.nz_cap) {
+        s.nz_idx[nzcur] = (int32_t)(dst - s.frame_base);
+        s.nz_val[nzcur] = (int16_t)(v << s.shift);
+        nzcur += (v != 0);
+      } else if (nzcur >= 0 && v != 0) {
+        nzcur = -1;
       }
     }
     s.prev = u != 0 ? 1 : 0;
@@ -2061,6 +2085,63 @@ static inline __attribute__((always_inline)) void ac_step(
     } else {
       s.phase = 1;
     }
+  }
+}
+
+// Lockstep driver: 8-way while enough live streams (ILP hides the
+// per-stream alias-table load latency), then 4/2/1-way tails; the
+// active list is compacted whenever any stream finishes.
+template <bool kSink>
+static void run_ac_lockstep(std::vector<AcStream*>& act,
+                            const uint32_t* alias32, const uint8_t* cmap,
+                            const TokLut* cf, int num_ctxs,
+                            int64_t& nzcur) {
+  while (act.size() >= 8) {
+    AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
+    AcStream &e = *act[4], &f = *act[5], &g2 = *act[6], &h2 = *act[7];
+    while (!a.done && !b.done && !c.done && !d.done &&
+           !e.done && !f.done && !g2.done && !h2.done) {
+      ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(b, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(c, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(d, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(e, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(f, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(g2, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(h2, alias32, cmap, cf, num_ctxs, nzcur);
+    }
+    for (size_t i = 0; i < act.size();) {
+      if (act[i]->done) act.erase(act.begin() + i);
+      else i++;
+    }
+  }
+  while (act.size() >= 4) {
+    AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
+    while (!a.done && !b.done && !c.done && !d.done) {
+      ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(b, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(c, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(d, alias32, cmap, cf, num_ctxs, nzcur);
+    }
+    for (size_t i = 0; i < act.size();) {
+      if (act[i]->done) act.erase(act.begin() + i);
+      else i++;
+    }
+  }
+  while (act.size() >= 2) {
+    AcStream &a = *act[0], &b = *act[1];
+    while (!a.done && !b.done) {
+      ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kSink>(b, alias32, cmap, cf, num_ctxs, nzcur);
+    }
+    for (size_t i = 0; i < act.size();) {
+      if (act[i]->done) act.erase(act.begin() + i);
+      else i++;
+    }
+  }
+  if (!act.empty()) {
+    AcStream& a = *act[0];
+    while (!a.done) ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
   }
 }
 
@@ -2126,7 +2207,6 @@ int vardct_decode_ac_multi(
     s.bpos = bit_pos / 8;
     s.bbuf = 0;
     s.bbits = 0;
-    s.bconsumed = bit_pos;
     uint32_t rem = bit_pos % 8;
     if (rem) {
       s.refill56();
@@ -2137,7 +2217,6 @@ int vardct_decode_ac_multi(
     s.state = (uint32_t)(s.bbuf & 0xFFFFFFFFu);
     s.bbuf >>= 32;
     s.bbits -= 32;
-    s.bconsumed += 32;
     s.blk_bx = blk_bx + g_blk_off[g];
     s.blk_by = blk_by + g_blk_off[g];
     s.blk_cx = blk_cx + g_blk_off[g];
@@ -2173,59 +2252,19 @@ int vardct_decode_ac_multi(
   for (auto& s : streams)
     if (!s.done) act.push_back(&s);
   const TokLut* cf = toklut.data();
-  // 4-way lockstep measured fastest on one core (8-way spills registers);
-  // compact the active list whenever a stream finishes.
-  while (act.size() >= 8) {
-    AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
-    AcStream &e = *act[4], &f = *act[5], &g2 = *act[6], &h2 = *act[7];
-    while (!a.done && !b.done && !c.done && !d.done &&
-           !e.done && !f.done && !g2.done && !h2.done) {
-      ac_step(a, alias32, cmap, cf, num_ctxs);
-      ac_step(b, alias32, cmap, cf, num_ctxs);
-      ac_step(c, alias32, cmap, cf, num_ctxs);
-      ac_step(d, alias32, cmap, cf, num_ctxs);
-      ac_step(e, alias32, cmap, cf, num_ctxs);
-      ac_step(f, alias32, cmap, cf, num_ctxs);
-      ac_step(g2, alias32, cmap, cf, num_ctxs);
-      ac_step(h2, alias32, cmap, cf, num_ctxs);
-    }
-    for (size_t i = 0; i < act.size();) {
-      if (act[i]->done) act.erase(act.begin() + i);
-      else i++;
-    }
-  }
-  while (act.size() >= 4) {
-    AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
-    while (!a.done && !b.done && !c.done && !d.done) {
-      ac_step(a, alias32, cmap, cf, num_ctxs);
-      ac_step(b, alias32, cmap, cf, num_ctxs);
-      ac_step(c, alias32, cmap, cf, num_ctxs);
-      ac_step(d, alias32, cmap, cf, num_ctxs);
-    }
-    for (size_t i = 0; i < act.size();) {
-      if (act[i]->done) act.erase(act.begin() + i);
-      else i++;
-    }
-  }
-  while (act.size() >= 2) {
-    AcStream &a = *act[0], &b = *act[1];
-    while (!a.done && !b.done) {
-      ac_step(a, alias32, cmap, cf, num_ctxs);
-      ac_step(b, alias32, cmap, cf, num_ctxs);
-    }
-    for (size_t i = 0; i < act.size();) {
-      if (act[i]->done) act.erase(act.begin() + i);
-      else i++;
-    }
-  }
-  if (!act.empty()) {
-    AcStream& a = *act[0];
-    while (!a.done) ac_step(a, alias32, cmap, cf, num_ctxs);
+  if (nz_idx) {
+    int64_t cur = *nz_cursor;
+    run_ac_lockstep<true>(act, alias32, cmap, cf, num_ctxs, cur);
+    *nz_cursor = cur;
+  } else {
+    int64_t cur = 0;
+    run_ac_lockstep<false>(act, alias32, cmap, cf, num_ctxs, cur);
   }
   for (int g = 0; g < n_groups; g++) {
     AcStream& s = streams[g];
-    out_rc[g] = s.rc != 0 ? s.rc : (s.bconsumed > s.bsize * 8 ? -1 : 0);
-    out_bitpos[g] = s.bconsumed;
+    const uint64_t consumed = s.bconsumed();
+    out_rc[g] = s.rc != 0 ? s.rc : (consumed > s.bsize * 8 ? -1 : 0);
+    out_bitpos[g] = consumed;
     out_final[g] = (s.state == (kAnsSignature << 16)) ? 1 : 0;
   }
   return 0;
@@ -2233,6 +2272,7 @@ int vardct_decode_ac_multi(
 
 }  // extern "C"
 
+extern "C"
 // AC group decode straight into the frame-level int16 coefficient image
 // (the device feed), merging vardct_decode_ac with the feed scatter:
 //   frame[c][gy0*8 + by*8 + r][gx0*8 + bx*8 + s]  (strides in elements)
@@ -2332,5 +2372,3 @@ int vardct_decode_ac_frame(
   }
   return h->br.overread ? -1 : 0;
 }
-
-}  // extern "C"

@@ -78,14 +78,44 @@ def prepare_frame(strategies: np.ndarray, raw_quant: np.ndarray,
     }
 
 
-def pass_order_offsets(fprep: dict, orders: dict):
-    """Per-pass (flat_orders, (n, 3) order offsets) for a frame prep."""
+def pass_order_offsets(fprep: dict, orders: dict, row_stride: int):
+    """Per-pass (flat pixel-offset orders, (n, 3) order offsets) for a
+    frame prep. Coefficient positions are pre-baked into PIXEL offsets
+    within a block's top-left (`(p >> wlog) * row_stride + (p & wmask)`)
+    so the native token loop does one add per coefficient instead of
+    shift/mask/multiply address math — row_stride is frame-constant and
+    each order bucket has a fixed block shape."""
     from libjxl_tpu.vardct.ac_strategy import NUM_ORDERS
     flat_orders, order_index = flatten_orders(orders)
+    seg_wlog = np.zeros(len(flat_orders), np.uint8)
     order_lut = np.zeros((NUM_ORDERS, 3), np.int32)
     for (ob, c), off_v in order_index.items():
         order_lut[ob, c] = off_v
-    return flat_orders, np.ascontiguousarray(order_lut[fprep["ord_b"]])
+        ln = _bucket_order_len(orders, (ob, c))
+        seg_wlog[off_v:off_v + ln] = 3 + _BUCKET_LOG2_CX[ob]
+    p = flat_orders.astype(np.int64)
+    poff = ((p >> seg_wlog) * row_stride
+            + (p & ((1 << seg_wlog.astype(np.int64)) - 1)))
+    return (np.ascontiguousarray(poff.astype(np.int32)),
+            np.ascontiguousarray(order_lut[fprep["ord_b"]]))
+
+
+def _bucket_order_len(orders: dict, key) -> int:
+    return len(orders[key])
+
+
+def _bucket_log2_cx() -> np.ndarray:
+    """log2(covered_x) per order bucket (coeff_order.h kStrategyOrder:
+    every strategy in a bucket shares one block shape)."""
+    from libjxl_tpu.vardct.ac_strategy import (COVERED_X, NUM_ORDERS,
+                                               STRATEGY_ORDER)
+    out = np.zeros(NUM_ORDERS, np.int64)
+    for s, ob in enumerate(STRATEGY_ORDER):
+        out[ob] = int(COVERED_X[s]).bit_length() - 1
+    return out
+
+
+_BUCKET_LOG2_CX = _bucket_log2_cx()
 
 
 def native_decode_ac_multi(sections, codes, fprep, flat_orders, blk_oo,
