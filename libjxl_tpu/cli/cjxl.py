@@ -89,10 +89,15 @@ def main(argv=None) -> int:
             print(f"coefficient transcode unavailable ({e}); "
                   f"re-encoding pixels", file=sys.stderr)
 
-    img = Image.open(args.input)
-    if img.mode not in ("RGB", "L", "I;16"):
-        img = img.convert("RGB")
-    arr = np.asarray(img)
+    # Codec registry: PNG/JPEG/GIF via PIL, PNM/PGX/EXR native
+    # (extras/codecs.py; lib/extras/dec/decode.h facade).
+    from libjxl_tpu.extras.codecs import load_image
+    loaded = load_image(args.input)
+    arr = loaded.pixels
+    if loaded.float_samples:
+        arr = np.clip(arr, 0.0, 1.0)
+    elif arr.ndim == 3 and arr.shape[2] == 4 and not args.lossless:
+        arr = arr[:, :, :3]
 
     noise = args.photon_noise
     if noise not in (None, "auto"):

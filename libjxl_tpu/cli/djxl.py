@@ -80,11 +80,15 @@ def main(argv=None) -> int:
     else:
         if arr.ndim == 3 and arr.shape[2] == 1:
             arr = arr[:, :, 0]
-        if arr.dtype == np.uint16:
-            mode = "I;16" if arr.ndim == 2 else None
-            if mode is None:
-                arr = (arr >> 8).astype(np.uint8)
-        Image.fromarray(arr).save(args.output)
+        # Codec registry picks the writer from the extension: PNG keeps
+        # 16-bit (incl. RGB48 via the in-tree PNG writer), PNM/PGX/EXR
+        # are the native coders (extras/codecs.py).
+        from libjxl_tpu.extras.codecs import codec_from_path, save_image
+        codec = codec_from_path(args.output)
+        if codec == "exr" and arr.dtype != np.float32:
+            arr = arr.astype(np.float32) / \
+                (65535.0 if arr.dtype == np.uint16 else 255.0)
+        save_image(arr, args.output)
     return 0
 
 
