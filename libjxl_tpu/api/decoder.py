@@ -328,6 +328,7 @@ class Decoder:
             except NotSupported:
                 self._inc_unsupported = True
                 return self._advance_frame()
+            inc.reference_frames = self._refs
             self._inc = inc
             if Event.FRAME in self._events:
                 self._pending.append(Event.FRAME)

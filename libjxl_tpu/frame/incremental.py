@@ -58,6 +58,10 @@ class IncrementalFrameDecoder:
         self._group_blocks: list = []
         self._group_pass_done: set = set()
         self._maps_ready = False
+        # Saved reference frames for patches (callers that track them —
+        # the streaming Decoder — install theirs; dec_frame.cc
+        # reference_frames_).
+        self.reference_frames: list = [None] * 4
 
     # -- header + TOC ----------------------------------------------------
 
@@ -92,8 +96,7 @@ class IncrementalFrameDecoder:
                 raise NotSupported("modular frame outside profile")
         elif fh.encoding != FrameEncoding.VARDCT \
                 or not fh.chroma_subsampling.is_444() \
-                or (fh.flags & FrameFlags.USE_DC_FRAME) \
-                or fh.upsampling != 1:
+                or (fh.flags & FrameFlags.USE_DC_FRAME):
             raise NotSupported("frame outside incremental profile")
         self.fh, self.fd = fh, fd
         self._single = entries == 1
@@ -126,7 +129,7 @@ class IncrementalFrameDecoder:
             from libjxl_tpu.frame.patches import decode_patches
             self.patch_dict = decode_patches(
                 r, fd.xsize_padded, fd.ysize_padded,
-                meta.m.num_extra_channels, [None] * 4)
+                meta.m.num_extra_channels, self.reference_frames)
         self.splines = None
         if fh.flags & FrameFlags.SPLINES:
             from libjxl_tpu.frame.splines import decode_splines
@@ -424,16 +427,23 @@ class IncrementalFrameDecoder:
                 self.raw_quant, self.strategies, self.quantizer, fd,
                 sharpness=self.sharpness)
             out[:, :fd.ysize, :fd.xsize] = filtered
+        # Upsampling precedes patches/splines/noise (dec_cache.cc stage
+        # order: EPF -> upsampling -> patches -> splines -> noise).
+        if fh.upsampling != 1:
+            from libjxl_tpu.pipeline.upsample import upsample_image
+            out = upsample_image(out[:, :fd.ysize, :fd.xsize],
+                                 fh.upsampling)
         if self.patch_dict is not None:
             from libjxl_tpu.frame.patches import apply_patches
-            apply_patches(self.patch_dict, out, None, [None] * 4)
+            apply_patches(self.patch_dict, out, None,
+                          self.reference_frames)
         if self.splines is not None:
             from libjxl_tpu.frame.splines import render_splines
             render_splines(self.splines, out, self.cmap)
         if self.noise_lut is not None:
             from libjxl_tpu.frame.noise import add_noise
             out = add_noise(out, self.noise_lut, self.cmap, fd)
-        return out[:, :fd.ysize, :fd.xsize]
+        return out[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
 
     def flush(self) -> np.ndarray | None:
         """Partial image from the passes received so far, or None when

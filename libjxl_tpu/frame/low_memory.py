@@ -2,15 +2,23 @@
 
 Analogue of lib/jxl/render_pipeline/low_memory_render_pipeline.h: the
 frame is decoded one 256-px group row (band) at a time — AC group
-coefficients are freed as soon as their band renders, and loop filters
-run on a band extended by a 16-px halo of real neighbor rows (anything
-closer than the filter support to a band edge comes out of the halo;
-true image edges mirror as usual). Peak memory is two unfiltered pixel
-bands + the DC/control maps instead of the whole-frame float buffers
-of the one-shot decoder (a 16K x 16K image: ~100 MB instead of ~3 GB).
+coefficients are freed as soon as their band renders, and every post
+stage runs band-wise with real-neighbor halos:
 
-Profile: single-pass VarDCT, 4:4:4, no patches/splines/noise, no
-upsampling, XYB color. Other streams raise NotSupported and callers
+  loop filters (16-px unfiltered halo) -> learned upsampling (2-px
+  filtered halo) -> patches -> splines -> noise (2-px noise halo)
+
+each windowed so band outputs tile bit-exactly to the one-shot
+decoder (tests/test_low_memory.py compares both). Peak memory is two
+unfiltered pixel bands + the DC/control maps instead of the
+whole-frame float buffers (a 16K x 16K image: ~100 MB instead of
+~3 GB).
+
+Profile: VarDCT 4:4:4 XYB without extra channels; multi-pass
+(progressive), upsampling, patches, splines and noise all stream.
+Leading REFERENCE_ONLY / DC frames decode one-shot (they are retained
+whole, exactly as the reference keeps reference_frames_) and the final
+visible frame streams. Other streams raise NotSupported and callers
 fall back to the one-shot decoder.
 """
 
@@ -23,6 +31,7 @@ from libjxl_tpu.frame.incremental import (
 )
 
 _HALO = 16   # px; >= total gaborish+EPF support, block aligned
+_UPH = 2     # filtered rows of context the 5x5 upsampler needs
 
 
 def decode_low_memory(data: bytes, callback) -> tuple:
@@ -31,7 +40,9 @@ def decode_low_memory(data: bytes, callback) -> tuple:
     Returns (height, width)."""
     from libjxl_tpu.api.simple import is_container, unpack_container
     from libjxl_tpu.bitstream.bit_io import BitReader
-    from libjxl_tpu.frame.frame_header import FrameFlags
+    from libjxl_tpu.bitstream.fields import bundle_read
+    from libjxl_tpu.frame.decode_frame import decode_frame
+    from libjxl_tpu.frame.frame_header import FrameHeader, FrameType
     from libjxl_tpu.frame.headers import read_codestream_headers
 
     if is_container(data):
@@ -41,15 +52,39 @@ def decode_low_memory(data: bytes, callback) -> tuple:
     if not meta.m.xyb_encoded or meta.m.num_extra_channels:
         raise NotSupported("low-memory profile is XYB color only")
 
+    # Leading reference / DC frames decode one-shot and are retained
+    # whole (reference semantics); the last frame streams.
+    refs: list = [None] * 4
+    dcs: list = [None] * 5
+    while True:
+        start_bits = r.bits_consumed
+        fh_probe = FrameHeader(nonserialized_metadata=meta)
+        bundle_read(r, fh_probe)
+        is_final = (fh_probe.frame_type == FrameType.REGULAR
+                    and fh_probe.is_last)
+        r.seek_bits(start_bits)
+        if is_final:
+            break
+        frame = decode_frame(r, meta, refs, dc_frames=dcs)
+        fh_p = frame.header
+        if fh_p.frame_type == FrameType.DC_FRAME:
+            dcs[fh_p.dc_level] = frame.xyb
+        elif fh_p.save_as_reference is not None and frame.xyb is not None:
+            refs[fh_p.save_as_reference] = frame.xyb
+
     inc = IncrementalFrameDecoder(meta)
+    inc.reference_frames = refs
     if not inc.init(data, r.bits_consumed):
         raise NotSupported("truncated input")
     fh, fd = inc.fh, inc.fd
-    if fh.passes.num_passes != 1:
-        raise NotSupported("multi-pass outside low-memory profile")
-    if fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES
-                   | FrameFlags.NOISE):
-        raise NotSupported("image features outside low-memory profile")
+    if inc._modular:
+        raise NotSupported("modular frame outside low-memory profile")
+    from libjxl_tpu.frame.frame_header import BlendMode
+    if fh.blending_info.mode != BlendMode.REPLACE \
+            or fh.custom_size_or_origin:
+        raise NotSupported("blended/cropped final frame outside "
+                           "low-memory profile")
+    num_passes = fh.passes.num_passes
 
     if inc._single:
         # One-section frame (small image): all sections share one
@@ -82,21 +117,26 @@ def decode_low_memory(data: bytes, callback) -> tuple:
     groups_x = -(-fd.xsize // gd)
     groups_y = -(-fd.ysize // gd)
     W = fd.xsize
+    n_up = fh.upsampling
+    Wu = fd.xsize_upsampled
+    Hu = fd.ysize_upsampled
     lfp = fh.loop_filter
     use_filters = lfp.gab or lfp.epf_iters > 0
 
     def render_band(row: int) -> np.ndarray:
         """Decode + reconstruct one unfiltered band (3, bh, W),
-        freeing coefficients as it goes."""
+        accumulating every progressive pass, freeing coefficients."""
         y0 = row * gd
         bh = min(gd, fd.ysize - y0)
         band = np.zeros((3, bh, W), np.float32)
         for gx in range(groups_x):
             g = row * groups_x + gx
-            idx = 2 + fd.num_dc_groups + g
-            rg = seq_reader if seq_reader is not None \
-                else inc._section(data, idx)
-            inc._decode_ac_group(rg, 0, g)
+            for p in range(num_passes):
+                if seq_reader is not None:
+                    inc._decode_ac_group(seq_reader, p, g)
+                else:
+                    idx = 2 + fd.num_dc_groups + p * fd.num_groups + g
+                    inc._decode_ac_group(inc._section(data, idx), p, g)
             blocks = inc._group_blocks[g]
             brect = fd.block_group_rect(g)
             sl = brect.slices()
@@ -112,19 +152,56 @@ def decode_low_memory(data: bytes, callback) -> tuple:
             band[:, :, x0:x0 + w_] = pix[:, :bh, :w_]
         return band
 
-    def emit(xyb_rows: np.ndarray, y0: int) -> None:
+    def emit(xyb_rows: np.ndarray, y0u: int) -> None:
         srgb = linear_to_srgb(xyb_to_linear_rgb(xyb_rows))
         rows = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
-        callback(y0, rows.transpose(1, 2, 0))
+        callback(y0u, rows.transpose(1, 2, 0))
 
-    prev_band = None       # unfiltered band r-1 (3, h, W)
-    prev_tail = None       # last _HALO unfiltered rows of band r-2
-    prev_y0 = 0
-
-    def filter_and_emit(band, y0, top_tail, bot_head):
-        if not use_filters:
-            emit(band, y0)
+    def post_and_emit(fband, y0, at_top, at_bot):
+        """Upsample + features + emit one FILTERED band. fband carries
+        _UPH extra filtered context rows on interior edges."""
+        top_ctx = 0 if at_top else _UPH
+        h = fband.shape[1] - top_ctx - (0 if at_bot else _UPH)
+        if n_up != 1:
+            from libjxl_tpu.pipeline.upsample import upsample_image
+            # The upsampler's symmetric padding only leaks into output
+            # rows derived from the context rows themselves; the band
+            # region is exact (true frame edges keep the mirror).
+            up = upsample_image(fband, n_up)
+            out = up[:, top_ctx * n_up:(top_ctx + h) * n_up]
+            out = np.ascontiguousarray(out[:, :, :Wu])
+        else:
+            out = np.ascontiguousarray(
+                fband[:, top_ctx:top_ctx + h, :Wu])
+        y0u = y0 * n_up
+        out = out[:, :max(0, Hu - y0u)]
+        if out.shape[1] == 0:
             return
+        if inc.patch_dict is not None:
+            from libjxl_tpu.frame.patches import apply_patches_band
+            apply_patches_band(inc.patch_dict, out, y0u, None, refs)
+        if inc.splines is not None:
+            from libjxl_tpu.frame.splines import render_splines
+            render_splines(inc.splines, out, inc.cmap, y_off=y0u)
+        if inc.noise_lut is not None:
+            from libjxl_tpu.frame.noise import add_noise_band
+            add_noise_band(out, y0u, inc.noise_lut, inc.cmap, fd)
+        emit(out, y0u)
+
+    def filter_band(band, y0, top_tail, bot_head):
+        """Filter one band with real-neighbor halos; returns the
+        filtered band EXTENDED by _UPH valid context rows on interior
+        edges (the rows sit >= _HALO - _UPH >= filter support away from
+        the concatenation boundary, so they match the whole-frame
+        filter output)."""
+        if not use_filters:
+            parts = []
+            if top_tail is not None:
+                parts.append(top_tail[:, -_UPH:])
+            parts.append(band)
+            if bot_head is not None:
+                parts.append(bot_head[:, :_UPH])
+            return np.concatenate(parts, axis=1)
         parts = []
         top_h = 0
         if top_tail is not None:
@@ -140,14 +217,23 @@ def decode_low_memory(data: bytes, callback) -> tuple:
         st = inc.strategies[by0:by0 + ext.shape[1] // 8 + 1]
         filt = apply_loop_filters(ext, lfp, rq, st, inc.quantizer, fd,
                                   sharpness=sh)
-        emit(filt[:, top_h:top_h + band.shape[1]], y0)
+        lo = top_h - (_UPH if top_tail is not None else 0)
+        hi = top_h + band.shape[1] + \
+            (_UPH if bot_head is not None else 0)
+        return filt[:, lo:hi]
+
+    prev_band = None       # unfiltered band r-1 (3, h, W)
+    prev_tail = None       # last _HALO unfiltered rows of band r-2
+    prev_y0 = 0
 
     for row in range(groups_y):
         band = render_band(row)
         if prev_band is not None:
-            filter_and_emit(prev_band, prev_y0, prev_tail,
-                            band[:, :_HALO])
+            fband = filter_band(prev_band, prev_y0, prev_tail,
+                                band[:, :_HALO])
+            post_and_emit(fband, prev_y0, prev_tail is None, False)
             prev_tail = prev_band[:, -_HALO:].copy()
         prev_band, prev_y0 = band, row * gd
-    filter_and_emit(prev_band, prev_y0, prev_tail, None)
-    return fd.ysize, W
+    fband = filter_band(prev_band, prev_y0, prev_tail, None)
+    post_and_emit(fband, prev_y0, prev_tail is None, True)
+    return Hu, Wu

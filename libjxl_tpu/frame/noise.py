@@ -116,6 +116,60 @@ def synthesize_noise_planes(h: int, w: int, group_dim: int,
     return planes
 
 
+def synthesize_noise_rows(y_lo: int, y_hi: int, h_total: int, w: int,
+                          group_dim: int, visible_frame_index: int = 1,
+                          nonvisible_frame_index: int = 0) -> np.ndarray:
+    """Rows [y_lo, y_hi) of the frame noise planes, bit-identical to
+    the corresponding slice of synthesize_noise_planes(h_total, w):
+    tiles are seeded by absolute origin and filled whole (the RNG
+    stream is consumed tile-sequentially), then sliced."""
+    gd = group_dim
+    out = np.empty((3, y_hi - y_lo, w), np.float32)
+    for gy in range(y_lo // gd, (y_hi - 1) // gd + 1):
+        ty0 = gy * gd
+        rh = min(gd, h_total - ty0)
+        tile = np.empty((3, rh, w), np.float32)
+        for gx in range((w + gd - 1) // gd):
+            x0 = gx * gd
+            rw = min(gd, w - x0)
+            rng = Xorshift128Plus(visible_frame_index,
+                                  nonvisible_frame_index, x0, ty0)
+            for c in range(3):
+                tile[c, :, x0:x0 + rw] = _random_plane_rows(rng, rw, rh)
+        s0 = max(y_lo - ty0, 0)
+        s1 = min(y_hi - ty0, rh)
+        out[:, ty0 + s0 - y_lo:ty0 + s1 - y_lo] = tile[:, s0:s1]
+    return out
+
+
+def add_noise_band(xyb_band: np.ndarray, y_off: int, lut: np.ndarray,
+                   cmap, fd, visible_frame_index: int = 1) -> np.ndarray:
+    """Band-windowed add_noise: applies the frame's noise field rows
+    [y_off, y_off + band_h) to a (3, band_h, W) band in place —
+    bit-identical to slicing a whole-frame add_noise (the laplacian's
+    2-row support comes from real neighbor noise rows, not the band
+    edge)."""
+    H, W = fd.ysize_upsampled, fd.xsize_upsampled
+    h = min(xyb_band.shape[1], H - y_off)
+    w = min(xyb_band.shape[2], W)
+    if h <= 0:
+        return xyb_band
+    if (h, w) != (xyb_band.shape[1], xyb_band.shape[2]):
+        inner = add_noise_band(
+            np.ascontiguousarray(xyb_band[:, :h, :w]), y_off, lut, cmap,
+            fd, visible_frame_index)
+        xyb_band[:, :h, :w] = inner
+        return xyb_band
+    e_lo = max(0, y_off - 2)
+    e_hi = min(H, y_off + h + 2)
+    raw = synthesize_noise_rows(e_lo, e_hi, H, w, fd.group_dim,
+                                visible_frame_index)
+    rnd = np.stack([_convolve_laplacian(p) for p in raw])
+    rnd = rnd[:, y_off - e_lo:y_off - e_lo + h]
+    _apply_noise_formula(xyb_band, rnd, lut, cmap)
+    return xyb_band
+
+
 def _convolve_laplacian(plane: np.ndarray) -> np.ndarray:
     """ConvolveNoiseStage: 4*(1 - 5x5 box) with symmetric borders."""
     p = np.pad(plane, 2, mode="symmetric").astype(np.float32)
@@ -160,7 +214,14 @@ def add_noise(xyb: np.ndarray, lut: np.ndarray, cmap, fd,
         return xyb
     raw = synthesize_noise_planes(h, w, fd.group_dim, visible_frame_index)
     rnd = np.stack([_convolve_laplacian(p) for p in raw])
+    _apply_noise_formula(xyb, rnd, lut, cmap)
+    return xyb
 
+
+def _apply_noise_formula(xyb: np.ndarray, rnd: np.ndarray,
+                         lut: np.ndarray, cmap) -> None:
+    """Pixelwise noise mix (stage_noise.cc AddNoiseRow), shared by the
+    whole-frame and band paths."""
     norm_const = np.float32(0.22)
     k_rg_corr = np.float32(0.9921875)
     k_rgn_corr = np.float32(0.0078125)
@@ -180,7 +241,6 @@ def add_noise(xyb: np.ndarray, lut: np.ndarray, cmap, fd,
     xyb[0] += ytox * rg_noise + (red_noise - green_noise)
     xyb[1] += rg_noise
     xyb[2] += ytob * rg_noise
-    return xyb
 
 
 def estimate_noise(xyb: np.ndarray) -> np.ndarray | None:

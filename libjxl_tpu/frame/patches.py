@@ -248,6 +248,57 @@ def apply_patches(d: PatchDictionary, xyb: np.ndarray,
             xyb[(slice(None),) + dsl] += src * a
 
 
+def apply_patches_band(d: PatchDictionary, xyb_band: np.ndarray,
+                       y_off: int, extra_channels: list | None,
+                       reference_frames: list) -> None:
+    """Band-windowed apply_patches: blits the slice of every patch
+    intersecting frame rows [y_off, y_off + band_h) onto the band in
+    place. Every blend mode is row-local, so band applications tile
+    exactly to the whole-frame result (the low-memory pipeline's
+    per-band patch stage; extra-channel alpha sources are sliced with
+    the same window)."""
+    bh = xyb_band.shape[1]
+    nec = len(extra_channels) if extra_channels else 0
+    for pos, blend in zip(d.positions, d.blendings):
+        rp = d.ref_positions[pos.ref_idx]
+        dy0 = max(pos.y, y_off)
+        dy1 = min(pos.y + rp.ysize, y_off + bh)
+        if dy1 <= dy0:
+            continue
+        ref = reference_frames[rp.ref]
+        sy0 = rp.y0 + (dy0 - pos.y)
+        src = ref[:, sy0:sy0 + (dy1 - dy0), rp.x0:rp.x0 + rp.xsize]
+        dsl = (slice(dy0 - y_off, dy1 - y_off),
+               slice(pos.x, pos.x + rp.xsize))
+        info = blend[0]
+        mode = info.mode
+        if mode == PatchBlendMode.NONE:
+            pass
+        elif mode == PatchBlendMode.REPLACE:
+            xyb_band[(slice(None),) + dsl] = src
+        elif mode == PatchBlendMode.ADD:
+            xyb_band[(slice(None),) + dsl] += src
+        elif mode == PatchBlendMode.MUL:
+            xyb_band[(slice(None),) + dsl] *= src
+        else:
+            # Alpha-sourced modes: with no extra channels alpha is 1.
+            if extra_channels and info.alpha_channel < nec:
+                a = extra_channels[info.alpha_channel][
+                    dy0:dy1, pos.x:pos.x + rp.xsize].astype(np.float32)
+                if a.max() > 1.0:
+                    a = a / a.max()
+            else:
+                a = np.ones(src.shape[-2:], np.float32)
+            if mode == PatchBlendMode.BLEND_BELOW:
+                old = xyb_band[(slice(None),) + dsl]
+                xyb_band[(slice(None),) + dsl] = old * a + src * (1.0 - a)
+            elif mode == PatchBlendMode.BLEND_ABOVE:
+                xyb_band[(slice(None),) + dsl] = \
+                    src * a + xyb_band[(slice(None),) + dsl] * (1.0 - a)
+            else:  # alpha-weighted adds
+                xyb_band[(slice(None),) + dsl] += src * a
+
+
 def patch_affine(d: PatchDictionary, h: int, w: int,
                  reference_frames: list):
     """Folds the whole patch stack into per-pixel affine coefficients:

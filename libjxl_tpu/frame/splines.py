@@ -297,9 +297,13 @@ def _erf(x: np.ndarray) -> np.ndarray:
 
 
 def render_splines(s: Splines, xyb: np.ndarray, cmap,
-                   sign: float = 1.0) -> None:
+                   sign: float = 1.0, y_off: int = 0) -> None:
     """Draws every spline additively onto (3, H, W) XYB in place
-    (InitializeDrawCache + DrawSegment)."""
+    (InitializeDrawCache + DrawSegment). y_off renders the window of
+    frame rows [y_off, y_off + H) into the given band (the low-memory
+    pipeline's per-band spline stage): stroke centers shift by -y_off
+    and the usual [0, H) clip applies, so band renders tile exactly to
+    the whole-frame result."""
     _, h, w = xyb.shape
     y_to_x = cmap.base_correlation_x
     y_to_b = cmap.base_correlation_b
@@ -318,7 +322,8 @@ def render_splines(s: Splines, xyb: np.ndarray, cmap,
             color = np.array([_continuous_idct(color_dct[c], t31)
                               for c in range(3)])
             sigma = _continuous_idct(sigma_dct, t31)
-            _draw_stroke(xyb, pt, mult * sign, color, sigma, h, w)
+            _draw_stroke(xyb, (pt[0], pt[1] - y_off), mult * sign, color,
+                         sigma, h, w)
 
 
 def _draw_stroke(xyb, center, intensity, color, sigma, h, w):
