@@ -539,13 +539,25 @@ def _encode_modular_lossy(image: np.ndarray, distance: float,
     data = writer.get_bytes()
     return pack_container(data) if container else data
 
-def _render_spot(color3: np.ndarray, meta, ecs: list) -> np.ndarray:
+def _render_spot(color3: np.ndarray, meta, ecs: list,
+                 device: bool = False) -> np.ndarray:
     """Blends spot-color extra channels into (3, H, W) float color
     (render_pipeline/stage_spot.cc: mix = blend * s;
-    p = mix * spot_rgb + (1 - mix) * p)."""
-    for i, eci in enumerate(meta.m.extra_channel_info):
-        if int(eci.type) != 2 or i >= len(ecs):  # SPOT_COLOR
-            continue
+    p = mix * spot_rgb + (1 - mix) * p). device=True runs all spots in
+    one jitted program (ops/stages_tpu.py render_spot_tpu)."""
+    spots = [(i, eci) for i, eci in enumerate(meta.m.extra_channel_info)
+             if int(eci.type) == 2 and i < len(ecs)]  # SPOT_COLOR
+    if not spots:
+        return color3
+    if device:
+        from libjxl_tpu.ops.stages_tpu import render_spot_tpu
+        mixes = np.stack([
+            np.asarray(ecs[i], np.float32)
+            / ((1 << eci.bit_depth.bits_per_sample) - 1)
+            for i, eci in spots])
+        rgba = np.array([eci.spot_color for _, eci in spots], np.float32)
+        return np.asarray(render_spot_tpu(color3, mixes, rgba))
+    for i, eci in spots:
         ec_max = (1 << eci.bit_depth.bits_per_sample) - 1
         mix = (np.asarray(ecs[i], np.float32) / ec_max) \
             * float(eci.spot_color[3])
@@ -650,7 +662,8 @@ def _decode_impl(data: bytes, device: bool = False,
             color = np.stack([np.asarray(c, np.float32) / maxval
                               for c in chans[:3]])
             color = _render_spot(color, meta,
-                                 [a for _, a in extra_list])
+                                 [a for _, a in extra_list],
+                                 device=bool(device))
             for c in range(3):
                 chans[c] = np.round(color[c] * maxval).astype(np.int64)
         from libjxl_tpu.native import bindings as _nb
@@ -676,7 +689,8 @@ def _decode_impl(data: bytes, device: bool = False,
     else:
         linear = xyb_to_linear_rgb(frame.xyb)
         if render_spotcolors and frame.extra_channels:
-            linear = _render_spot(linear, meta, frame.extra_channels)
+            linear = _render_spot(linear, meta, frame.extra_channels,
+                                  device=bool(device))
         tf_enum = meta.m.color_encoding.tf.transfer_function \
             if not meta.m.color_encoding.tf.have_gamma else None
         from libjxl_tpu.color.color_encoding import TransferFunction as _TF
@@ -744,10 +758,13 @@ def _frame_to_float(frame, meta) -> tuple[np.ndarray, np.ndarray | None]:
     return np.clip(srgb, 0.0, 1.0), alpha
 
 
-def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
+def decode_all(data: bytes, device: bool = False
+               ) -> tuple[list[FrameResult], CodecMetadata]:
     """Decode every frame of a (possibly animated) codestream, applying
     frame blending (dec: blending.cc PerformBlending, decode.cc frame
-    loop). Returns displayed frames with their tick durations."""
+    loop). Returns displayed frames with their tick durations.
+    device=True keeps the composition canvas on-device between frames
+    and blends with the jitted stage (stage_blending.cc analogue)."""
     from libjxl_tpu.frame.blending import blend_frame
     from libjxl_tpu.frame.frame_header import FrameType
 
@@ -779,15 +796,22 @@ def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
                 refs[fh.save_as_reference] = frame.xyb
             continue
         color, alpha = _frame_to_float(frame, meta)
-        blend_frame(canvas, canvas_alpha, color, alpha,
-                    int(fh.blending_info.mode),
-                    fh.frame_origin_x0, fh.frame_origin_y0)
+        if device:
+            from libjxl_tpu.ops.stages_tpu import blend_frame_tpu
+            canvas, canvas_alpha = blend_frame_tpu(
+                canvas, canvas_alpha, color, alpha,
+                int(fh.blending_info.mode),
+                fh.frame_origin_x0, fh.frame_origin_y0)
+        else:
+            blend_frame(canvas, canvas_alpha, color, alpha,
+                        int(fh.blending_info.mode),
+                        fh.frame_origin_x0, fh.frame_origin_y0)
         if fh.frame_type == FrameType.REGULAR:
-            shown = np.clip(np.round(canvas * maxval), 0, maxval
-                            ).astype(dtype)
+            shown = np.clip(np.round(np.asarray(canvas) * maxval), 0,
+                            maxval).astype(dtype)
             if canvas_alpha is not None:
-                a8 = np.clip(np.round(canvas_alpha * maxval), 0, maxval
-                             ).astype(dtype)
+                a8 = np.clip(np.round(np.asarray(canvas_alpha) * maxval),
+                             0, maxval).astype(dtype)
                 shown = np.concatenate([shown, a8[:, :, None]], axis=-1)
             results.append(FrameResult(
                 pixels=_apply_orientation(shown, meta.m.orientation),
@@ -799,11 +823,14 @@ def decode_all(data: bytes) -> tuple[list[FrameResult], CodecMetadata]:
 
 def encode_animation(frames: list, *, durations: list | None = None,
                      tps: tuple = (10, 1), distance: float = 1.0,
-                     lossless: bool = False, num_loops: int = 0) -> bytes:
+                     lossless: bool = False, num_loops: int = 0,
+                     blend: bool = False) -> bytes:
     """Encode a list of (H, W, C) uint8/uint16 frames as an animation.
 
     durations: per-frame tick counts (default 1 tick each);
-    tps: (numerator, denominator) ticks per second."""
+    tps: (numerator, denominator) ticks per second.
+    blend=True composes frames 1.. over the canvas with alpha
+    (BlendMode.BLEND; lossy path only) instead of replacing it."""
     if not frames:
         raise ValueError("need at least one frame")
     first = frames[0]
@@ -853,10 +880,13 @@ def encode_animation(frames: list, *, durations: list | None = None,
                 srgb = np.repeat(srgb, 3, axis=2)
             xyb = linear_rgb_to_xyb(srgb_to_linear(srgb).transpose(2, 0, 1))
             extra = [img[:, :, -1].astype(np.int32)] if has_alpha else None
+            from libjxl_tpu.frame.frame_header import BlendMode
+            bm = int(BlendMode.BLEND) if blend and i > 0 else None
             encode_vardct_frame(xyb, meta, writer, distance=distance,
                                 is_last=(i == len(frames) - 1),
                                 extra_channels=extra,
-                                duration=durations[i])
+                                duration=durations[i],
+                                blend_mode=bm)
     writer.align_to_byte()
     return writer.get_bytes()
 

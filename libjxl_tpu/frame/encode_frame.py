@@ -604,6 +604,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         pass_shifts: list | None = None,
                         noise: float | None = None,
                         duration: int = 0,
+                        blend_mode: int | None = None,
                         patches=None,
                         splines=None,
                         save_as_reference: int | None = None,
@@ -676,6 +677,10 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         noise_lut = np.full(8, float(noise), np.float32)
     fh.is_last = is_last
     fh.animation_frame.duration = duration
+    if blend_mode is not None:
+        fh.blending_info.mode = int(blend_mode)
+        for bi in fh.extra_channel_blending_info:
+            bi.mode = int(blend_mode)
     if dc_frame_level is not None:
         from libjxl_tpu.frame.frame_header import FrameType
         fh.frame_type = FrameType.DC_FRAME

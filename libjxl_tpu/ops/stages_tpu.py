@@ -223,3 +223,114 @@ def render_splines_tpu(xyb, cy, cx, sig, inten, col):
         flat = flat.at[ch, lin.reshape(n, -1)].add(
             (contrib * col[:, ch][:, None, None]).reshape(n, -1))
     return flat.reshape(3, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Spot-color + frame-blending stages (render_pipeline/stage_spot.cc,
+# stage_blending.cc / blending.cc PerformBlending as jitted device ops)
+
+@functools.lru_cache(maxsize=8)
+def _spot_fn(n_spots: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(color3, mixes, spot_rgba):
+        # color3 (3,H,W); mixes (N,H,W) in [0,1]; spot_rgba (N,4).
+        for i in range(n_spots):
+            mix = mixes[i] * spot_rgba[i, 3]
+            color3 = (mix[None] * spot_rgba[i, :3, None, None]
+                      + (1.0 - mix)[None] * color3)
+        return color3
+
+    return run
+
+
+def render_spot_tpu(color3, mixes, spot_rgba):
+    """Device spot-color mix: p = mix*spot_rgb + (1-mix)*p per spot
+    channel, fused into one jitted program (stage_spot.cc)."""
+    import jax.numpy as jnp
+    mixes = jnp.asarray(mixes, jnp.float32)
+    return _spot_fn(mixes.shape[0])(
+        jnp.asarray(color3, jnp.float32), mixes,
+        jnp.asarray(spot_rgba, jnp.float32))
+
+
+@functools.lru_cache(maxsize=16)
+def _blend_fn(mode: int, premul: bool, has_sa: bool, has_da: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(canvas, canvas_alpha, src, src_alpha, y0, x0):
+        # canvas (H,W,3); src (h,w,3); alphas (.,.) or zero-size dummy.
+        bh, bw = src.shape[0], src.shape[1]
+        d = lax.dynamic_slice(canvas, (y0, x0, 0), (bh, bw, 3))
+        da = lax.dynamic_slice(canvas_alpha, (y0, x0), (bh, bw)) \
+            if has_da else jnp.ones((bh, bw), jnp.float32)
+        sa = src_alpha if has_sa else jnp.ones((bh, bw), jnp.float32)
+        new_a = da
+        if mode == 0:      # REPLACE
+            out = src
+            new_a = sa
+        elif mode == 1:    # ADD
+            out = d + src
+            new_a = jnp.clip(da + sa, 0.0, 1.0) if has_sa else da
+        elif mode == 4:    # MUL
+            out = d * src
+        elif mode == 2:    # BLEND
+            if premul:
+                out = src + d * (1.0 - sa)[..., None]
+                new_a = sa + da * (1.0 - sa)
+            else:
+                new_a = sa + da * (1.0 - sa)
+                safe = jnp.where(new_a == 0, 1.0, new_a)
+                out = (src * sa[..., None]
+                       + d * (da * (1.0 - sa))[..., None]) / safe[..., None]
+                out = jnp.where((new_a == 0)[..., None], 0.0, out)
+        elif mode == 3:    # ALPHA_WEIGHTED_ADD
+            out = d + src * sa[..., None]
+            new_a = jnp.clip(da + sa, 0.0, 1.0) if has_sa else da
+        else:
+            raise ValueError(f"unknown blend mode {mode}")
+        canvas = lax.dynamic_update_slice(canvas, out, (y0, x0, 0))
+        if has_da:
+            canvas_alpha = lax.dynamic_update_slice(
+                canvas_alpha, new_a, (y0, x0))
+        return canvas, canvas_alpha
+
+    return run
+
+
+def blend_frame_tpu(canvas, canvas_alpha, src, src_alpha, mode: int,
+                    x0: int, y0: int,
+                    alpha_is_premultiplied: bool = False):
+    """Device frame blending (blending.cc PerformBlending): returns the
+    updated (canvas, canvas_alpha) as device arrays so an animation's
+    canvas persists on-device between frames. The blit rect is clipped
+    host-side (static shapes for jit); offsets stay traced so varying
+    frame origins reuse one compiled program per src shape."""
+    import jax.numpy as jnp
+    import numpy as np
+    h, w = src.shape[0], src.shape[1]
+    ch, cw = canvas.shape[0], canvas.shape[1]
+    sx0, sy0 = max(0, -x0), max(0, -y0)
+    dx0, dy0 = max(0, x0), max(0, y0)
+    bw = min(w - sx0, cw - dx0)
+    bh = min(h - sy0, ch - dy0)
+    if bw <= 0 or bh <= 0:
+        return canvas, canvas_alpha
+    s = jnp.asarray(np.ascontiguousarray(
+        src[sy0:sy0 + bh, sx0:sx0 + bw]), jnp.float32)
+    has_sa = src_alpha is not None
+    sa = jnp.asarray(np.ascontiguousarray(
+        src_alpha[sy0:sy0 + bh, sx0:sx0 + bw]), jnp.float32) \
+        if has_sa else jnp.zeros((0, 0), jnp.float32)
+    has_da = canvas_alpha is not None
+    ca = canvas_alpha if has_da else jnp.zeros((0, 0), jnp.float32)
+    fn = _blend_fn(int(mode), bool(alpha_is_premultiplied), has_sa,
+                   has_da)
+    canvas, ca = fn(jnp.asarray(canvas, jnp.float32), ca, s, sa,
+                    dy0, dx0)
+    return canvas, (ca if has_da else None)

@@ -105,3 +105,50 @@ def test_device_patches_match_host():
     host = decode(data).pixels.astype(np.int32)
     dev = decode(data, device=True).pixels.astype(np.int32)
     assert np.abs(host - dev).max() <= 1
+
+
+def test_device_spot_color_matches_host():
+    """Spot-color mixing as one jitted program (stage_spot.cc)."""
+    img = _img(72, 96, seed=11)
+    h, w = img.shape[:2]
+    spot = np.zeros((h, w), np.uint8)
+    spot[20:40, 30:60] = 200
+    spot2 = np.zeros((h, w), np.uint8)
+    spot2[10:30, 5:25] = 120
+    ecs = [{"type": "spot_color", "data": spot, "name": "ink",
+            "spot_color": (1.0, 0.1, 0.2, 0.8)},
+           {"type": "spot_color", "data": spot2, "name": "ink2",
+            "spot_color": (0.0, 0.9, 0.4, 0.5)}]
+    data = encode(img, lossless=True, extra_channels=ecs)
+    host = decode(data).pixels.astype(np.int32)
+    dev = decode(data, device=True).pixels.astype(np.int32)
+    assert np.abs(host - dev).max() <= 1
+
+
+def test_device_animation_blend_matches_host():
+    """Frame blending with alpha on-device (stage_blending.cc):
+    decode_all(device=True) keeps the canvas on-device and must match
+    the host composition bit-for-bit."""
+    from libjxl_tpu.api.simple import decode_all, encode_animation
+    rng = np.random.default_rng(12)
+    h, w = 64, 80
+    frames = []
+    for i in range(3):
+        fr = np.zeros((h, w, 4), np.uint8)
+        fr[:, :, :3] = np.clip(rng.normal(100 + 40 * i, 30, (h, w, 3)),
+                               0, 255)
+        a = np.zeros((h, w), np.uint8)
+        a[8 * i:40 + 8 * i, 10:60] = 255
+        a[20:30, :] = 128
+        fr[:, :, 3] = a
+        frames.append(fr)
+    data = encode_animation(frames, distance=1.0, blend=True)
+    # Frames 1.. carry BlendMode.BLEND so the alpha-composition path
+    # (not just REPLACE) is exercised on both sides.
+    host_frames, _ = decode_all(data)
+    dev_frames, _ = decode_all(data, device=True)
+    assert len(host_frames) == len(dev_frames) == 3
+    for hf, df in zip(host_frames, dev_frames):
+        assert hf.pixels.shape == df.pixels.shape
+        assert np.abs(hf.pixels.astype(np.int32)
+                      - df.pixels.astype(np.int32)).max() <= 1
