@@ -776,10 +776,13 @@ def decode_all(data: bytes, device: bool = False
     bits = meta.m.bit_depth.bits_per_sample
     dtype = np.uint8 if bits <= 8 else np.uint16
     maxval = (1 << bits) - 1
-    has_alpha = any(eci.type == 1 for eci in meta.m.extra_channel_info)
+    from libjxl_tpu.frame.headers import ExtraChannelType
+    has_alpha = any(int(eci.type) == int(ExtraChannelType.ALPHA)
+                    for eci in meta.m.extra_channel_info)
 
     canvas = np.zeros((h, w, 3), np.float32)
     canvas_alpha = np.zeros((h, w), np.float32) if has_alpha else None
+    comp_refs: list = [None] * 4   # composed (color, alpha) slots
     results: list[FrameResult] = []
     refs: list = [None] * 4
     if meta.m.have_preview:
@@ -796,16 +799,40 @@ def decode_all(data: bytes, device: bool = False
                 refs[fh.save_as_reference] = frame.xyb
             continue
         color, alpha = _frame_to_float(frame, meta)
+        # Per-spec composition: a blending frame reads its background
+        # from reference slot blending_info.source (frame_header.h),
+        # NOT from an implicit running canvas; the result is stored
+        # back when the frame can be referenced (CanBeReferenced).
+        mode = int(fh.blending_info.mode)
+        src_slot = int(fh.blending_info.source)
+        if mode == 0:
+            canvas = np.zeros((h, w, 3), np.float32)
+            canvas_alpha = np.zeros((h, w), np.float32) \
+                if has_alpha else None
+        else:
+            bg = comp_refs[src_slot]
+            canvas = np.array(bg[0]) if bg is not None \
+                else np.zeros((h, w, 3), np.float32)
+            canvas_alpha = (np.array(bg[1]) if bg[1] is not None
+                            else None) if bg is not None else \
+                (np.zeros((h, w), np.float32) if has_alpha else None)
+            if canvas_alpha is None and has_alpha:
+                canvas_alpha = np.zeros((h, w), np.float32)
         if device:
             from libjxl_tpu.ops.stages_tpu import blend_frame_tpu
             canvas, canvas_alpha = blend_frame_tpu(
-                canvas, canvas_alpha, color, alpha,
-                int(fh.blending_info.mode),
+                canvas, canvas_alpha, color, alpha, mode,
                 fh.frame_origin_x0, fh.frame_origin_y0)
         else:
-            blend_frame(canvas, canvas_alpha, color, alpha,
-                        int(fh.blending_info.mode),
+            blend_frame(canvas, canvas_alpha, color, alpha, mode,
                         fh.frame_origin_x0, fh.frame_origin_y0)
+        can_ref = (not fh.is_last
+                   and (fh.animation_frame.duration == 0
+                        or fh.save_as_reference != 0))
+        if can_ref:
+            comp_refs[int(fh.save_as_reference)] = (
+                np.asarray(canvas), None if canvas_alpha is None
+                else np.asarray(canvas_alpha))
         if fh.frame_type == FrameType.REGULAR:
             shown = np.clip(np.round(np.asarray(canvas) * maxval), 0,
                             maxval).astype(dtype)
@@ -881,12 +908,20 @@ def encode_animation(frames: list, *, durations: list | None = None,
             xyb = linear_rgb_to_xyb(srgb_to_linear(srgb).transpose(2, 0, 1))
             extra = [img[:, :, -1].astype(np.int32)] if has_alpha else None
             from libjxl_tpu.frame.frame_header import BlendMode
+            last = i == len(frames) - 1
             bm = int(BlendMode.BLEND) if blend and i > 0 else None
+            # Blended animations chain through reference slot 1: every
+            # non-last frame stores there (CanBeReferenced needs
+            # save_as_reference != 0 for duration > 0 frames) and every
+            # blended frame reads its background from it.
             encode_vardct_frame(xyb, meta, writer, distance=distance,
-                                is_last=(i == len(frames) - 1),
+                                is_last=last,
                                 extra_channels=extra,
                                 duration=durations[i],
-                                blend_mode=bm)
+                                blend_mode=bm,
+                                blend_source=1 if bm is not None else 0,
+                                save_slot=1 if blend and not last
+                                else None)
     writer.align_to_byte()
     return writer.get_bytes()
 

@@ -605,6 +605,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                         noise: float | None = None,
                         duration: int = 0,
                         blend_mode: int | None = None,
+                        blend_source: int = 0,
+                        save_slot: int | None = None,
                         patches=None,
                         splines=None,
                         save_as_reference: int | None = None,
@@ -678,9 +680,23 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     fh.is_last = is_last
     fh.animation_frame.duration = duration
     if blend_mode is not None:
+        from libjxl_tpu.frame.frame_header import BlendingInfo
         fh.blending_info.mode = int(blend_mode)
-        for bi in fh.extra_channel_blending_info:
-            bi.mode = int(blend_mode)
+        # Blending reads the background from reference slot `source`
+        # (frame_header.h BlendingInfo::source); the frame it blends
+        # onto must have been stored there via save_as_reference.
+        fh.blending_info.source = int(blend_source)
+        # Alpha (and other EC) planes blend with the same mode; the
+        # header visitor keeps a pre-sized list (frame_header.py:460
+        # replaces mismatched lists with defaults = REPLACE).
+        fh.extra_channel_blending_info = [
+            BlendingInfo(mode=int(blend_mode), source=int(blend_source))
+            for _ in range(metadata.m.num_extra_channels)]
+    if save_slot is not None:
+        # Store this REGULAR frame in a reference slot so later frames
+        # can blend onto it (frame_header.h CanBeReferenced: a
+        # duration>0 frame is only stored when save_as_reference != 0).
+        fh.save_as_reference = int(save_slot)
     if dc_frame_level is not None:
         from libjxl_tpu.frame.frame_header import FrameType
         fh.frame_type = FrameType.DC_FRAME

@@ -19,8 +19,12 @@ def main(corpus: str) -> int:
     failures = 0
     for name, limits in sorted(manifest.items()):
         with open(os.path.join(corpus, name + ".jxl"), "rb") as f:
-            res = decode(f.read())
-        arr = res.pixels
+            data = f.read()
+        if limits.get("animation"):
+            from libjxl_tpu.api import decode_all
+            arr = decode_all(data)[0][-1].pixels
+        else:
+            arr = decode(data).pixels
         maxval = 255 if arr.dtype == np.uint8 else 65535
         got = arr.astype(np.float64) / maxval
         ref = np.load(os.path.join(corpus, name + ".npy"))
