@@ -454,7 +454,8 @@ def _butteraugli_qf_iteration(image, srgb, xyb, meta, header_writer,
     header_bytes_writer = BitWriter()
     # Re-create the headers so trial streams are self-contained.
     write_codestream_headers(meta, header_bytes_writer)
-    for _ in range(iterations):
+    best = (np.inf, adjust.copy())   # (measured overshoot, field)
+    for _ in range(iterations + 1):
         trial = BitWriter()
         write_codestream_headers(meta, trial)
         encode_vardct_frame(xyb, meta, trial,
@@ -479,12 +480,18 @@ def _butteraugli_qf_iteration(image, srgb, xyb, meta, header_writer,
         # the max-norm driver (FindBestQuantization's one-sided update,
         # enc_adaptive_quantization.cc:929).
         global_err = float(dmap.max())
+        # Track the best MEASURED field: the loop's last update would
+        # otherwise ship unmeasured, and an overshooting step could
+        # leave e8 worse than the e7 baseline.
+        score = max(global_err - distance, 0.0) * 4.0 + global_err
+        if score < best[0]:
+            best = (score, adjust.copy())
         if global_err > distance:
             ratio = np.maximum(ratio, 1.0)
         elif global_err < 0.9 * distance:
             ratio = np.minimum(ratio, 1.0)
         adjust[:by, :bx] = np.clip(adjust[:by, :bx] * ratio, 0.4, 2.5)
-    return adjust
+    return best[1]
 
 
 def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:

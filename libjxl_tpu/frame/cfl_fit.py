@@ -14,17 +14,7 @@ from libjxl_tpu.vardct.cfl import DEFAULT_COLOR_FACTOR
 K_YTOB_BASE = 1.0  # cms kYToBRatio
 
 
-def _find_best_multiplier(vm: np.ndarray, vs: np.ndarray, base: float,
-                          distance_mul: float) -> int:
-    """FindBestMultiplier fast branch (enc_chroma_from_luma.cc:133-151)."""
-    num = vm.size
-    if num == 0:
-        return 0
-    a = vm / DEFAULT_COLOR_FACTOR
-    b = base * vm - vs
-    ca = np.sum(a * a)
-    cb = np.sum(a * b)
-    x = -cb / (ca + num * distance_mul * 0.5)
+def _shrink_round(x: float) -> int:
     towards_zero = 2.6
     if x >= towards_zero:
         x -= towards_zero
@@ -33,6 +23,55 @@ def _find_best_multiplier(vm: np.ndarray, vs: np.ndarray, base: float,
     else:
         x = 0.0
     return int(np.clip(round(x), -128, 127))
+
+
+def _find_best_multiplier(vm: np.ndarray, vs: np.ndarray, base: float,
+                          distance_mul: float, fast: bool = False) -> int:
+    """FindBestMultiplier (enc_chroma_from_luma.cc:128-185): fast =
+    closed-form least squares; precise (squirrel and slower, the e7
+    default) = up to 20 Newton steps on the robust saturated-L1 cost
+    f(x) = 1/3 sum((|a x + b| + 1)^2 - 1)·[|ax+b| < 100]
+           + distance_mul·x²·num  (CFLFunction::Compute)."""
+    num = vm.size
+    if num == 0:
+        return 0
+    a = vm / DEFAULT_COLOR_FACTOR
+    b = base * vm - vs
+    if fast:
+        ca = np.sum(a * a)
+        cb = np.sum(a * b)
+        return _shrink_round(-cb / (ca + num * distance_mul * 0.5))
+    k_coeff_x2 = (1.0 / 3) * 2.0
+    thres = 100.0
+    eps = 100.0
+
+    def fprime3(x):
+        """f'(x), f'(x+eps), f'(x-eps) — the saturation mask comes from
+        the CENTRAL residual only, exactly like CFLFunction::Compute
+        (the same `above` test gates all three accumulators)."""
+        v = a * x + b
+        keep = np.abs(v) < thres
+        ak = a[keep]
+        bk = b[keep]
+
+        def deriv(xx):
+            vv = ak * xx + bk
+            d = k_coeff_x2 * ak * (np.abs(vv) + 1.0)
+            return np.where(vv < 0, -d, d).sum()
+
+        reg = 2 * distance_mul * num
+        return (reg * x + deriv(x), reg * (x + eps) + deriv(x + eps),
+                reg * (x - eps) + deriv(x - eps))
+
+    x = 0.0
+    for _ in range(20):
+        d_f, d_pe, d_me = fprime3(x)
+        ddf = (d_pe - d_me) / (2 * eps)
+        step = d_f / (ddf + 0.85)
+        x -= min(20.0, max(-20.0, step))
+        if abs(step) < 3e-3:
+            break
+    return _shrink_round(x)
 
 
 def fit_cfl_maps(coeffs: np.ndarray, inv_table: np.ndarray,

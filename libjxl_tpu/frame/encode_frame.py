@@ -731,7 +731,7 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
         fh.loop_filter.gab = False
         fh.loop_filter.epf_iters = 0
     else:
-        gab = effort >= 5 and distance > 0.5 and decoding_speed < 4
+        gab = effort >= 5 and distance > 0.15 and decoding_speed < 4
         if epf >= 0:
             epf_iters = epf
         else:
@@ -885,7 +885,7 @@ def _chromacity_adjustments(xyb: np.ndarray, distance: float,
     """ComputeChromacityAdjustments (enc_frame.cc:665-692): distance-
     stepped x_qm_scale plus pixel-stats escalation from worst-case
     neighbor deltas of the X plane / B-Y exposure."""
-    x_qm = 3
+    x_qm = 2
     for step in (2.5, 5.5, 9.5):
         if distance > step:
             x_qm += 1

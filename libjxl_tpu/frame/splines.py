@@ -301,9 +301,10 @@ def render_splines(s: Splines, xyb: np.ndarray, cmap,
     """Draws every spline additively onto (3, H, W) XYB in place
     (InitializeDrawCache + DrawSegment). y_off renders the window of
     frame rows [y_off, y_off + H) into the given band (the low-memory
-    pipeline's per-band spline stage): stroke centers shift by -y_off
-    and the usual [0, H) clip applies, so band renders tile exactly to
-    the whole-frame result."""
+    pipeline's per-band spline stage). Row coordinates stay ABSOLUTE in
+    the stroke arithmetic (only the destination index shifts), so band
+    renders are bit-identical to the whole-frame result — shifting the
+    center first would change float rounding on boundary pixels."""
     _, h, w = xyb.shape
     y_to_x = cmap.base_correlation_x
     y_to_b = cmap.base_correlation_b
@@ -322,12 +323,15 @@ def render_splines(s: Splines, xyb: np.ndarray, cmap,
             color = np.array([_continuous_idct(color_dct[c], t31)
                               for c in range(3)])
             sigma = _continuous_idct(sigma_dct, t31)
-            _draw_stroke(xyb, (pt[0], pt[1] - y_off), mult * sign, color,
-                         sigma, h, w)
+            _draw_stroke(xyb, pt, mult * sign, color, sigma, h, w,
+                         y_off=y_off)
 
 
-def _draw_stroke(xyb, center, intensity, color, sigma, h, w):
-    """ComputeSegments + DrawSegment (erf-profile circular stroke)."""
+def _draw_stroke(xyb, center, intensity, color, sigma, h, w,
+                 y_off: int = 0):
+    """ComputeSegments + DrawSegment (erf-profile circular stroke).
+    With y_off, rows [y_off, y_off + h) of the frame render into
+    xyb[:, 0:h] using absolute-coordinate arithmetic."""
     if not (np.isfinite(sigma) and sigma != 0.0 and np.isfinite(intensity)):
         return
     max_color = max(0.01, float(np.max(np.abs(color * intensity))))
@@ -336,8 +340,8 @@ def _draw_stroke(xyb, center, intensity, color, sigma, h, w):
         return
     max_dist = math.sqrt(arg)
     cx, cy = center
-    y0 = max(0, int(round(cy - max_dist)))
-    y1 = min(h, int(round(cy + max_dist)) + 1)
+    y0 = max(y_off, int(round(cy - max_dist)))
+    y1 = min(y_off + h, int(round(cy + max_dist)) + 1)
     x0 = max(0, int(round(cx - max_dist)))
     x1 = min(w, int(round(cx + max_dist)) + 1)
     if y1 <= y0 or x1 <= x0:
@@ -351,4 +355,4 @@ def _draw_stroke(xyb, center, intensity, color, sigma, h, w):
         - _erf((dist * 0.5 - one_over_2s2) * inv_sigma)
     local = (0.25 * sigma * intensity) * factor * factor
     for c in range(3):
-        xyb[c, y0:y1, x0:x1] += color[c] * local
+        xyb[c, y0 - y_off:y1 - y_off, x0:x1] += color[c] * local

@@ -535,17 +535,42 @@ def _fit_cfl_jnp(coeffs, inv_table, raw_quant, quant_scale):
         return a.reshape(ty, 8, tx, 8, 64).sum(axis=(1, 3, 4))
 
     def fit(vm_w, vs_w, base):
-        # vm_w/vs_w: (pby, pbx, 64) weighted coefficient arrays
+        # vm_w/vs_w: (pby, pbx, 64) weighted coefficient arrays.
+        # Precise FindBestMultiplier (enc_chroma_from_luma.cc CFLFunction
+        # + Newton, the squirrel-and-slower path; mirrors
+        # frame/cfl_fit.py): up to 20 damped Newton steps per tile on
+        # the saturated robust cost, with the saturation mask taken
+        # from the CENTRAL residual for all three derivative samples.
         a = vm_w / DEFAULT_COLOR_FACTOR
         b = base * vm_w - vs_w
-        ca = tile_sum(a * a)
-        cb = tile_sum(a * b)
-        num = jnp.minimum(ty * tx * 0 + by, pby)  # placeholder
         # per-tile sample count: full tiles have 8*8*64 samples, edge
         # tiles fewer; count real blocks per tile.
         ones = jnp.pad(jnp.ones((by, bx)), ((0, pby - by), (0, pbx - bx)))
         n = ones.reshape(ty, 8, tx, 8).sum(axis=(1, 3)) * 64
-        x = -cb / (ca + n * k_distance_mul_ac * 0.5)
+        k2 = (1.0 / 3) * 2.0
+        eps = 100.0
+        reg = 2 * k_distance_mul_ac * n
+
+        def expand(t):
+            return jnp.repeat(jnp.repeat(t, 8, 0), 8, 1)[..., None]
+
+        def dsum(xe, keep):
+            vv = a * xe + b
+            d = k2 * a * (jnp.abs(vv) + 1.0)
+            d = jnp.where(vv < 0, -d, d)
+            return tile_sum(jnp.where(keep, d, 0.0))
+
+        x = jnp.zeros((ty, tx), jnp.float32)
+        done = jnp.zeros((ty, tx), bool)
+        for _ in range(20):
+            xe = expand(x)
+            keep = jnp.abs(a * xe + b) < 100.0
+            fd = reg * x + dsum(xe, keep)
+            fpe = reg * (x + eps) + dsum(xe + eps, keep)
+            fme = reg * (x - eps) + dsum(xe - eps, keep)
+            step = fd / ((fpe - fme) / (2 * eps) + 0.85)
+            x = jnp.where(done, x, x - jnp.clip(step, -20.0, 20.0))
+            done = done | (jnp.abs(step) < 3e-3)
         towards_zero = 2.6
         x = jnp.where(x >= towards_zero, x - towards_zero,
                       jnp.where(x <= -towards_zero, x + towards_zero, 0.0))
