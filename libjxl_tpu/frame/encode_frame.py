@@ -848,7 +848,8 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
                            ytox_map, ytob_map, extra_channels, noise_lut,
                            patches, splines, sharpness_map,
                            aux_out=aux_out,
-                           group_order_center=group_order_center)
+                           group_order_center=group_order_center,
+                           effort=effort)
 
 
 
@@ -939,7 +940,7 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                            ytox_map=None, ytob_map=None,
                            extra_channels=None, noise_lut=None, patches=None,
                            splines=None, sharpness_map=None, aux_out=None,
-                           group_order_center=None):
+                           group_order_center=None, effort: int = 7):
     from libjxl_tpu.entropy.codes import (
         build_and_encode_histograms, write_tokens)
     from libjxl_tpu.bitstream.toc import num_toc_entries
@@ -948,6 +949,47 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
     bitdepth = metadata.m.bit_depth.bits_per_sample
 
     mod_state = {}
+
+    def _acmeta_parts(g):
+        rect = fd.dc_group_rect(g)
+        sl = rect.slices()
+        cr_w = (rect.xsize + 7) >> 3
+        cr_h = (rect.ysize + 7) >> 3
+        cr = (slice(rect.y0 >> 3, (rect.y0 >> 3) + cr_h),
+              slice(rect.x0 >> 3, (rect.x0 >> 3) + cr_w))
+        ytox = ytox_map[cr] if ytox_map is not None \
+            else np.zeros((cr_h, cr_w), np.int32)
+        ytob = ytob_map[cr] if ytob_map is not None \
+            else np.zeros((cr_h, cr_w), np.int32)
+        if sharpness_map is not None:
+            epf = sharpness_map[sl].astype(np.int32)
+        else:
+            # Fast path: constant sharpness 4 (enc_heuristics.cc:907).
+            epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
+        return rect, sl, ytox, ytob, epf
+
+    # Learned global tree over the DC + AC-metadata streams
+    # (enc_modular.cc squirrel+; prepare_vardct_aux measures both
+    # variants exactly and returns None when fixed trees are smaller).
+    aux_state = None
+    acmeta_cache = {}
+    if effort >= 6 and not extra_channels:
+        dc_entries = []
+        if not (fh.flags & FrameFlags.USE_DC_FRAME):
+            for g in range(fd.num_dc_groups):
+                rect = fd.dc_group_rect(g)
+                dc_entries.append((g, mfe.build_vardct_dc_image(
+                    qdc[:, rect.y0:rect.y1, rect.x0:rect.x1], bitdepth)))
+        acmeta_entries = []
+        for g in range(fd.num_dc_groups):
+            rect, sl, ytox, ytob, epf = _acmeta_parts(g)
+            img, count = mfe.build_ac_metadata_image(
+                rect, ytox, ytob, strategies[sl], raw_quant[sl], epf,
+                bitdepth)
+            acmeta_entries.append((g, rect, count, img))
+            acmeta_cache[g] = (rect, count)
+        aux_state = mfe.prepare_vardct_aux(dc_entries, acmeta_entries,
+                                           bitdepth)
 
     def _mark(sw, layer, state=[0]):
         if aux_out is not None:
@@ -973,7 +1015,9 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
         ctx_map.encode(sw)
         cmap.encode_dc(sw)
         _mark(sw, "quant", pos)
-        if extra_channels:
+        if aux_state is not None:
+            mfe.write_vardct_aux_global(sw, aux_state)
+        elif extra_channels:
             full = ModularImage.from_planes(extra_channels,
                                             metadata.m.bit_depth.bits_per_sample)
             st = mfe.encode_global_info(sw, full_image=full)
@@ -985,6 +1029,20 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
 
     def write_dc_group(sw, g):
         pos = [sw.bits_written]
+        from libjxl_tpu.frame.modular_frame import (
+            stream_ac_metadata, stream_vardct_dc)
+        if aux_state is not None:
+            rect, count = acmeta_cache[g]
+            if not (fh.flags & FrameFlags.USE_DC_FRAME):
+                sw.write(2, 0)  # extra_precision = 0
+                mfe.write_aux_with_tree(sw, aux_state,
+                                        stream_vardct_dc(g, fd))
+            _mark(sw, "dc", pos)
+            mfe._write_acmeta_count(sw, rect, count)
+            mfe.write_aux_with_tree(sw, aux_state,
+                                    stream_ac_metadata(g, fd))
+            _mark(sw, "ac_metadata", pos)
+            return
         rect = fd.dc_group_rect(g)
         sl = rect.slices()
         if not (fh.flags & FrameFlags.USE_DC_FRAME):
@@ -992,19 +1050,7 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
                 sw, qdc[:, rect.y0:rect.y1, rect.x0:rect.x1], bitdepth)
         # ModularDC stream is geometrically empty for VarDCT frames:
         # nothing is written (decoder skips it, dec_modular.cc:377).
-        cr_w = (rect.xsize + 7) >> 3
-        cr_h = (rect.ysize + 7) >> 3
-        cr = (slice(rect.y0 >> 3, (rect.y0 >> 3) + cr_h),
-              slice(rect.x0 >> 3, (rect.x0 >> 3) + cr_w))
-        ytox = ytox_map[cr] if ytox_map is not None \
-            else np.zeros((cr_h, cr_w), np.int32)
-        ytob = ytob_map[cr] if ytob_map is not None \
-            else np.zeros((cr_h, cr_w), np.int32)
-        if sharpness_map is not None:
-            epf = sharpness_map[sl].astype(np.int32)
-        else:
-            # Fast path: constant sharpness 4 (enc_heuristics.cc:907).
-            epf = np.full((rect.ysize, rect.xsize), 4, np.int32)
+        _rect, sl, ytox, ytob, epf = _acmeta_parts(g)
         _mark(sw, "dc", pos)
         mfe.encode_ac_metadata(sw, rect, ytox, ytob,
                                strategies[sl], raw_quant[sl], epf, bitdepth)

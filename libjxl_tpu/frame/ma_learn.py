@@ -18,7 +18,7 @@ from libjxl_tpu.modular.predict import (
 from libjxl_tpu.modular.tree import Tree, TreeNode, leaf
 
 # Properties the learner may split on (vectorizable subset of the 16).
-_LEARN_PROPS = (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+_LEARN_PROPS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
 _PREDICTORS = (P_ZERO, P_LEFT, P_TOP, P_AVG0, P_SELECT, P_GRADIENT)
 _MAX_CLASSES = 40
 # Cost (bits) of signalling one extra leaf; discourages overfit splits.
@@ -64,7 +64,8 @@ def _neighbor_planes(c: np.ndarray) -> dict:
     return {"W": west, "N": north, "NW": nw, "NE": ne, "WW": ww, "NN": nn}
 
 
-def property_planes(c: np.ndarray, chan_idx: int) -> dict:
+def property_planes(c: np.ndarray, chan_idx: int,
+                    stream_id: int = 0) -> dict:
     nb = _neighbor_planes(c)
     west, north, nw, ne = nb["W"], nb["N"], nb["NW"], nb["NE"]
     ww, nn = nb["WW"], nb["NN"]
@@ -75,6 +76,7 @@ def property_planes(c: np.ndarray, chan_idx: int) -> dict:
     prev_grad[:, 1:] = grad[:, :-1]
     props = {
         0: np.full(c.shape, chan_idx, np.int64),
+        1: np.full(c.shape, stream_id, np.int64),
         2: np.broadcast_to(np.arange(c.shape[0], dtype=np.int64)[:, None],
                            c.shape),
         3: np.broadcast_to(np.arange(c.shape[1], dtype=np.int64)[None, :],
@@ -106,7 +108,9 @@ def predictor_residuals(c: np.ndarray) -> dict:
         P_ZERO: c64,
         P_LEFT: c64 - west,
         P_TOP: c64 - north,
-        P_AVG0: c64 - ((west + north) >> 1),
+        # trunc-toward-zero, matching context_predict.h (left+top)/2
+        P_AVG0: c64 - (np.sign(west + north)
+                       * (np.abs(west + north) >> 1)),
         P_SELECT: c64 - select,
         P_GRADIENT: c64 - grad,
     }
@@ -143,26 +147,65 @@ def _cost(class_rows: np.ndarray) -> tuple[float, int]:
     return float(bits[best_k]), best_k
 
 
+def _wp_residual_classes(c: np.ndarray, stream_id: int
+                         ) -> np.ndarray | None:
+    """Hybrid-uint classes of the self-correcting weighted predictor's
+    residuals, via the native tokenizer with a single-WP-leaf tree (the
+    WP state is leaf-independent, so these are the residuals any tree
+    using WP at this pixel would code)."""
+    try:
+        from libjxl_tpu.modular.codec import encode_channels_tokens
+        from libjxl_tpu.modular.image import Channel, ModularImage
+        from libjxl_tpu.modular.predict import P_WEIGHTED, WPHeader
+        img = ModularImage(c.shape[1], c.shape[0], 16, 1)
+        img.channel[0] = Channel(np.ascontiguousarray(c, np.int32))
+        tree = [leaf(0, P_WEIGHTED)]
+        ctx, val = encode_channels_tokens(img, [0], tree, WPHeader(),
+                                          stream_id)
+    except Exception:
+        return None
+    packed = np.asarray(val, np.int64)
+    cls = np.zeros(packed.shape, np.uint8)
+    nz = packed > 0
+    cls[nz] = np.minimum(np.int64(np.log2(packed[nz])) + 1,
+                         _MAX_CLASSES - 1)
+    return cls.reshape(c.shape)
+
+
 def learn_tree(channels: list, chan_indices: list | None = None,
-               max_leaves: int = 64, max_samples: int = 1 << 16) -> Tree:
+               max_leaves: int = 64, max_samples: int = 1 << 16,
+               stream_ids: list | None = None,
+               try_wp: bool = False) -> Tree:
     """Learns an MA tree over the given channel arrays (one per modular
-    channel, in stream order). Returns a BFS-serialized tree."""
+    channel, in stream order). Returns a BFS-serialized tree.
+
+    stream_ids: per-channel modular stream id (property 1), letting one
+    global tree specialize per stream kind (DC planes vs AC metadata).
+    try_wp: include the self-correcting weighted predictor among the
+    leaf-predictor candidates (strong on smooth DC planes)."""
+    from libjxl_tpu.modular.predict import P_WEIGHTED
     total_px = sum(c.size for c in channels)
     step = max(1, total_px // max_samples)
+    predictors = _PREDICTORS + ((P_WEIGHTED,) if try_wp else ())
     feats = []
     classes = []
     for ci, c in enumerate(channels):
         idx = chan_indices[ci] if chan_indices else ci
+        sid = stream_ids[ci] if stream_ids else 0
         if c.size == 0:
             continue
-        props = property_planes(c, idx)
+        props = property_planes(c, idx, sid)
         res = predictor_residuals(c)
         # Subsample BEFORE stacking: the stacked full-image feature
         # matrix dominates learn time on megapixel inputs.
         sub = slice(None, None, step)
         f = np.stack([props[p].ravel()[sub] for p in _LEARN_PROPS])
-        k = np.stack([_token_class(res[p].ravel()[sub])
-                      for p in _PREDICTORS])
+        krows = [_token_class(res[p].ravel()[sub]) for p in _PREDICTORS]
+        if try_wp:
+            wpc = _wp_residual_classes(c, sid)
+            krows.append(wpc.ravel()[sub] if wpc is not None
+                         else krows[-1])
+        k = np.stack(krows)
         feats.append(f)
         classes.append(k)
     if not feats:
@@ -174,11 +217,11 @@ def learn_tree(channels: list, chan_indices: list | None = None,
     # Recursive greedy induction on index masks.
     nodes = []  # (prop|-1, splitval, left_ref, right_ref, pred)
 
-    k_pred = len(_PREDICTORS)
+    k_pred = len(predictors)
 
     def build(sel: np.ndarray, depth: int, leaves_left: list) -> dict:
         base_cost, base_k = _cost(cls[:, sel])
-        node = {"pred": _PREDICTORS[base_k]}
+        node = {"pred": predictors[base_k]}
         if depth >= 10 or leaves_left[0] <= 1 or sel.sum() < 64:
             return node
         best_gain = _SPLIT_COST

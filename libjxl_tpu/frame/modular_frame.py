@@ -605,11 +605,11 @@ class ModularFrameEncoder:
 
     # -- VarDCT auxiliary streams ----------------------------------------
 
-    def encode_vardct_dc(self, w: BitWriter, qdc,
-                         bitdepth: int = 8, shifts=None) -> None:
+    @staticmethod
+    def build_vardct_dc_image(qdc, bitdepth: int = 8,
+                              shifts=None) -> ModularImage:
         """qdc: (3, h, w) quantized DC in X,Y,B order, or a 3-list of
         per-channel arrays when chroma-subsampled (with `shifts`)."""
-        w.write(2, 0)  # extra_precision = 0
         if shifts is not None:
             img = ModularImage(qdc[1].shape[1], qdc[1].shape[0],
                                bitdepth, 3)
@@ -623,21 +623,34 @@ class ModularFrameEncoder:
             img.channel[0] = Channel(qdc[1].astype(np.int32))
             img.channel[1] = Channel(qdc[0].astype(np.int32))
             img.channel[2] = Channel(qdc[2].astype(np.int32))
-        # kWPFixedDC (enc_modular.cc:1591-1595): weighted predictor
-        # with the fixed WP-error split tree — much denser than plain
-        # gradient on smooth DC planes.
+        return img
+
+    @staticmethod
+    def _wp_fixed_dc_tree(img: ModularImage, bitdepth: int):
         from libjxl_tpu.modular.tree import (
             WP_FIXED_DC_CUTOFFS, WP_PROP, make_fixed_tree)
         from libjxl_tpu.modular.predict import P_WEIGHTED
         npix = sum(c.w * c.h for c in img.channel)
-        tree = make_fixed_tree(WP_PROP, WP_FIXED_DC_CUTOFFS, P_WEIGHTED,
+        return make_fixed_tree(WP_PROP, WP_FIXED_DC_CUTOFFS, P_WEIGHTED,
                                npix, bitdepth)
+
+    def encode_vardct_dc(self, w: BitWriter, qdc,
+                         bitdepth: int = 8, shifts=None) -> None:
+        w.write(2, 0)  # extra_precision = 0
+        img = self.build_vardct_dc_image(qdc, bitdepth, shifts)
+        # kWPFixedDC (enc_modular.cc:1591-1595): weighted predictor
+        # with the fixed WP-error split tree — much denser than plain
+        # gradient on smooth DC planes.
+        from libjxl_tpu.modular.predict import P_WEIGHTED
+        tree = self._wp_fixed_dc_tree(img, bitdepth)
         self._encode_stream_image(w, img, P_WEIGHTED, tree=tree)
 
-    def encode_ac_metadata(self, w: BitWriter, rect: Rect,
-                           ytox: np.ndarray, ytob: np.ndarray,
-                           strategies: np.ndarray, raw_quant: np.ndarray,
-                           epf: np.ndarray, bitdepth: int = 8) -> None:
+    @staticmethod
+    def build_ac_metadata_image(rect: Rect, ytox: np.ndarray,
+                                ytob: np.ndarray, strategies: np.ndarray,
+                                raw_quant: np.ndarray, epf: np.ndarray,
+                                bitdepth: int = 8):
+        """Returns (ModularImage, count) for one AC-metadata stream."""
         acs_list = []
         qf_list = []
         for iy in range(rect.ysize):
@@ -648,16 +661,128 @@ class ModularFrameEncoder:
                 acs_list.append(s)
                 qf_list.append(int(raw_quant[iy, ix]) - 1)
         count = len(acs_list)
-        upper_bound = rect.xsize * rect.ysize
-        nbits = max((upper_bound - 1).bit_length(), 0) if upper_bound > 1 \
-            else 0
-        if nbits:
-            w.write(nbits, count - 1)
         img = ModularImage(rect.xsize, rect.ysize, bitdepth, 4)
         img.channel[0] = Channel(ytox.astype(np.int32), 3, 3)
         img.channel[1] = Channel(ytob.astype(np.int32), 3, 3)
         img.channel[2] = Channel(
             np.stack([acs_list, qf_list]).astype(np.int32), 0, 0)
         img.channel[3] = Channel(epf.astype(np.int32), 0, 0)
+        return img, count
+
+    @staticmethod
+    def _write_acmeta_count(w: BitWriter, rect: Rect, count: int) -> None:
+        upper_bound = rect.xsize * rect.ysize
+        nbits = max((upper_bound - 1).bit_length(), 0) if upper_bound > 1 \
+            else 0
+        if nbits:
+            w.write(nbits, count - 1)
+
+    def encode_ac_metadata(self, w: BitWriter, rect: Rect,
+                           ytox: np.ndarray, ytob: np.ndarray,
+                           strategies: np.ndarray, raw_quant: np.ndarray,
+                           epf: np.ndarray, bitdepth: int = 8) -> None:
+        img, count = self.build_ac_metadata_image(
+            rect, ytox, ytob, strategies, raw_quant, epf, bitdepth)
+        self._write_acmeta_count(w, rect, count)
         from libjxl_tpu.modular.tree import ac_meta_tree
         self._encode_stream_image(w, img, P_ZERO, tree=ac_meta_tree())
+
+    # -- learned global tree over the VarDCT auxiliary streams ----------
+
+    def prepare_vardct_aux(self, dc_entries: list, acmeta_entries: list,
+                           bitdepth: int = 8):
+        """Learn ONE global MA tree + shared histograms over every DC
+        and AC-metadata stream of a VarDCT frame (enc_modular.cc
+        squirrel-and-slower: the LfGlobal tree amortizes per-stream
+        tree/histogram costs and specializes by stream id, property 1).
+
+        dc_entries: [(group_id, ModularImage)];
+        acmeta_entries: [(group_id, rect, count, ModularImage)].
+        Returns a state dict for the write_* methods below, or None
+        when the learned variant measures LARGER than the per-stream
+        fixed trees (both variants are trial-serialized exactly)."""
+        from libjxl_tpu.frame.ma_learn import learn_tree
+        from libjxl_tpu.modular.codec import encode_channels_tokens
+
+        fd = self.frame_dim
+        entries = []   # (stream_id, img)
+        chans, idxs, sids = [], [], []
+        for g, img in dc_entries:
+            sid = stream_vardct_dc(g, fd)
+            entries.append((sid, img))
+            for i, c in enumerate(img.channel):
+                if c.w and c.h:
+                    chans.append(c.data)
+                    idxs.append(i)
+                    sids.append(sid)
+        for g, rect, count, img in acmeta_entries:
+            sid = stream_ac_metadata(g, fd)
+            entries.append((sid, img))
+            for i, c in enumerate(img.channel):
+                if c.w and c.h:
+                    chans.append(c.data)
+                    idxs.append(i)
+                    sids.append(sid)
+        if not chans:
+            return None
+        tree = learn_tree(chans, idxs, stream_ids=sids, try_wp=True)
+        header = GroupHeader()
+        header.use_global_tree = True
+        streams = {}
+        all_tokens = []
+        for sid, img in entries:
+            live = [i for i, c in enumerate(img.channel) if c.w and c.h]
+            if not live:
+                continue
+            tokens = encode_channels_tokens(img, live, tree,
+                                            header.wp_header, sid)
+            streams[sid] = tokens
+            all_tokens.append(tokens)
+        state = {"tree": tree, "streams": streams,
+                 "all_tokens": all_tokens, "codes": None}
+
+        # --- exact pick-better: serialize both variants to scratch ---
+        wa = BitWriter()
+        self.write_vardct_aux_global(wa, state)
+        for sid, _img in entries:
+            self.write_aux_with_tree(wa, state, sid)
+        bits_a = wa.bits_written
+        wb = BitWriter()
+        wb.write_bool(False)
+        from libjxl_tpu.modular.tree import ac_meta_tree
+        from libjxl_tpu.modular.predict import P_WEIGHTED
+        for g, img in dc_entries:
+            ftree = self._wp_fixed_dc_tree(img, bitdepth)
+            self._encode_stream_image(wb, img, P_WEIGHTED, tree=ftree)
+        for g, rect, count, img in acmeta_entries:
+            self._encode_stream_image(wb, img, P_ZERO,
+                                      tree=ac_meta_tree())
+        if bits_a >= wb.bits_written:
+            return None
+        state["codes"] = None   # rebuilt at real write time
+        return state
+
+    def write_vardct_aux_global(self, w: BitWriter, state: dict) -> None:
+        """LfGlobal GlobalModular payload for a VarDCT frame with a
+        learned aux tree: has_tree=1, tree, shared histograms. The
+        global modular image itself is empty, so nothing follows (the
+        decoder early-returns before reading a GroupHeader)."""
+        from libjxl_tpu.entropy.codes import build_and_encode_histograms
+        w.write_bool(True)
+        encode_tree(state["tree"], w)
+        state["codes"] = build_and_encode_histograms(
+            num_tree_contexts(state["tree"]), state["all_tokens"], w)
+
+    def write_aux_with_tree(self, w: BitWriter, state: dict,
+                            stream_id: int) -> None:
+        from libjxl_tpu.entropy.codes import (
+            build_and_encode_histograms, write_tokens)
+        if state["codes"] is None:
+            scratch = BitWriter()
+            state["codes"] = build_and_encode_histograms(
+                num_tree_contexts(state["tree"]), state["all_tokens"],
+                scratch)
+        header = GroupHeader()
+        header.use_global_tree = True
+        bundle_write(header, w)
+        write_tokens(state["streams"][stream_id], state["codes"], w)

@@ -201,18 +201,27 @@ def predict_one(p: int, left: int, top: int, toptop: int, topleft: int,
         return topright
     if p == P_LEFTLEFT:
         return leftleft
+    # C++ integer division truncates toward ZERO (context_predict.h:497
+    # `(left + top) / 2`); Python // floors — they differ by one on
+    # negative odd sums (signed DC planes hit this constantly).
     if p == P_AVG0:
-        return (left + top) // 2
+        return _tdiv(left + top, 2)
     if p == P_AVG1:
-        return (left + topleft) // 2
+        return _tdiv(left + topleft, 2)
     if p == P_AVG2:
-        return (topleft + top) // 2
+        return _tdiv(topleft + top, 2)
     if p == P_AVG3:
-        return (top + topright) // 2
+        return _tdiv(top + topright, 2)
     if p == P_AVG4:
-        return (6 * top - 2 * toptop + 7 * left + leftleft
-                + toprightright + 3 * topright + 8) // 16
+        return _tdiv(6 * top - 2 * toptop + 7 * left + leftleft
+                     + toprightright + 3 * topright + 8, 16)
     return 0
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C-style integer division (truncation toward zero)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
 
 
 def neighbors(data: np.ndarray, x: int, y: int, w: int):

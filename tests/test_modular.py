@@ -223,3 +223,40 @@ class TestLossyModular:
         ours = decode(data).pixels
         ref = refjxl.decode(data, dtype="uint8").pixels
         assert np.array_equal(ref, ours)
+
+
+def test_avg_predictors_truncate_toward_zero():
+    """C++ (left+top)/2 truncates toward zero; Python // floors — they
+    differ on negative odd sums (context_predict.h:497). Signed DC
+    planes exercise this constantly; the python fallback must match
+    the native coder bit-for-bit."""
+    from libjxl_tpu.modular.predict import (P_AVG0, P_AVG1, P_AVG2,
+                                            P_AVG3, predict_one)
+    # left=-3, top=0 -> (-3)/2 = -1 in C (floor would give -2).
+    assert predict_one(P_AVG0, -3, 0, 0, 0, 0, 0, 0, 0) == -1
+    assert predict_one(P_AVG1, -3, 0, 0, 0, 0, 0, 0, 0) == -1
+    assert predict_one(P_AVG2, 0, -1, -0, -2, 0, 0, 0, 0) == -1
+    assert predict_one(P_AVG3, 0, -5, 0, 0, 0, 0, 0, 0) == -2
+    assert predict_one(P_AVG0, 3, 0, 0, 0, 0, 0, 0, 0) == 1
+
+
+def test_vardct_aux_global_tree_backend_parity():
+    """VarDCT aux streams (learned global tree) must serialize
+    identically with and without the native tokenizer."""
+    import os
+    import numpy as np
+    import libjxl_tpu.native.bindings as b
+    from libjxl_tpu.api.simple import decode, encode
+    rng = np.random.default_rng(7)
+    img = np.clip(rng.normal(128, 40, (64, 64, 3)), 0, 255
+                  ).astype(np.uint8)
+    native = encode(img, distance=2.0, effort=6)
+    os.environ["LIBJXL_TPU_NO_NATIVE"] = "1"
+    b._lib, b._tried = None, False
+    try:
+        python = encode(img, distance=2.0, effort=6)
+    finally:
+        del os.environ["LIBJXL_TPU_NO_NATIVE"]
+        b._lib, b._tried = None, False
+    assert native == python
+    decode(native)  # and it decodes
