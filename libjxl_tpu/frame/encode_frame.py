@@ -287,6 +287,14 @@ def compute_vardct_encoding_device(planes, fd, fh, distance,
                     blist.append(CoeffBlock(bx, by, s, big_q[(aby, abx)]))
         blocks_per_group[g] = blist
 
+    # Quantization-aware block context clustering
+    # (FindBestBlockEntropyModel, enc_heuristics.cc:1220: chosen at
+    # cheetah and slower once strategies + quant field are final).
+    if effort >= 4:
+        from libjxl_tpu.vardct.ac_context import (
+            find_best_block_entropy_model)
+        ctx_map = find_best_block_entropy_model(distance, raw_quant,
+                                                strategies)
     return dict(matrices=matrices, quantizer=quantizer, ctx_map=ctx_map,
                 cmap=cmap, qdc=qdc, raw_quant=raw_quant,
                 strategies=strategies, blocks_per_group=blocks_per_group,
@@ -590,6 +598,14 @@ def compute_vardct_encoding(planes, fd, fh, distance,
                     blist.append(CoeffBlock(bx, by, s, big_q[(aby, abx)]))
         blocks_per_group[g] = blist
 
+    # Quantization-aware block context clustering
+    # (FindBestBlockEntropyModel, enc_heuristics.cc:1220: chosen at
+    # cheetah and slower once strategies + quant field are final).
+    if effort >= 4:
+        from libjxl_tpu.vardct.ac_context import (
+            find_best_block_entropy_model)
+        ctx_map = find_best_block_entropy_model(distance, raw_quant,
+                                                strategies)
     return dict(matrices=matrices, quantizer=quantizer, ctx_map=ctx_map,
                 cmap=cmap, qdc=qdc, raw_quant=raw_quant,
                 strategies=strategies, blocks_per_group=blocks_per_group,

@@ -152,3 +152,100 @@ class BlockCtxMap:
         for t in self.qf_thresholds:
             write_u32(qft_dist, t - 1, w)
         encode_context_map(self.ctx_map, self.num_ctxs, w)
+
+
+def find_best_block_entropy_model(distance: float, raw_quant, strategies,
+                                  decoding_speed: int = 0) -> BlockCtxMap:
+    """Encoder-side block-context clustering
+    (enc_heuristics.cc:69-204 FindBestBlockEntropyModel): derive qf
+    thresholds from the quant-field distribution and greedily merge
+    (order-bucket, qf-segment) cells by occupancy into a few luma
+    contexts (+ a smaller chroma cluster set). Returns the default map
+    for small images."""
+    import numpy as np
+
+    from libjxl_tpu.vardct.ac_strategy import STRATEGY_ORDER
+
+    if decoding_speed >= 1:
+        simple = [0] * NUM_ORDERS + [1] * (2 * NUM_ORDERS)
+        return BlockCtxMap(ctx_map=simple, num_ctxs=2, num_dc_ctxs=1)
+
+    rq = np.asarray(raw_quant)
+    tot = rq.size
+    size_for_ctx_model = (1 << 10) * distance
+    if tot < size_for_ctx_model:
+        return BlockCtxMap()
+
+    # Expand covered (-1) cells to their first-block strategy so every
+    # 8x8 cell counts, like AcStrategyRow iteration does.
+    st = np.asarray(strategies).copy()
+    from libjxl_tpu.vardct import ac_strategy as acs
+    for by, bx in zip(*np.nonzero(st > 0)):
+        s = int(st[by, bx])
+        cx, cy = acs.covered_blocks(s)
+        st[by:by + cy, bx:bx + cx] = s
+    st = np.maximum(st, 0)
+    ord_map = np.asarray(STRATEGY_ORDER, np.int64)[st]
+    qf0 = np.clip(rq.astype(np.int64) - 1, 0, 255)
+    qf_counts = np.bincount(qf0.ravel(), minlength=256)
+    comb = ord_map.ravel() * 256 + qf0.ravel()
+    qf_ord_counts = np.bincount(comb, minlength=NUM_ORDERS * 256) \
+        .reshape(NUM_ORDERS, 256)
+
+    size_for_qf_split = (1 << 13) * distance
+    num_qf_segments = 1 if tot < size_for_qf_split else 2
+    qft: list = []
+    cumsum = 0
+    nxt = 1
+    last_cut = 256
+    cut = tot * nxt // num_qf_segments
+    for j in range(256):
+        cumsum += int(qf_counts[j])
+        if cumsum > cut:
+            if j != 0:
+                qft.append(j)
+            last_cut = j
+            while cumsum > cut:
+                nxt += 1
+                cut = tot * nxt // num_qf_segments
+        elif nxt > len(qft) + 1:
+            if j - 1 == last_cut and j != 0:
+                qft.append(j)
+
+    # Occupancy per (order, qf segment).
+    nseg = len(qft) + 1
+    counts = [0] * (NUM_ORDERS * nseg)
+    qft_pos = 0
+    for j in range(256):
+        if qft_pos < len(qft) and j == qft[qft_pos]:
+            qft_pos += 1
+        for i in range(NUM_ORDERS):
+            counts[qft_pos + i * nseg] += int(qf_ord_counts[i][j])
+
+    # Repeatedly merge the lowest-count cluster into the second-lowest.
+    remap = list(range(nseg * NUM_ORDERS))
+    clusters = list(remap)
+    nb_clusters = max(2, min(int(tot / size_for_ctx_model / 2), 9))
+    nb_clusters_chroma = max(1, min(int(tot / size_for_ctx_model / 3), 5))
+    while len(clusters) > nb_clusters:
+        clusters.sort(key=lambda a: -counts[a])
+        counts[clusters[-2]] += counts[clusters[-1]]
+        counts[clusters[-1]] = 0
+        remap[clusters[-1]] = clusters[-2]
+        clusters.pop()
+    for i in range(len(remap)):
+        while remap[remap[i]] != remap[i]:
+            remap[i] = remap[remap[i]]
+    remap_remap = [len(remap)] * len(remap)
+    num = 0
+    for i in range(len(remap)):
+        if remap_remap[remap[i]] == len(remap):
+            remap_remap[remap[i]] = num
+            num += 1
+        remap[i] = remap_remap[remap[i]]
+    ctx_map = list(remap)
+    for i in range(len(remap), len(remap) * 3):
+        ctx_map.append(num + max(0, min(int(remap[i % len(remap)]),
+                                        nb_clusters_chroma - 1)))
+    return BlockCtxMap(qf_thresholds=qft, ctx_map=ctx_map,
+                       num_ctxs=max(ctx_map) + 1, num_dc_ctxs=1)

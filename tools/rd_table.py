@@ -118,6 +118,18 @@ def main():
                      n * px_per_img / 1e6 / acc["enc_o"],
                      n * px_per_img / 1e6 / acc["enc_r"]))
 
+    # Matched-quality comparison: interpolate OUR (butteraugli, log bpp)
+    # curve at the reference's achieved butteraugli per row (BD-rate
+    # style) — the encoders land at different quality for the same
+    # nominal distance, so matched-distance bpp ratios alone mislead.
+    ba_o = np.array([r[3] for r in rows])
+    bpp_o = np.array([r[1] for r in rows])
+    order = np.argsort(ba_o)
+    matched = []
+    for (d, bo, br, bao, bar, *_rest) in rows:
+        lb = np.interp(bar, ba_o[order], np.log(bpp_o[order]))
+        matched.append(float(np.exp(lb)) / br)
+
     lines = [
         "# Rate-distortion parity: libjxl_tpu vs system libjxl cjxl",
         "",
@@ -130,13 +142,13 @@ def main():
         "",
         "| distance | bpp ours | bpp ref | butteraugli ours | "
         "butteraugli ref | ssimulacra2 ours | ssimulacra2 ref | "
-        "enc MP/s ours | enc MP/s ref |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "enc MP/s ours | enc MP/s ref | bpp ratio @matched ba |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for (d, bo, br, bao, bar, so, sr, eo, er) in rows:
+    for (d, bo, br, bao, bar, so, sr, eo, er), m in zip(rows, matched):
         lines.append(
             f"| {d} | {bo:.3f} | {br:.3f} | {bao:.3f} | {bar:.3f} | "
-            f"{so:.2f} | {sr:.2f} | {eo:.2f} | {er:.2f} |")
+            f"{so:.2f} | {sr:.2f} | {eo:.2f} | {er:.2f} | {m:.3f} |")
     lines.append("")
     lines.append(f"Generated {time.strftime('%Y-%m-%d')} by "
                  f"`python tools/rd_table.py`.")
