@@ -204,3 +204,153 @@ def select_strategies(planes: np.ndarray, raw_quant: np.ndarray,
             strategies[pp * 2, xx] = acs.DCT16X8
             strategies[pp * 2 + 1, xx] = -1
     return strategies
+
+
+# ---------------------------------------------------------------------------
+# Sub-8x8 transform choice (enc_ac_strategy.cc FindBest8x8Transform +
+# EstimateEntropy, ported with the reference's constants). Every
+# within-8x8 transform is linear, so exact batched (64, 64) matrices
+# are derived once by probing the per-block reference implementations
+# (vardct/reconstruct.py) on basis vectors; evaluation is then one
+# einsum per candidate over every block of the frame.
+
+_TX8_CANDIDATES = (
+    # (strategy, encoding_speed_tier_max_limit, entropy_mul)
+    (acs.DCT8X8, 9, 0.8),
+    (acs.DCT4X4, 5, 1.08),
+    (acs.DCT2X2, 5, 0.95),
+    (acs.DCT4X8, 4, 0.85931637428340035),
+    (acs.DCT8X4, 4, 0.85931637428340035),
+    (acs.IDENTITY, 5, 1.0427542510634957),
+    (acs.AFV0, 4, 0.81779489591359944),
+    (acs.AFV1, 4, 0.81779489591359944),
+    (acs.AFV2, 4, 0.81779489591359944),
+    (acs.AFV3, 4, 0.81779489591359944),
+)
+
+_TX8_MATS: dict = {}
+
+
+def _tx8_matrices(s: int):
+    """(fwd, inv): coeffs_flat = pix_flat @ fwd.T; pix = coeffs @ inv.T."""
+    if s not in _TX8_MATS:
+        from libjxl_tpu.vardct.reconstruct import (
+            transform_from_pixels, transform_to_pixels)
+        eye = np.eye(64)
+        fwd = np.stack([transform_from_pixels(
+            s, eye[i].reshape(8, 8)).ravel() for i in range(64)], axis=1)
+        inv = np.stack([transform_to_pixels(
+            s, eye[i].reshape(8, 8)).ravel() for i in range(64)], axis=1)
+        _TX8_MATS[s] = (fwd, inv)
+    return _TX8_MATS[s]
+
+
+def masking_1x1(xyb: np.ndarray) -> np.ndarray:
+    """Per-pixel masking field for the ACS information-loss term
+    (enc_adaptive_quantization.cc ComputeTile mask1x1 + Blur1x1Masking:
+    1 / (log1p(|gammac * laplacian|) + 0.01), Symmetric5-blurred)."""
+    from libjxl_tpu.frame.adaptive_quant import ratio_of_derivatives
+    y = xyb[1].astype(np.float64)
+    p = np.pad(y, 1, mode="edge")
+    base = 0.25 * (p[2:, 1:-1] + p[:-2, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+    gammac = ratio_of_derivatives(y + 0.019, invert=False)
+    diff = np.log1p(np.abs(gammac * (y - base)))
+    m = 1.0 / (diff + 0.01)
+    # Symmetric5 blur, same quadrant layout as the gaborish kernels
+    # (c r R / r d L / R L D), weights kFilterMask1x1.
+    k = (0.364911248, 0.05, 0.1688888021, 0.221069183, 0.306563504)
+    norm = 1.0 / (1.0 + 4 * (k[0] + k[1] + k[2] + k[4] + 2 * k[3]))
+    ker = np.zeros((5, 5))
+    ker[2, 2] = norm
+    for (dy, dx), wv in (((0, 1), norm * k[0]), ((0, 2), norm * k[2]),
+                         ((1, 1), norm * k[1]), ((2, 2), norm * k[4]),
+                         ((1, 2), norm * k[3])):
+        for sy in (-1, 1):
+            for sx in (-1, 1):
+                ker[2 + sy * dy, 2 + sx * dx] = wv
+                ker[2 + sy * dx, 2 + sx * dy] = wv
+    pm = np.pad(m, 2, mode="symmetric")
+    out = np.zeros_like(m)
+    for dy in range(5):
+        for dx in range(5):
+            if ker[dy, dx] != 0:
+                out += ker[dy, dx] * pm[dy:dy + m.shape[0],
+                                        dx:dx + m.shape[1]]
+    return out
+
+
+def select_sub8x8(planes: np.ndarray, strategies: np.ndarray,
+                  qf_float: np.ndarray, mask1x1: np.ndarray,
+                  distance: float, effort: int, matrices,
+                  ytox_base: float, ytob_base: float) -> np.ndarray:
+    """Replace 8x8 DCT blocks with the best within-8x8 transform where
+    the reference cost model says so. Mutates and returns `strategies`
+    (blocks covered by merged transforms are untouched)."""
+    speed_tier = 10 - effort
+    cands = [(s, em) for (s, lim, em) in _TX8_CANDIDATES
+             if lim >= speed_tier]
+    if len(cands) <= 1:
+        return strategies
+    _, h, w = planes.shape
+    by, bx = h // 8, w // 8
+    blocks = planes.reshape(3, by, 8, bx, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(3, by, bx, 64).astype(np.float64)
+    masku = mask1x1[:by * 8, :bx * 8].reshape(by, 8, bx, 8) \
+        .transpose(0, 2, 1, 3).reshape(by, bx, 64)
+    quant = qf_float[:by, :bx].astype(np.float64)
+
+    k_bias = 0.13731742964354549
+    ratio = (distance + k_bias) / (1.0 + k_bias)
+    info_loss_multiplier = 1.2 * ratio ** 0.33677806662454718
+    zeros_mul = 9.3089059022677905 * ratio ** 0.50990926717963703
+    cost_delta = 10.833273317067883 * ratio ** 0.36702940662370243
+    cmap_factors = (ytox_base, 0.0, ytob_base)
+    masku_off = (12.0, 0.0, 4.0)
+    channel_mul = (8.2 ** 8, 1.0, 1.03 ** 8)
+
+    best_cost = None
+    best_s = None
+    for s, em in cands:
+        entropy_mul = em / 0.8
+        if s in (acs.DCT2X2, acs.IDENTITY) and distance < 5.0:
+            entropy_mul -= 0.4 * ((5.0 - distance) / 5.0) ** 2
+        if s not in (acs.DCT8X8, acs.DCT2X2, acs.IDENTITY) \
+                and distance > 4.0:
+            mul = (12.0 - 4.0) / (distance - 4.0) if distance < 12.0 \
+                else 1.0
+            entropy_mul += 0.5 * mul
+        fwd, inv = _tx8_matrices(s)
+        coef = np.einsum("cbxk,jk->cbxj", blocks, fwd, optimize=True)
+        entropy = np.zeros((by, bx))
+        loss = np.zeros((by, bx))
+        for c in range(3):
+            inv_m = (1.0 / matrices.table(s))[c].ravel()
+            m = matrices.table(s)[c].ravel()
+            val = (coef[c] - cmap_factors[c] * coef[1]) \
+                * inv_m * quant[..., None]
+            rval = np.round(val)
+            diff = val - rval
+            q = np.abs(rval)
+            entropy += cost_delta * np.sqrt(q).sum(-1)
+            nzero = (q != 0).sum(-1)
+            nbits = np.where(nzero > 0,
+                             np.int64(np.log2(np.maximum(nzero, 1)))
+                             + 1, 0) + 1
+            entropy += zeros_mul * (
+                np.int64(np.log2(nbits + 17)) + 1 + nbits)
+            err_pix = np.einsum("bxk,jk->bxj", diff * m, inv,
+                                optimize=True)
+            e = (masku + masku_off[c]) * err_pix
+            loss += channel_mul[c] * (e ** 8).sum(-1)
+        loss_scalar = (loss / 64.0) ** 0.125 * 64.0 / quant
+        cost = entropy * entropy_mul + info_loss_multiplier * loss_scalar
+        if best_cost is None:
+            best_cost = cost
+            best_s = np.full((by, bx), s, np.int32)
+        else:
+            better = cost < best_cost
+            best_cost = np.where(better, cost, best_cost)
+            best_s = np.where(better, s, best_s)
+    take = strategies == acs.DCT8X8
+    strategies[take] = best_s[take]
+    return strategies

@@ -372,6 +372,16 @@ def compute_vardct_encoding(planes, fd, fh, distance,
             planes, raw_quant, quantizer,
             enable_32=effort >= 5, enable_rect=effort >= 6,
             enable_64=effort >= 7, distance=distance)
+        if effort >= 5:
+            # Within-8x8 transforms (IDENTITY/DCT2x2/4x4/4x8/AFV) where
+            # the reference cost model beats plain DCT8
+            # (enc_ac_strategy.cc FindBest8x8Transform).
+            from libjxl_tpu.frame.acs_select import (masking_1x1,
+                                                     select_sub8x8)
+            strategies = select_sub8x8(
+                planes, strategies, qf, masking_1x1(aq_planes),
+                distance, effort, matrices,
+                cmap.base_correlation_x, cmap.base_correlation_b)
     # AdjustQuantField: uniform qf within a multi-block strategy (max).
     for by0, bx0 in zip(*np.nonzero(strategies > 0)):
         s = int(strategies[by0, bx0])

