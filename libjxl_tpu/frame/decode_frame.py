@@ -602,12 +602,12 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     if not device:
         parallel = (not single) and fd.num_groups > 1
         if parallel:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor() as pool:
-                for p in range(num_passes):
-                    list(pool.map(lambda g, p=p: process_ac_group(p, g),
-                                  range(fd.num_groups)))
-                list(pool.map(reconstruct_one, range(fd.num_groups)))
+            from libjxl_tpu.parallel.runner import get_runner
+            runner = get_runner()
+            for p in range(num_passes):
+                runner.run(lambda g, p=p: process_ac_group(p, g),
+                           fd.num_groups)
+            runner.run(reconstruct_one, fd.num_groups)
         else:
             for p in range(num_passes):
                 for g in range(fd.num_groups):

@@ -8,6 +8,9 @@ Host-side section parsing fans out over a thread pool feeding the
 device pipeline (parallel/host_pool.py).
 """
 
+from libjxl_tpu.parallel.runner import (
+    SerialRunner, ThreadRunner, get_runner, set_runner,
+)
 from libjxl_tpu.parallel.sharded_decode import (
     batch_feeds, batch_feeds2, make_sharded_decode, make_sharded_decode2,
 )

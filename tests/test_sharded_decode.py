@@ -117,3 +117,79 @@ def test_batch_feeds2_rejects_mismatched_tables():
     feeds[1]["tables8"] = feeds[1]["tables8"] * 1.5  # custom matrices
     with pytest.raises(ValueError, match="dequant tables"):
         batch_feeds2(feeds, 1)
+
+
+class TestParallelRunner:
+    """Pluggable runner seam (parallel_runner.h analogue) + thread-pool
+    contention: shared-pool decodes must stay bit-exact (SURVEY §5.2)."""
+
+    def _stream(self):
+        import numpy as np
+        from libjxl_tpu.api.simple import encode
+        rng = np.random.default_rng(4)
+        img = np.clip(rng.normal(128, 40, (600, 700, 3)), 0, 255
+                      ).astype(np.uint8)
+        return encode(img, distance=1.0, effort=5)
+
+    def test_serial_runner_matches_threaded(self):
+        import numpy as np
+        from libjxl_tpu.api.simple import decode
+        from libjxl_tpu.parallel.runner import (SerialRunner, ThreadRunner,
+                                                set_runner)
+        data = self._stream()
+        try:
+            set_runner(SerialRunner())
+            serial = decode(data).pixels
+            set_runner(ThreadRunner(8))
+            threaded = decode(data).pixels
+        finally:
+            set_runner(None)
+        np.testing.assert_array_equal(serial, threaded)
+
+    def test_custom_runner_is_used(self):
+        from libjxl_tpu.api.simple import decode
+        from libjxl_tpu.parallel.runner import set_runner
+        calls = []
+
+        class Spy:
+            num_workers = 1
+
+            def run(self, fn, n):
+                calls.append(n)
+                for i in range(n):
+                    fn(i)
+
+        data = self._stream()
+        try:
+            set_runner(Spy())
+            decode(data)
+        finally:
+            set_runner(None)
+        assert calls, "custom runner was never invoked"
+
+    def test_contended_shared_pool_bit_exact(self):
+        """Many decodes sharing ONE runner pool from many caller
+        threads: results must equal the serial decode (no cross-request
+        state bleed in the native section decoders)."""
+        import numpy as np
+        from concurrent.futures import ThreadPoolExecutor
+        from libjxl_tpu.api.simple import decode, encode
+        from libjxl_tpu.parallel.runner import (SerialRunner, ThreadRunner,
+                                                set_runner)
+        rng = np.random.default_rng(9)
+        streams = [encode(np.clip(rng.normal(100 + 20 * i, 40,
+                                             (280, 600, 3)), 0, 255
+                                  ).astype(np.uint8),
+                          distance=1.0 + 0.5 * i, effort=5)
+                   for i in range(3)]
+        try:
+            set_runner(SerialRunner())
+            want = [decode(s).pixels for s in streams]
+            set_runner(ThreadRunner(6))
+            with ThreadPoolExecutor(max_workers=6) as callers:
+                got = list(callers.map(
+                    lambda s: decode(s).pixels, streams * 3))
+        finally:
+            set_runner(None)
+        for i, g in enumerate(got):
+            np.testing.assert_array_equal(g, want[i % 3])
