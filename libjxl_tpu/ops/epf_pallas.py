@@ -189,6 +189,30 @@ def _compiled_meta(h, w, epf_iters, gab, gab_weights, p0_scale, p2_scale,
     return th, hp, wp
 
 
+_PALLAS_OK: list = [None]   # None = unprobed; True/False cached
+
+
+def _pallas_usable() -> bool:
+    """One-time probe: compile + run the kernel on a tiny frame so an
+    experimental-backend pallas failure degrades to the jnp filters
+    instead of killing the whole decode program."""
+    import os
+    if os.environ.get("LIBJXL_TPU_NO_PALLAS"):
+        return False
+    if _PALLAS_OK[0] is None:
+        try:
+            import jax.numpy as jnp
+            img = jnp.zeros((3, 16, 16), jnp.float32)
+            sig = jnp.ones((2, 2), jnp.float32)
+            out = apply_loop_filters_pallas(img, sig, epf_iters=1,
+                                            gab=True)
+            out.block_until_ready()
+            _PALLAS_OK[0] = True
+        except Exception:
+            _PALLAS_OK[0] = False
+    return _PALLAS_OK[0]
+
+
 def apply_loop_filters_auto(img, inv_sigma_blocks, *, epf_iters=2,
                             gab=True, **kw):
     """Loop-filter chain: the fused pallas kernel on TPU backends, the
@@ -197,7 +221,7 @@ def apply_loop_filters_auto(img, inv_sigma_blocks, *, epf_iters=2,
     forwarded to both paths."""
     import jax
     plat = jax.default_backend()
-    if plat not in ("cpu",):
+    if plat not in ("cpu",) and _pallas_usable():
         return apply_loop_filters_pallas(img, inv_sigma_blocks,
                                          epf_iters=epf_iters, gab=gab,
                                          **kw)
