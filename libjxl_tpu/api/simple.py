@@ -757,12 +757,16 @@ def _frame_to_float(frame, meta) -> tuple[np.ndarray, np.ndarray | None]:
         if nec:
             alpha = chans[ncolor].astype(np.float32) / maxval
         return np.clip(color, 0.0, 1.0), alpha
-    srgb = linear_to_srgb(xyb_to_linear_rgb(frame.xyb)).transpose(1, 2, 0)
+    # Unclamped sign-symmetric encode: blending happens on these values
+    # and only the displayed frame clips (stage_from_linear TF_SRGB).
+    from libjxl_tpu.color.xyb import linear_to_srgb_ext
+    srgb = linear_to_srgb_ext(xyb_to_linear_rgb(frame.xyb)) \
+        .transpose(1, 2, 0)
     alpha = None
     if frame.extra_channels:
         alpha = np.clip(frame.extra_channels[0].astype(np.float32)
                         / maxval, 0.0, 1.0)
-    return np.clip(srgb, 0.0, 1.0), alpha
+    return srgb, alpha
 
 
 def decode_all(data: bytes, device: bool = False

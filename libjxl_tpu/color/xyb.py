@@ -74,3 +74,15 @@ def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
     lin = np.maximum(linear, 0.0)
     return np.where(lin <= 0.0031308, lin * 12.92,
                     1.055 * lin ** (1 / 2.4) - 0.055).astype(np.float32)
+
+
+def linear_to_srgb_ext(linear: np.ndarray) -> np.ndarray:
+    """Sign-symmetric sRGB OETF on UNCLAMPED linear values
+    (cms/transfer_functions-inl.h TF_SRGB applies the curve to |x| and
+    restores the sign) — out-of-gamut samples must survive animation
+    blending and only clip at display."""
+    linear = np.asarray(linear, np.float64)
+    a = np.abs(linear)
+    enc = np.where(a <= 0.0031308, a * 12.92,
+                   1.055 * np.maximum(a, 1e-12) ** (1 / 2.4) - 0.055)
+    return (np.sign(linear) * enc).astype(np.float32)

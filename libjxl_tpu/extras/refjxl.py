@@ -614,3 +614,66 @@ def butteraugli_distance(ref: np.ndarray, dis: np.ndarray,
             _jxl.JxlButteraugliResultDestroy(res)
     finally:
         _jxl.JxlButteraugliApiDestroy(api)
+
+
+def decode_frames(data: bytes, *, dtype: str = "uint8",
+                  num_channels: int | None = None) -> list:
+    """Decode EVERY displayed (coalesced) frame of an animation with
+    the system libjxl — the per-frame oracle for decode_all interop
+    (JXL_DEC_FULL_IMAGE fires once per composed frame)."""
+    if _jxl is None:
+        raise RefJxlError("system libjxl not available")
+    dec = _jxl.JxlDecoderCreate(None)
+    if not dec:
+        raise RefJxlError("JxlDecoderCreate failed")
+    try:
+        events = JXL_DEC_BASIC_INFO | JXL_DEC_FULL_IMAGE
+        if _jxl.JxlDecoderSubscribeEvents(dec, events) != JXL_DEC_SUCCESS:
+            raise RefJxlError("SubscribeEvents failed")
+        buf = ctypes.create_string_buffer(data, len(data))
+        _jxl.JxlDecoderSetInput(dec, buf, len(data))
+        _jxl.JxlDecoderCloseInput(dec)
+
+        bi = JxlBasicInfo()
+        jxl_type = {"float32": JXL_TYPE_FLOAT, "uint8": JXL_TYPE_UINT8,
+                    "uint16": JXL_TYPE_UINT16}[dtype]
+        np_dtype = {"float32": np.float32, "uint8": np.uint8,
+                    "uint16": np.uint16}[dtype]
+        fmt = None
+        out = None
+        frames: list = []
+        while True:
+            status = _jxl.JxlDecoderProcessInput(dec)
+            if status == JXL_DEC_ERROR:
+                raise RefJxlError("reference decoder reported ERROR")
+            if status == JXL_DEC_NEED_MORE_INPUT:
+                raise RefJxlError("reference decoder ran out of input")
+            if status == JXL_DEC_BASIC_INFO:
+                if _jxl.JxlDecoderGetBasicInfo(dec, ctypes.byref(bi)) != 0:
+                    raise RefJxlError("GetBasicInfo failed")
+                nch = num_channels
+                if nch is None:
+                    nch = bi.num_color_channels + (1 if bi.alpha_bits
+                                                   else 0)
+                fmt = JxlPixelFormat(nch, jxl_type, JXL_LITTLE_ENDIAN, 0)
+            elif status == JXL_DEC_NEED_IMAGE_OUT_BUFFER:
+                sz = ctypes.c_size_t()
+                if _jxl.JxlDecoderImageOutBufferSize(
+                        dec, ctypes.byref(fmt), ctypes.byref(sz)) != 0:
+                    raise RefJxlError("ImageOutBufferSize failed")
+                out = np.empty(sz.value, dtype=np.uint8)
+                if _jxl.JxlDecoderSetImageOutBuffer(
+                        dec, ctypes.byref(fmt),
+                        out.ctypes.data_as(ctypes.c_void_p),
+                        sz.value) != 0:
+                    raise RefJxlError("SetImageOutBuffer failed")
+            elif status == JXL_DEC_FULL_IMAGE:
+                frames.append(out.view(np_dtype).reshape(
+                    bi.ysize, bi.xsize, fmt.num_channels).copy())
+            elif status == JXL_DEC_SUCCESS:
+                break
+            else:
+                raise RefJxlError(f"unexpected decoder status {status}")
+        return frames
+    finally:
+        _jxl.JxlDecoderDestroy(dec)

@@ -66,3 +66,34 @@ def test_blend_out_of_bounds_clip():
     src = np.ones((3, 3, 3), np.float32)
     blend_frame(canvas, None, src, None, BlendMode.REPLACE, -1, 3)
     assert canvas[3, 0, 0] == 1.0 and canvas[3, 2, 0] == 0.0
+
+
+def test_decode_all_frames_match_oracle():
+    """Every composed frame (REPLACE and alpha-BLEND chains) must match
+    the system libjxl decoder's coalesced per-frame output."""
+    import numpy as np
+    import pytest
+    from libjxl_tpu.api.simple import decode_all, encode_animation
+    from libjxl_tpu.extras import refjxl
+    if not refjxl.available():
+        pytest.skip("system libjxl unavailable")
+    rng = np.random.default_rng(21)
+    frames = []
+    for i in range(3):
+        fr = np.zeros((56, 72, 4), np.uint8)
+        fr[:, :, :3] = np.clip(rng.normal(100 + 30 * i, 35, (56, 72, 3)),
+                               0, 255)
+        a = np.zeros((56, 72), np.uint8)
+        a[6 * i:40 + 4 * i, 8:64] = 255
+        a[25:30, :] = 100
+        fr[:, :, 3] = a
+        frames.append(fr)
+    for blend in (False, True):
+        data = encode_animation(frames, distance=1.0, blend=blend)
+        oracle = refjxl.decode_frames(data, dtype="uint8",
+                                      num_channels=4)
+        ours, _ = decode_all(data)
+        assert len(oracle) == len(ours) == 3, (blend, len(oracle))
+        for i, (o, u) in enumerate(zip(oracle, ours)):
+            d = np.abs(o.astype(int) - u.pixels.astype(int)).max()
+            assert d <= 1, (blend, i, d)
