@@ -73,12 +73,55 @@ def make_corpus(n, h=512, w=768, seed=42):
     return images
 
 
+def make_hard_corpus(h=512, w=768, seed=7):
+    """Adversarial profiles the photographic corpus misses (VERDICT r3
+    weak #9): anti-aliased text/screenshot, ordered dither, near-black
+    HDR-ish gradients — heuristics tuned only on sin*cos texture
+    over-merge/over-quantize these."""
+    rng = np.random.default_rng(seed)
+    out = []
+    # 1) screenshot: flat panels, 1px rules, repeated glyph clusters
+    img = np.full((h, w, 3), 242, np.uint8)
+    for _ in range(8):
+        y0, x0 = rng.integers(0, h - 60), rng.integers(0, w - 120)
+        hh, ww = rng.integers(40, 160), rng.integers(80, 300)
+        img[y0:y0 + hh, x0:x0 + ww] = rng.integers(200, 255, 3)
+        img[y0, x0:x0 + ww] = 120
+        img[y0:y0 + hh, x0] = 120
+    glyph = (rng.random((11, 7)) < 0.45)
+    for gy in range(12, h - 16, 18):
+        for gx in range(10, w - 12, 9):
+            if rng.random() < 0.8:
+                img[gy:gy + 11, gx:gx + 7][glyph] = 40
+    out.append(img.copy())
+    # 2) ordered dither over a gradient (worst case for smoothing)
+    bayer = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                      [1, 9, 3, 11], [15, 7, 13, 5]]) / 16.0
+    gy, gx = np.mgrid[0:h, 0:w]
+    g = (gx / w * 0.85 + gy / h * 0.1)
+    tile = np.tile(bayer, (h // 4 + 1, w // 4 + 1))[:h, :w]
+    d = ((g > tile).astype(np.uint8) * 255)
+    out.append(np.stack([d, d, d], -1))
+    # 3) near-black gradient + dim highlights (HDR shadow handling)
+    base = (g * 14.0) ** 1.2
+    img3 = np.stack([base, base * 0.96, base * 1.05], -1)
+    for _ in range(24):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        rr = rng.integers(2, 9)
+        img3[max(0, cy - rr):cy + rr, max(0, cx - rr):cx + rr] += \
+            rng.uniform(20, 90)
+    out.append(np.clip(img3, 0, 255).astype(np.uint8))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/RD_TABLE.md")
     ap.add_argument("--images", type=int, default=6)
     ap.add_argument("--effort", type=int, default=7)
     ap.add_argument("--distances", default="0.5,1.0,2.0,4.0")
+    ap.add_argument("--corpus", choices=("photo", "hard"),
+                    default="photo")
     args = ap.parse_args()
 
     from libjxl_tpu.api.simple import encode as enc_ours
@@ -86,7 +129,8 @@ def main():
     from libjxl_tpu.metrics.ssimulacra2 import ssimulacra2
 
     distances = [float(d) for d in args.distances.split(",")]
-    corpus = make_corpus(args.images)
+    corpus = make_corpus(args.images) if args.corpus == "photo" \
+        else make_hard_corpus()
     px_per_img = corpus[0].shape[0] * corpus[0].shape[1]
 
     rows = []
@@ -133,7 +177,8 @@ def main():
     lines = [
         "# Rate-distortion parity: libjxl_tpu vs system libjxl cjxl",
         "",
-        f"Corpus: {args.images} procedurally generated photographic-"
+        f"Corpus ({args.corpus}): {args.images} procedurally generated "
+        f"photographic-"
         f"style 768x512 RGB images (tools/rd_table.py make_corpus; no "
         f"network access for the real Kodak set). Effort "
         f"{args.effort}; both bitstreams decoded by the system libjxl "
