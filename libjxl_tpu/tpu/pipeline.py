@@ -167,8 +167,10 @@ def decode_frame_device(feed: dict, lf, quantizer, raw_quant, sharpness,
     caps = tuple(feed["big"][k][0].shape[0] for k in big_keys)
     gab = bool(lf.gab)
     epf_iters = int(lf.epf_iters)
+    mi_key = np.maximum(np.asarray(feed["mat_ids"]), 0)
     key = (big_keys, caps, epf_iters, gab, feed["coeff_img"].shape,
-           image_h, image_w, return_xyb)
+           image_h, image_w, return_xyb,
+           tuple(int(s) for s in np.unique(mi_key)))
     if key not in _FN_CACHE:
         if return_xyb:
             from libjxl_tpu.ops.epf_pallas import \
@@ -207,8 +209,14 @@ def decode_frame_device(feed: dict, lf, quantizer, raw_quant, sharpness,
     big_flat = []
     for k in big_keys:
         big_flat.extend(feed["big"][k])
+    # Prune the family8 bank to used slots (see decode_frame_device2).
+    mi = np.maximum(np.asarray(feed["mat_ids"]), 0)
+    used = [int(s) for s in np.unique(mi)]
+    lut = np.zeros(max(used) + 1, mi.dtype)
+    for i, s in enumerate(used):
+        lut[s] = i
     args = [feed["coeff_img"], feed["weight_img"], feed["llf_img"],
-            feed["fx"], feed["fb"], family8_matrices(), feed["mat_ids"],
+            feed["fx"], feed["fb"], family8_matrices()[used], lut[mi],
             feed["biases"], inv_sigma.astype(np.float32)] + big_flat
     # One batched host->device transfer (per-argument commits pay a
     # full round-trip each over remote/tunneled device links).
