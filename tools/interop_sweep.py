@@ -52,7 +52,28 @@ for it in range(N):
     lossless = bool(rng.integers(0, 2))
     eff = int(rng.integers(1, 10))
     d = float(rng.choice([0.5, 1.0, 2.0, 4.0, 8.0]))
-    desc = f"it{it} {h}x{w} lossless={lossless} e{eff} d={d}"
+    # 0.13-era FORMAT features the 0.7 oracle still decodes (the frozen
+    # spec): progressive passes, resampling, noise, EPF overrides,
+    # container boxes, spot color, alpha-BLEND animation frames.
+    extra_kw = {}
+    profile = int(rng.integers(0, 7))
+    if profile == 1 and not lossless:
+        extra_kw["progressive"] = True
+    elif profile == 2 and not lossless and h >= 16 and w >= 16:
+        extra_kw["resampling"] = int(rng.choice([2, 4]))
+    elif profile == 3 and not lossless:
+        extra_kw["noise"] = float(rng.uniform(800, 6400))
+    elif profile == 4 and not lossless:
+        extra_kw["epf"] = int(rng.integers(0, 4))
+    elif profile == 5:
+        extra_kw["container"] = True
+    elif profile == 6:
+        spot = (rng.random((h, w)) < 0.1).astype(np.uint8) * 200
+        extra_kw["extra_channels"] = [
+            {"type": "spot_color", "data": spot, "name": "ink",
+             "spot_color": (1.0, 0.2, 0.1, 0.7)}]
+    desc = f"it{it} {h}x{w} lossless={lossless} e{eff} d={d} " \
+           f"profile={profile}"
     try:
         # ref -> ours
         rs = refjxl.encode(img, lossless=lossless,
@@ -64,16 +85,33 @@ for it in range(N):
         lim = 0 if lossless else 2
         if err > lim:
             fails.append((desc, "ref->ours", err))
-        # ours -> ref
+        # ours -> ref (with the profile's feature settings)
         os_ = encode(img, lossless=lossless,
                      distance=0.0 if lossless else d,
-                     effort=min(eff, 9))
-        ours2 = decode(os_).pixels
+                     effort=min(eff, 9), **extra_kw)
+        ours2 = decode(os_).pixels[..., :3]
         refd2 = np.asarray(refjxl.decode(os_, dtype="uint8").pixels)
-        refd2 = refd2.reshape(h, w, -1)[..., :3]
+        refd2 = refd2.reshape(ours2.shape[0], ours2.shape[1], -1)[..., :3]
         err2 = np.abs(ours2.astype(int) - refd2.astype(int)).max()
         if err2 > (0 if lossless else 2):
             fails.append((desc, "ours->refdec", err2))
+        # Animation profile: all composed frames vs the oracle.
+        if profile == 0 and not lossless and bool(rng.integers(0, 2)) \
+                and h >= 16 and w >= 16:
+            from libjxl_tpu.api.simple import (decode_all,
+                                               encode_animation)
+            fr2 = np.dstack([np.roll(img, 5, axis=1),
+                             np.full((h, w), 180, np.uint8)])
+            fr1 = np.dstack([img, np.full((h, w), 255, np.uint8)])
+            anim = encode_animation([fr1, fr2], distance=d, blend=True)
+            ofr = refjxl.decode_frames(anim, dtype="uint8",
+                                       num_channels=4)
+            ufr, _ = decode_all(anim)
+            for i, (o, u) in enumerate(zip(ofr, ufr)):
+                e3 = np.abs(o.astype(int)
+                            - u.pixels.astype(int)).max()
+                if e3 > 1:
+                    fails.append((desc, f"anim-frame{i}", e3))
     except Exception as e:
         fails.append((desc, "EXC", traceback.format_exc().splitlines()[-1]))
     if (it + 1) % 10 == 0:
