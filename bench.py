@@ -189,6 +189,27 @@ def main():
     result["phase"] = "complete"
     checkpoint(result)
 
+    # Phase 4 (budget-permitting): device-encoder throughput on a
+    # 1-MPix image (enc_frame.cc ComputeEncodingData's VarDCT half as
+    # jitted stages; byte-identical to the host encoder).
+    if _remaining() < 120:
+        return
+    from libjxl_tpu.api.simple import encode as _encode
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:1024, 0:1024]
+    img = np.clip(np.stack(
+        [0.5 + 0.3 * np.sin(x / 17 + c) * np.cos(y / 23)
+         + rng.normal(0, 0.02, (1024, 1024)) for c in range(3)],
+        -1), 0, 1)
+    img = (img * 255).astype(np.uint8)
+    _encode(img, distance=1.0, effort=5, device=True)   # warm-up
+    t0 = time.perf_counter()
+    _encode(img, distance=1.0, effort=5, device=True)
+    t_enc = time.perf_counter() - t0
+    result["device_encode_mpix_s"] = round(1024 * 1024 / 1e6 / t_enc, 2)
+    result["phase"] = "complete+encode"
+    checkpoint(result)
+
 
 if __name__ == "__main__":
     main()
