@@ -1067,7 +1067,7 @@ def _write_vardct_sections(w, fh, fd, metadata, quantizer, ctx_map, cmap,
             mfe._write_acmeta_count(sw, rect, count)
             mfe.write_aux_with_tree(sw, aux_state,
                                     stream_ac_metadata(g, fd))
-            _mark(sw, "ac_metadata", pos)
+            _mark(sw, "control_fields", pos)
             return
         rect = fd.dc_group_rect(g)
         sl = rect.slices()
