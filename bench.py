@@ -105,6 +105,23 @@ def main():
     result["bpp"] = round(bpp, 3)
     result["corpus_load_s"] = round(time.perf_counter() - t_setup, 1)
 
+    # Phase 1: host parse only (single-core entropy + feed build).
+    # Deliberately runs BEFORE any jax import: a wedged TPU tunnel can
+    # hang backend init itself, and this phase is pure host code — the
+    # driver is guaranteed at least the parse number.
+    from libjxl_tpu.tpu.batch_decode import DecodePipeline, parse_to_feed
+
+    feeds = [parse_to_feed(s) for s in streams]   # warm (first-call init)
+    t0 = time.perf_counter()
+    for s in streams:
+        parse_to_feed(s)
+    t_parse = time.perf_counter() - t0
+    parse_mpix = N_IMAGES * W4K * H4K / 1e6 / t_parse
+    result["host_parse_mpix_s"] = round(parse_mpix, 1)
+    result["value"] = round(parse_mpix, 1)   # lower bound so far
+    result["phase"] = "parse_only"
+    checkpoint(result)
+
     import jax
 
     # Persistent compilation cache: the 4K pipeline program costs
@@ -121,8 +138,6 @@ def main():
 
     import jax.numpy as jnp
 
-    from libjxl_tpu.tpu.batch_decode import DecodePipeline, parse_to_feed
-
     def sync_all(outs):
         # block_until_ready is unreliable over tunneled devices: force
         # completion with one tiny combined fetch that depends on every
@@ -130,18 +145,6 @@ def main():
         combined = jnp.stack([o.ravel()[:2].astype(jnp.int32)
                               for o in outs])
         return np.asarray(combined)
-
-    # Phase 1: host parse only (single-core entropy + feed build).
-    feeds = [parse_to_feed(s) for s in streams]   # warm (first-call init)
-    t0 = time.perf_counter()
-    for s in streams:
-        parse_to_feed(s)
-    t_parse = time.perf_counter() - t0
-    parse_mpix = N_IMAGES * W4K * H4K / 1e6 / t_parse
-    result["host_parse_mpix_s"] = round(parse_mpix, 1)
-    result["value"] = round(parse_mpix, 1)   # lower bound so far
-    result["phase"] = "parse_only"
-    checkpoint(result)
 
     # Phase 2: device kernel only (feeds pre-built; per-frame packed
     # transfer + async dispatch, steady state).

@@ -173,6 +173,54 @@ def _adjust_quant_blocks(coeffs, flat_inv, raw_quant, inv_gs,
     return new_rq, thr_y.astype(np.float32)
 
 
+def _requantize_sub8x8(flips, planes, matrices, quantizer, raw_quant,
+                       ytox_map, ytob_map, cmap, x_mul, b_mul, mul_dc,
+                       cfl_fac, qdc, big_q) -> None:
+    """Transform + quantize 1x1-covered sub-8x8 blocks host-side for
+    the device encoder flow (enc_group.cc math on DCT4x4/2x2/IDENTITY/
+    AFV blocks), updating big_q and the quantized DC in place."""
+    from libjxl_tpu.vardct.dct import dc_from_llf
+    from libjxl_tpu.vardct.reconstruct import transform_from_pixels
+    by_bias = 1.0 - 0.07005449891748593
+    for (by, bx, s) in flips:
+        region = planes[:, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+        cb = np.stack([np.asarray(transform_from_pixels(
+            s, region[c].astype(np.float64))).reshape(64)
+            for c in range(3)])                   # (3, 64)
+        t_s = matrices.table(s).reshape(3, 64)
+        inv_s = 1.0 / t_s
+        flat = cb
+        sc = float(raw_quant[by, bx]) / quantizer.inv_global_scale
+        ytox_v = (cmap.base_correlation_x
+                  + ytox_map[by // 8, bx // 8] * cmap.color_scale)
+        ytob_v = (cmap.base_correlation_b
+                  + ytob_map[by // 8, bx // 8] * cmap.color_scale)
+        thr_yb = _deadzone_thresholds(8, 8, False, 1).reshape(64)
+        thr_cb = _deadzone_thresholds(8, 8, True, 1).reshape(64)
+        q1 = _quantize_deadzone(flat[1] * inv_s[1] * sc, thr_yb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gen = q1 - 0.145 / np.where(q1 == 0, 1, q1)
+        dqy = np.where(q1 == 0, 0.0,
+                       np.where(q1 == 1, by_bias,
+                                np.where(q1 == -1, -by_bias, gen))) \
+            * t_s[1] / sc
+        q0 = _quantize_deadzone((flat[0] - ytox_v * dqy) * inv_s[0]
+                                * (sc * x_mul), thr_cb)
+        q2 = _quantize_deadzone((flat[2] - ytob_v * dqy) * inv_s[2]
+                                * (sc * b_mul), thr_cb)
+        qn = np.stack([q0, q1, q2], axis=0).astype(np.int32)
+        qn[:, 0] = 0                               # LLF slot
+        big_q[(by, bx)] = qn
+        # DC comes from the sub-transform LLF; re-quantize with CfL.
+        dc = np.array([float(dc_from_llf(
+            cb[c].reshape(8, 8)[:1, :1], 8, 8)) for c in range(3)])
+        q_y = round(dc[1] / mul_dc[1])
+        y_dec = q_y * mul_dc[1]
+        qdc[1, by, bx] = q_y
+        qdc[0, by, bx] = round((dc[0] - cfl_fac[0] * y_dec) / mul_dc[0])
+        qdc[2, by, bx] = round((dc[2] - cfl_fac[2] * y_dec) / mul_dc[2])
+
+
 def compute_vardct_encoding_device(planes, fd, fh, distance,
                                    qf_adjust=None, quantizer=None,
                                    effort=7, aq_planes=None,
@@ -270,6 +318,30 @@ def compute_vardct_encoding_device(planes, fd, fh, distance,
         sel = qn[:, bys // cy, bxs // cx]        # (3, n, size)
         for i, (by0, bx0) in enumerate(zip(bys, bxs)):
             big_q[(int(by0), int(bx0))] = sel[:, i]
+    # Sub-8x8 transform choice (host numpy, same function as the host
+    # path; see select_sub8x8). Flipped blocks are re-transformed and
+    # re-quantized host-side — they're a small fraction of the frame
+    # and their math is per-block.
+    if effort >= 5:
+        from libjxl_tpu.frame.acs_select import masking_1x1, select_sub8x8
+        planes_host = np.asarray(planes_dev)
+        strategies = select_sub8x8(
+            planes_host, np.array(strategies), qf, masking_1x1(aq_planes),
+            distance, effort, matrices,
+            cmap.base_correlation_x, cmap.base_correlation_b)
+        flips = [(int(by), int(bx), int(strategies[by, bx]))
+                 for by, bx in zip(*np.nonzero(
+                     (strategies > 0) & (raw_quant > 0)))
+                 if (int(by), int(bx)) not in big_q
+                 and acs.covered_blocks(int(strategies[by, bx]))
+                 == (1, 1)]
+        if flips:
+            qdc = np.array(qdc)      # device output is read-only
+            _requantize_sub8x8(
+                flips, planes_host, matrices, quantizer, raw_quant,
+                ytox_map, ytob_map, cmap, x_mul, b_mul, mul_dc,
+                cfl_fac, qdc, big_q)
+
     blocks_per_group: dict = {}
     for g in range(fd.num_groups):
         brect = fd.block_group_rect(g)

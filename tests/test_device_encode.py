@@ -42,6 +42,16 @@ def test_device_encode_matches_host(effort, distance):
     assert np.abs(ph - pd).max() <= 2
 
 
+@pytest.mark.parametrize("effort", [5, 7])
+def test_device_encode_byte_identical_e5_plus(effort):
+    """Sub-8x8 ACS flips (host-side in the device flow) must restore
+    exact byte parity at e5+ on the CPU backend (deterministic)."""
+    img = _test_image()
+    host = encode(img, distance=1.0, effort=effort)
+    dev = encode(img, distance=1.0, effort=effort, device=True)
+    assert host == dev, (len(host), len(dev))
+
+
 def test_device_encode_decodes_correctly():
     img = _test_image(96, 96, seed=9)
     data = encode(img, distance=1.0, effort=5, device=True)
