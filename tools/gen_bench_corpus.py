@@ -62,8 +62,30 @@ def encode_one(i):
           flush=True)
 
 
+def encode_1080p():
+    """1080p stream with the same profile — bench.py's fast device
+    checkpoint (the 2-MPix program compiles far faster than the 4K
+    one, guaranteeing a device number on a cold compile cache)."""
+    from libjxl_tpu.api.simple import encode
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    w, h = 1920, 1080
+    img = make_image(0)[:h, :w]
+    t0 = time.time()
+    stream = encode(img, distance=1.0, effort=5, hdr="pq",
+                    progressive=True, epf=3)
+    path = os.path.join(OUT_DIR, "1080p_hdr_pq_d1_e5_prog_epf3.jxl")
+    with open(path, "wb") as f:
+        f.write(stream)
+    print(f"{path}: {len(stream)} bytes in {time.time()-t0:.1f}s",
+          flush=True)
+
+
 def main():
     if len(sys.argv) > 1:
+        if sys.argv[1] == "1080p":
+            encode_1080p()
+            return
         encode_one(int(sys.argv[1]))
         return
     # One subprocess per image: a fresh process per encode avoids
@@ -73,6 +95,8 @@ def main():
     for i in range(N_IMAGES):
         subprocess.run([sys.executable, os.path.abspath(__file__),
                         str(i)], check=True)
+    subprocess.run([sys.executable, os.path.abspath(__file__), "1080p"],
+                   check=True)
 
 
 if __name__ == "__main__":
