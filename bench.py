@@ -54,7 +54,7 @@ CONFIG = ("BASELINE config 5: 3840x2160 PQ uint16, d1.0 e5, "
 
 
 def load_corpus():
-    paths = sorted(glob.glob(os.path.join(CORPUS_DIR, "*.jxl")))
+    paths = sorted(glob.glob(os.path.join(CORPUS_DIR, "4k_*.jxl")))
     if len(paths) >= N_IMAGES:
         return [open(p, "rb").read() for p in paths[:N_IMAGES]]
     # Fallback: regenerate (slow — only if bench_corpus/ is absent).
@@ -64,7 +64,7 @@ def load_corpus():
                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "tools", "gen_bench_corpus.py")],
                    check=True)
-    paths = sorted(glob.glob(os.path.join(CORPUS_DIR, "*.jxl")))
+    paths = sorted(glob.glob(os.path.join(CORPUS_DIR, "4k_*.jxl")))
     return [open(p, "rb").read() for p in paths[:N_IMAGES]]
 
 
