@@ -384,6 +384,22 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                                                 ctx_map, fd)
         return frame_prep_cache[0]
 
+    # Passes decoded sparse-only: their coefficients exist ONLY in the
+    # nz sink (the dense frame was never touched — no RMW misses, no
+    # 50 MB first-touch). If anything later needs the dense frame, the
+    # sunk passes are re-decoded densely first.
+    sink_passes: list = []
+
+    def _materialize_sunk() -> None:
+        if not sink_passes:
+            return
+        if nz_sink is not None:
+            nz_sink[2][0] = -1
+        for q in list(sink_passes):
+            for g in range(fd.num_groups):
+                process_ac_group_frame_pass(q, g, do_mfd=False)
+        sink_passes.clear()
+
     def process_ac_pass_multi(p: int) -> bool:
         """All AC groups of pass p through the interleaved native
         decoder. Returns False when the native path cannot serve the
@@ -405,20 +421,25 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         res = native_decode_ac_multi(
             sections, ac_codes, fprep, flat_orders, blk_oo, ctx_offs,
             fh.passes.shift[p], ctx_map.num_ctxs, coeff_frame,
-            mat_ids_frame, set_mat_ids=(p == 0), nz_sink=nz_sink)
+            mat_ids_frame, set_mat_ids=(p == 0), nz_sink=nz_sink,
+            sink_only=nz_sink is not None)
         if res is None:
             return False
         if isinstance(res, tuple):
-            # int16 overflow in some group: promote to int32, zero, and
-            # redo the coefficients of passes 0..p per group (their
-            # modular sub-streams are untouched by the redo; only the
-            # current pass still needs its modular decode).
+            # int16 contribution overflow (-12) or sink capacity hit
+            # (-13): promote to int32, zero, and redo the coefficients
+            # of passes 0..p per group densely (their modular
+            # sub-streams are untouched by the redo; only the current
+            # pass still needs its modular decode).
             coeff_frame = np.zeros(coeff_frame.shape, np.int32)
             mat_ids_frame[:] = 0
+            sink_passes.clear()
             for q in range(p + 1):
                 for g in range(fd.num_groups):
                     process_ac_group_frame_pass(q, g, do_mfd=(q == p))
             return True
+        if nz_sink is not None:
+            sink_passes.append(p)
         for g, endpos in enumerate(res):
             brs[g].seek_bits(endpos)
             _mfd_group(p, g, brs[g])
@@ -499,6 +520,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         if use_frame_path:
             for p in range(num_passes):
                 if not process_ac_pass_multi(p):
+                    _materialize_sunk()
                     for g in range(fd.num_groups):
                         br = _read_selector(p, g)
                         process_ac_group_frame_pass(p, g, br=br)
@@ -521,6 +543,8 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                               dc_full, quantizer, cmap, ytox_map, ytob_map,
                               x_mul, b_mul, DEFAULT_QUANT_BIAS)
         elif use_frame_path:
+            if nz_sink is None or nz_sink[2][0] < 0:
+                _materialize_sunk()   # dense frame will be the source
             from libjxl_tpu.tpu.feed import build_feed3
             feed = build_feed3(coeff_frame, mat_ids_frame, fd, strategies,
                                raw_quant, dc_full, quantizer, cmap,

@@ -118,7 +118,7 @@ def get_lib():
         C.POINTER(C.c_int8), C.c_int64, C.POINTER(C.c_int32),
         C.POINTER(C.c_uint64), C.POINTER(C.c_int32),
         C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.c_int64,
-        C.POINTER(C.c_int64)]
+        C.POINTER(C.c_int64), C.c_int]
     lib.inv_rct3.restype = None
     lib.inv_rct3.argtypes = [C.POINTER(C.c_int32), C.POINTER(C.c_int32),
                              C.POINTER(C.c_int32), C.c_int64, C.c_int]

@@ -1234,6 +1234,28 @@ static inline uint32_t zero_density_ctx(uint32_t nonzeros_left, uint32_t k,
          + prev;
 }
 
+// Combined (nonzeros_left, k) -> 2*(nz_ctx + freq_ctx) table: one load
+// on the per-token critical path instead of two plus an add.
+struct ZdLut {
+  uint16_t t[64 * 64];
+  ZdLut() {
+    for (int i = 0; i < 64; i++)
+      for (int j = 0; j < 64; j++)
+        t[(i << 6) | j] =
+            (kCoeffNumNonzeroContext[i] + kCoeffFreqContext[j]) * 2;
+  }
+};
+const ZdLut kZdLut;
+
+static inline uint32_t zero_density_ctx_lut(uint32_t nonzeros_left,
+                                            uint32_t k, uint32_t covered,
+                                            uint32_t log2_covered,
+                                            uint32_t prev) {
+  const uint32_t i = (nonzeros_left + covered - 1) >> log2_covered;
+  const uint32_t j = k >> log2_covered;
+  return kZdLut.t[(i << 6) | j] + prev;
+}
+
 extern "C" {
 
 // Per-block arrays (num_blocks entries): bx, by, cx, cy, and per channel
@@ -1936,15 +1958,19 @@ extern "C" uint64_t jxl_ac_token_count() {
 #endif
 }
 
-template <bool kSink>
+// kMode: 0 = dense frame only, 1 = dense + sparse sink, 2 = sparse sink
+// ONLY (the dense int16 frame is never touched — no RMW cache misses on
+// the 50 MB coefficient image; a -13 return asks the caller to redo
+// densely when the sink capacity is exceeded).
+template <int kMode>
 static inline __attribute__((always_inline)) void ac_step(
     AcStream& s, const uint32_t* alias, const uint8_t* cmap,
     const TokLut* toklut, int num_ctxs, int64_t& nzcur) {
   JXL_TOKEN_TICK();
   uint32_t ctx;
   if (s.phase == 1) {
-    ctx = s.histo_offset +
-          zero_density_ctx(s.nzeros, s.k, s.covered, s.log2_covered, s.prev);
+    ctx = s.histo_offset + zero_density_ctx_lut(s.nzeros, s.k, s.covered,
+                                                s.log2_covered, s.prev);
   } else {
     // Start of (b, ci): per-block setup when ci == 0.
     const int b = s.b;
@@ -2015,14 +2041,37 @@ static inline __attribute__((always_inline)) void ac_step(
     // Orders are pre-baked PIXEL offsets (pass_order_offsets): one add
     // replaces the shift/mask/multiply block-address math per token.
     int16_t* dst = s.block + s.order[s.k];
-    const int32_t nv = *dst + (v << s.shift);
-    if (nv != (int16_t)nv) {
-      s.rc = -12;
-      s.done = true;
-      return;
+    if (kMode == 2) {
+      // Sink-only: never dereference dst (the dense frame stays
+      // untouched — zero RMW misses, zero first-touch page faults).
+      // Check the per-pass CONTRIBUTION fits int16 (the device
+      // scatter-add accumulates in wider precision, so only the stored
+      // nz_val width matters, not the cross-pass sum).
+      const int32_t vs = v << s.shift;
+      if (vs != (int16_t)vs) {
+        s.rc = -12;
+        s.done = true;
+        return;
+      }
+      if (nzcur < s.nz_cap) {
+        s.nz_idx[nzcur] = (int32_t)(dst - s.frame_base);
+        s.nz_val[nzcur] = (int16_t)vs;
+        nzcur += (v != 0);
+      } else if (v != 0) {
+        s.rc = -13;
+        s.done = true;
+        return;
+      }
+    } else {
+      const int32_t nv = *dst + (v << s.shift);
+      if (nv != (int16_t)nv) {
+        s.rc = -12;
+        s.done = true;
+        return;
+      }
+      *dst = (int16_t)nv;
     }
-    *dst = (int16_t)nv;
-    if (kSink) {
+    if (kMode == 1) {
       // Append this pass's CONTRIBUTION (a device scatter-add over all
       // passes reconstructs the frame); on capacity overflow flag via
       // cursor = -1 and the host falls back to the dense transfer.
@@ -2091,7 +2140,7 @@ static inline __attribute__((always_inline)) void ac_step(
 // Lockstep driver: 8-way while enough live streams (ILP hides the
 // per-stream alias-table load latency), then 4/2/1-way tails; the
 // active list is compacted whenever any stream finishes.
-template <bool kSink>
+template <int kMode>
 static void run_ac_lockstep(std::vector<AcStream*>& act,
                             const uint32_t* alias32, const uint8_t* cmap,
                             const TokLut* cf, int num_ctxs,
@@ -2101,14 +2150,14 @@ static void run_ac_lockstep(std::vector<AcStream*>& act,
     AcStream &e = *act[4], &f = *act[5], &g2 = *act[6], &h2 = *act[7];
     while (!a.done && !b.done && !c.done && !d.done &&
            !e.done && !f.done && !g2.done && !h2.done) {
-      ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(b, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(c, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(d, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(e, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(f, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(g2, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(h2, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(a, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(b, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(c, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(d, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(e, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(f, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(g2, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(h2, alias32, cmap, cf, num_ctxs, nzcur);
     }
     for (size_t i = 0; i < act.size();) {
       if (act[i]->done) act.erase(act.begin() + i);
@@ -2118,10 +2167,10 @@ static void run_ac_lockstep(std::vector<AcStream*>& act,
   while (act.size() >= 4) {
     AcStream &a = *act[0], &b = *act[1], &c = *act[2], &d = *act[3];
     while (!a.done && !b.done && !c.done && !d.done) {
-      ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(b, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(c, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(d, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(a, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(b, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(c, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(d, alias32, cmap, cf, num_ctxs, nzcur);
     }
     for (size_t i = 0; i < act.size();) {
       if (act[i]->done) act.erase(act.begin() + i);
@@ -2131,8 +2180,8 @@ static void run_ac_lockstep(std::vector<AcStream*>& act,
   while (act.size() >= 2) {
     AcStream &a = *act[0], &b = *act[1];
     while (!a.done && !b.done) {
-      ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
-      ac_step<kSink>(b, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(a, alias32, cmap, cf, num_ctxs, nzcur);
+      ac_step<kMode>(b, alias32, cmap, cf, num_ctxs, nzcur);
     }
     for (size_t i = 0; i < act.size();) {
       if (act[i]->done) act.erase(act.begin() + i);
@@ -2141,7 +2190,7 @@ static void run_ac_lockstep(std::vector<AcStream*>& act,
   }
   if (!act.empty()) {
     AcStream& a = *act[0];
-    while (!a.done) ac_step<kSink>(a, alias32, cmap, cf, num_ctxs, nzcur);
+    while (!a.done) ac_step<kMode>(a, alias32, cmap, cf, num_ctxs, nzcur);
   }
 }
 
@@ -2172,7 +2221,7 @@ int vardct_decode_ac_multi(
     int8_t* mat_ids, int64_t mat_stride, int32_t* out_rc,
     uint64_t* out_bitpos, int32_t* out_final,
     int32_t* nz_idx, int16_t* nz_val, int64_t nz_cap,
-    int64_t* nz_cursor) {
+    int64_t* nz_cursor, int sink_only) {
   // Expand each cluster's hybrid-uint config into a 256-entry token LUT
   // (u = base + (extra_bits << lsb)); ~2 KB per cluster, built once per
   // pass and shared by every group section.
@@ -2252,13 +2301,17 @@ int vardct_decode_ac_multi(
   for (auto& s : streams)
     if (!s.done) act.push_back(&s);
   const TokLut* cf = toklut.data();
-  if (nz_idx) {
+  if (nz_idx && sink_only) {
     int64_t cur = *nz_cursor;
-    run_ac_lockstep<true>(act, alias32, cmap, cf, num_ctxs, cur);
+    run_ac_lockstep<2>(act, alias32, cmap, cf, num_ctxs, cur);
+    *nz_cursor = cur;
+  } else if (nz_idx) {
+    int64_t cur = *nz_cursor;
+    run_ac_lockstep<1>(act, alias32, cmap, cf, num_ctxs, cur);
     *nz_cursor = cur;
   } else {
     int64_t cur = 0;
-    run_ac_lockstep<false>(act, alias32, cmap, cf, num_ctxs, cur);
+    run_ac_lockstep<0>(act, alias32, cmap, cf, num_ctxs, cur);
   }
   for (int g = 0; g < n_groups; g++) {
     AcStream& s = streams[g];

@@ -120,7 +120,8 @@ _BUCKET_LOG2_CX = _bucket_log2_cx()
 
 def native_decode_ac_multi(sections, codes, fprep, flat_orders, blk_oo,
                            ctx_offsets, shift, num_ctxs, frame, mat_ids,
-                           set_mat_ids: bool = True, nz_sink=None):
+                           set_mat_ids: bool = True, nz_sink=None,
+                           sink_only: bool = False):
     """Interleaved native decode of all AC group sections of one pass
     (jxl_native.cpp vardct_decode_ac_multi). Coefficients accumulate
     into the int16 `frame` as value << shift.
@@ -181,11 +182,14 @@ def native_decode_ac_multi(sections, codes, fprep, flat_orders, blk_oo,
         _p(nz_sink[0], C.c_int32) if nz_sink else None,
         _p(nz_sink[1], C.c_int16) if nz_sink else None,
         nz_sink[0].size if nz_sink else 0,
-        _p(nz_sink[2], C.c_int64) if nz_sink else None)
+        _p(nz_sink[2], C.c_int64) if nz_sink else None,
+        1 if (sink_only and nz_sink) else 0)
     if rc != 0:
         raise BitstreamError(f"native multi AC decode failed ({rc})")
-    overflow = [g for g in range(n) if out_rc[g] == -12]
+    overflow = [g for g in range(n) if out_rc[g] in (-12, -13)]
     if overflow:
+        if nz_sink is not None:
+            nz_sink[2][0] = -1  # sink contents incomplete
         return ("overflow", overflow)
     for g in range(n):
         if out_rc[g] != 0:
