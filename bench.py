@@ -1,19 +1,26 @@
-"""End-to-end JPEG XL decode benchmark — BASELINE.md config 5.
+"""End-to-end JPEG XL benchmark — all five BASELINE.md configs.
 
-Workload: batched 4K (3840x2160) HDR (PQ, 16-bit) VarDCT streams with
-progressive passes and EPF strength 3, decoded bitstream -> final
-PQ-encoded uint16 pixels. The host entropy decoder (interleaved
-multi-group rANS, C++) parses sections into device feeds; the jitted
-TPU pipeline (dequant + CfL + all-strategy IDCT + gaborish/EPF +
-XYB->PQ16) renders them; host parse of image i+1 overlaps the device
-render of image i via async dispatch (SURVEY.md §2.11 mapping).
+Headline (config 5): batched 4K (3840x2160) HDR (PQ, 16-bit) VarDCT
+streams with progressive passes and EPF strength 3, decoded bitstream
+-> final PQ-encoded uint16 pixels. The host entropy decoder
+(interleaved multi-group rANS, C++) parses sections into device feeds;
+the jitted TPU pipeline (dequant + CfL + all-strategy IDCT +
+gaborish/EPF + XYB->PQ16) renders them; host parse of image i+1
+overlaps the device render of image i via async dispatch (SURVEY.md
+§2.11 mapping).
 
 Headline metric: sustained end-to-end MPix/s (bitstream to pixels) on
 one chip + one host core. vs_baseline compares against the reference's
 ~400 MPix/s multithreaded full-decode design target
 (/root/reference/doc/xl_overview.md:7-9). Sub-metrics report the
 host-parse-only and device-kernel-only rates so the bottleneck split
-stays visible.
+stays visible, plus one line per remaining BASELINE config:
+  cfg1_decode_ms        256x256 lossy VarDCT -> 8-bit sRGB, host
+  cfg2_encode_mpix_s    768x512-class, d1 e7 lossy encode, host
+  cfg3_lossless_*       d0 modular roundtrip enc/dec MP/s, host
+  cfg4_jpeg_*           JPEG recompression MP/s + bit-exact flag
+Those four run before any jax import (pure host), so a wedged TPU
+tunnel cannot take them down.
 
 The corpus is pre-encoded and committed under bench_corpus/ (encoding
 three 4K images costs ~7 min on a 1-core host, which exceeded the
@@ -24,6 +31,7 @@ the LAST line printed is always the most complete result.
 """
 
 import glob
+import io
 import json
 import os
 import threading
@@ -45,8 +53,8 @@ N_IMAGES = 3          # distinct 4K streams
 SUSTAIN_DECODES = 12  # decodes per sustained run (cycling the corpus)
 W4K, H4K = 3840, 2160
 W1080, H1080 = 1920, 1080
-CORPUS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench_corpus")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CORPUS_DIR = os.path.join(ROOT, "bench_corpus")
 CONFIG = ("BASELINE config 5: 3840x2160 PQ uint16, d1.0 e5, "
           "progressive 2-pass, EPF=3, gaborish; sustained "
           "bitstream->PQ16-pixels, host parse overlapped with "
@@ -61,8 +69,7 @@ def load_corpus():
     import subprocess
     import sys
     subprocess.run([sys.executable,
-                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "tools", "gen_bench_corpus.py")],
+                    os.path.join(ROOT, "tools", "gen_bench_corpus.py")],
                    check=True)
     paths = sorted(glob.glob(os.path.join(CORPUS_DIR, "4k_*.jxl")))
     return [open(p, "rb").read() for p in paths[:N_IMAGES]]
@@ -73,6 +80,19 @@ def load_1080p():
     small fraction of the 4K one's time, so this phase lands a real
     device+e2e number even on a fully cold compile cache."""
     p = os.path.join(CORPUS_DIR, "1080p_hdr_pq_d1_e5_prog_epf3.jxl")
+    if not os.path.exists(p):
+        # Regenerate just the 1080p stream (well under a minute).
+        import subprocess
+        import sys
+        print(json.dumps({"warning": "1080p corpus missing; "
+                                     "regenerating"}), flush=True)
+        try:
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(ROOT, "tools", "gen_bench_corpus.py"),
+                 "1080p"], check=True, timeout=240)
+        except Exception:
+            return None
     if os.path.exists(p):
         return open(p, "rb").read()
     return None
@@ -98,6 +118,95 @@ def _watchdog():
 
 def _remaining():
     return BUDGET_S - (time.perf_counter() - _T_START)
+
+
+def _test_photo(w, h, seed=5, bits=8):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.clip(np.stack(
+        [0.5 + 0.3 * np.sin(x / 17 + c) * np.cos(y / 23)
+         + 0.1 * np.sin((x + y) / 41)
+         + rng.normal(0, 0.02, (h, w)) for c in range(3)],
+        -1), 0, 1)
+    if bits == 16:
+        return (img * 65535).astype(np.uint16)
+    return (img * 255).astype(np.uint8)
+
+
+def host_configs(result):
+    """BASELINE configs 1-4 as cheap pure-host phases (no jax)."""
+    from libjxl_tpu.api.simple import decode, encode
+
+    # Config 1: single 256x256 lossy VarDCT decode latency (djxl-class).
+    img = _test_photo(256, 256, seed=11)
+    s = encode(img, distance=1.0, effort=5)
+    decode(s)  # warm
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        decode(s)
+    dt = (time.perf_counter() - t0) / reps
+    result["cfg1_decode_ms"] = round(dt * 1e3, 2)
+    result["cfg1_decode_mpix_s"] = round(256 * 256 / 1e6 / dt, 2)
+    result["phase"] = "cfg1"
+    checkpoint(result)
+
+    # Config 2: Kodak-class lossy encode, d1 e7 (cjxl-class).
+    img = _test_photo(768, 512, seed=12)
+    encode(img, distance=1.0, effort=7)  # warm
+    t0 = time.perf_counter()
+    s2 = encode(img, distance=1.0, effort=7)
+    dt = time.perf_counter() - t0
+    result["cfg2_encode_mpix_s"] = round(768 * 512 / 1e6 / dt, 3)
+    result["cfg2_bpp"] = round(len(s2) * 8 / (768 * 512), 3)
+    result["phase"] = "cfg2"
+    checkpoint(result)
+
+    # Config 3: lossless (d0 modular) roundtrip.
+    img = _test_photo(512, 512, seed=13)
+    s3 = encode(img, distance=0.0, effort=5)
+    back = decode(s3).pixels
+    exact = bool((back == img).all())
+    t0 = time.perf_counter()
+    encode(img, distance=0.0, effort=5)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode(s3)
+    t_dec = time.perf_counter() - t0
+    mp = 512 * 512 / 1e6
+    result["cfg3_lossless_enc_mpix_s"] = round(mp / t_enc, 2)
+    result["cfg3_lossless_dec_mpix_s"] = round(mp / t_dec, 2)
+    result["cfg3_exact"] = exact
+    result["cfg3_bpp"] = round(len(s3) * 8 / (512 * 512), 3)
+    result["phase"] = "cfg3"
+    checkpoint(result)
+
+    # Config 4: JPEG recompression (jpg -> jxl -> bit-exact jpg).
+    try:
+        from PIL import Image
+
+        from libjxl_tpu.extras.jpeg_transcode import (
+            reconstruct_jpeg, transcode_jpeg_container)
+        buf = io.BytesIO()
+        Image.fromarray(_test_photo(512, 512, seed=14)).save(
+            buf, "JPEG", quality=90)
+        jpg = buf.getvalue()
+        jxl = transcode_jpeg_container(jpg)   # warm
+        t0 = time.perf_counter()
+        jxl = transcode_jpeg_container(jpg)
+        t_rec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        back = reconstruct_jpeg(jxl)
+        t_ret = time.perf_counter() - t0
+        mp = 512 * 512 / 1e6
+        result["cfg4_jpeg_to_jxl_mpix_s"] = round(mp / t_rec, 2)
+        result["cfg4_jxl_to_jpeg_mpix_s"] = round(mp / t_ret, 2)
+        result["cfg4_bitexact"] = bool(back == jpg)
+        result["cfg4_size_ratio"] = round(len(jxl) / len(jpg), 3)
+    except Exception as e:  # never let config 4 sink the run
+        result["cfg4_error"] = type(e).__name__
+    result["phase"] = "cfg4"
+    checkpoint(result)
 
 
 def main():
@@ -131,8 +240,13 @@ def main():
     result["host_parse_mpix_s"] = round(parse_mpix, 1)
     result["value"] = round(parse_mpix, 1)   # lower bound so far
     result["vs_baseline"] = round(parse_mpix / 400.0, 3)
+    result["resolution"] = "4k_parse_only"
     result["phase"] = "parse_only"
     checkpoint(result)
+
+    # Phases cfg1-cfg4: the other four BASELINE configs, pure host.
+    if _remaining() > 120:
+        host_configs(result)
 
     import jax
 
@@ -141,8 +255,7 @@ def main():
     # bench run (the driver's) reuses any compile done on this host.
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
+                          os.path.join(ROOT, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
     except Exception:
@@ -169,8 +282,12 @@ def main():
 
     # Phase 2a: 1080p device + e2e checkpoint (same stream profile;
     # compiles fast, so a cold cache still yields a device number).
+    # Gate covers a cold 1080p compile (~4-5 min over the tunnel).
     s1080 = load_1080p()
-    if s1080 is not None and _remaining() > 60:
+    cache_1080_warm = bool(glob.glob(
+        os.path.join(ROOT, ".jax_cache", "*")))
+    if s1080 is not None and (_remaining() > 330
+                              or (cache_1080_warm and _remaining() > 90)):
         f1080 = parse_to_feed(s1080)
         sync_all([device_render(f1080)])          # compile warm-up
         reps = 6
@@ -179,7 +296,13 @@ def main():
         sync_all(outs)
         t_dev = time.perf_counter() - t0
         mp = W1080 * H1080 / 1e6
-        result["device_1080p_mpix_s"] = round(reps * mp / t_dev, 1)
+        dev_1080 = reps * mp / t_dev
+        result["device_1080p_mpix_s"] = round(dev_1080, 1)
+        result["value"] = round(dev_1080, 1)
+        result["vs_baseline"] = round(dev_1080 / 400.0, 3)
+        result["resolution"] = "1080p_device_only"
+        result["phase"] = "device_1080p"
+        checkpoint(result)   # device number lands before the e2e loop
         pipe = DecodePipeline(out="pq16", max_inflight=4)
         t0 = time.perf_counter()
         futs = [pipe.submit(s1080) for _ in range(8)]
@@ -191,6 +314,7 @@ def main():
         result["e2e_1080p_mpix_s"] = round(e2e_1080, 1)
         result["value"] = round(e2e_1080, 1)
         result["vs_baseline"] = round(e2e_1080 / 400.0, 3)
+        result["resolution"] = "1080p"
         result["phase"] = "e2e_1080p"
         checkpoint(result)
 
@@ -207,7 +331,7 @@ def main():
     t_dev = (time.perf_counter() - t0) / reps
     dev_mpix = N_IMAGES * W4K * H4K / 1e6 / t_dev
     result["device_kernel_mpix_s"] = round(dev_mpix, 1)
-    result["phase"] = "device_only"
+    result["phase"] = "device_only_4k"
     checkpoint(result)
 
     # Phase 3: sustained end-to-end — bitstream -> PQ16 pixels; parse
@@ -230,22 +354,17 @@ def main():
     result["vs_baseline"] = round(e2e_mpix / 400.0, 3)
     result["images"] = SUSTAIN_DECODES
     result["megapixels"] = round(SUSTAIN_DECODES * W4K * H4K / 1e6, 1)
+    result["resolution"] = "4k"
     result["phase"] = "complete"
     checkpoint(result)
 
     # Phase 4 (budget-permitting): device-encoder throughput on a
     # 1-MPix image (enc_frame.cc ComputeEncodingData's VarDCT half as
-    # jitted stages; byte-identical to the host encoder).
+    # jitted stages).
     if _remaining() < 120:
         return
     from libjxl_tpu.api.simple import encode as _encode
-    rng = np.random.default_rng(5)
-    y, x = np.mgrid[0:1024, 0:1024]
-    img = np.clip(np.stack(
-        [0.5 + 0.3 * np.sin(x / 17 + c) * np.cos(y / 23)
-         + rng.normal(0, 0.02, (1024, 1024)) for c in range(3)],
-        -1), 0, 1)
-    img = (img * 255).astype(np.uint8)
+    img = _test_photo(1024, 1024, seed=5)
     _encode(img, distance=1.0, effort=5, device=True)   # warm-up
     t0 = time.perf_counter()
     _encode(img, distance=1.0, effort=5, device=True)
