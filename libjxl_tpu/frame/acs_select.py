@@ -245,6 +245,88 @@ def _tx8_matrices(s: int):
     return _TX8_MATS[s]
 
 
+def _sub8x8_entropy_mul(s: int, em: float, distance: float) -> float:
+    """Candidate-dependent entropy multiplier adjustments
+    (enc_ac_strategy.cc FindBest8x8Transform's per-type tweaks)."""
+    entropy_mul = em / 0.8
+    if s in (acs.DCT2X2, acs.IDENTITY) and distance < 5.0:
+        entropy_mul -= 0.4 * ((5.0 - distance) / 5.0) ** 2
+    if s not in (acs.DCT8X8, acs.DCT2X2, acs.IDENTITY) and distance > 4.0:
+        mul = (12.0 - 4.0) / (distance - 4.0) if distance < 12.0 else 1.0
+        entropy_mul += 0.5 * mul
+    return entropy_mul
+
+
+def _select_sub8x8_native(blocks, masku, quant, strategies, cands,
+                          matrices, distance, info_loss_multiplier,
+                          zeros_mul, cost_delta, cmap_factors, masku_off,
+                          channel_mul):
+    """Native fused cost passes around BLAS float32 transforms; only
+    blocks still assigned DCT8X8 are evaluated. Returns the mutated
+    strategies, or None when the native module is unavailable."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_acs_bound"):
+        F = C.POINTER(C.c_float)
+        lib.acs_sub8x8_stage1.restype = None
+        lib.acs_sub8x8_stage1.argtypes = [
+            C.c_int64, F, F, F, F, F, C.c_float, C.c_float, F, F]
+        lib.acs_sub8x8_stage2.restype = None
+        lib.acs_sub8x8_stage2.argtypes = [
+            C.c_int64, F, F, F, F, F, F, C.c_float, C.c_float,
+            C.c_int32, F, C.POINTER(C.c_int32)]
+        lib._acs_bound = True
+
+    take = strategies == acs.DCT8X8
+    byv, bxv = np.nonzero(take)
+    n = len(byv)
+    if n == 0:
+        return strategies
+
+    def fp(a):
+        return a.ctypes.data_as(C.POINTER(C.c_float))
+
+    blk = np.ascontiguousarray(
+        blocks[:, byv, bxv].astype(np.float32))        # (3, n, 64)
+    msk = np.ascontiguousarray(masku[byv, bxv].astype(np.float32))
+    qv = np.ascontiguousarray(quant[byv, bxv].astype(np.float32))
+    cmapf = np.asarray(cmap_factors, np.float32)
+    moff = np.asarray(masku_off, np.float32)
+    cmul = np.asarray(channel_mul, np.float32)
+    best_cost = np.full(n, np.inf, np.float32)
+    best_s = np.zeros(n, np.int32)
+    coef = np.empty((3, n, 64), np.float32)
+    diffm = np.empty((3, n, 64), np.float32)
+    err = np.empty((3, n, 64), np.float32)
+    entropy = np.empty(n, np.float32)
+    for s, em in cands:
+        entropy_mul = _sub8x8_entropy_mul(s, em, distance)
+        fwd, inv = _tx8_matrices(s)
+        tab = matrices.table(s).reshape(3, 64)
+        m32 = np.ascontiguousarray(tab.astype(np.float32))
+        invm = np.ascontiguousarray((1.0 / tab).astype(np.float32))
+        np.matmul(blk, np.ascontiguousarray(fwd.T.astype(np.float32)),
+                  out=coef)
+        lib.acs_sub8x8_stage1(n, fp(coef), fp(qv), fp(invm), fp(m32),
+                              fp(cmapf), zeros_mul, cost_delta,
+                              fp(diffm), fp(entropy))
+        np.matmul(diffm, np.ascontiguousarray(inv.T.astype(np.float32)),
+                  out=err)
+        lib.acs_sub8x8_stage2(n, fp(err), fp(msk), fp(moff), fp(cmul),
+                              fp(qv), fp(entropy), entropy_mul,
+                              info_loss_multiplier, s, fp(best_cost),
+                              best_s.ctypes.data_as(
+                                  C.POINTER(C.c_int32)))
+    strategies[byv, bxv] = best_s
+    return strategies
+
+
 def masking_1x1(xyb: np.ndarray) -> np.ndarray:
     """Per-pixel masking field for the ACS information-loss term
     (enc_adaptive_quantization.cc ComputeTile mask1x1 + Blur1x1Masking:
@@ -308,17 +390,17 @@ def select_sub8x8(planes: np.ndarray, strategies: np.ndarray,
     masku_off = (12.0, 0.0, 4.0)
     channel_mul = (8.2 ** 8, 1.0, 1.03 ** 8)
 
+    native = _select_sub8x8_native(
+        blocks, masku, quant, strategies, cands, matrices, distance,
+        info_loss_multiplier, zeros_mul, cost_delta, cmap_factors,
+        masku_off, channel_mul)
+    if native is not None:
+        return native
+
     best_cost = None
     best_s = None
     for s, em in cands:
-        entropy_mul = em / 0.8
-        if s in (acs.DCT2X2, acs.IDENTITY) and distance < 5.0:
-            entropy_mul -= 0.4 * ((5.0 - distance) / 5.0) ** 2
-        if s not in (acs.DCT8X8, acs.DCT2X2, acs.IDENTITY) \
-                and distance > 4.0:
-            mul = (12.0 - 4.0) / (distance - 4.0) if distance < 12.0 \
-                else 1.0
-            entropy_mul += 0.5 * mul
+        entropy_mul = _sub8x8_entropy_mul(s, em, distance)
         fwd, inv = _tx8_matrices(s)
         coef = np.einsum("cbxk,jk->cbxj", blocks, fwd, optimize=True)
         entropy = np.zeros((by, bx))

@@ -14,6 +14,25 @@ from libjxl_tpu.vardct.cfl import DEFAULT_COLOR_FACTOR
 K_YTOB_BASE = 1.0  # cms kYToBRatio
 
 
+def _native_cfl():
+    """Bound native lib with cfl_find_multiplier, or None."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cfl_bound"):
+        lib.cfl_find_multiplier.restype = C.c_int32
+        lib.cfl_find_multiplier.argtypes = [
+            C.POINTER(C.c_double), C.POINTER(C.c_double), C.c_int64,
+            C.c_double]
+        lib._cfl_bound = True
+    return lib
+
+
 def _shrink_round(x: float) -> int:
     towards_zero = 2.6
     if x >= towards_zero:
@@ -41,6 +60,15 @@ def _find_best_multiplier(vm: np.ndarray, vs: np.ndarray, base: float,
         ca = np.sum(a * a)
         cb = np.sum(a * b)
         return _shrink_round(-cb / (ca + num * distance_mul * 0.5))
+    lib = _native_cfl()
+    if lib is not None:
+        import ctypes as C
+        a64 = np.ascontiguousarray(a, np.float64)
+        b64 = np.ascontiguousarray(b, np.float64)
+        return int(lib.cfl_find_multiplier(
+            a64.ctypes.data_as(C.POINTER(C.c_double)),
+            b64.ctypes.data_as(C.POINTER(C.c_double)),
+            a64.size, distance_mul))
     k_coeff_x2 = (1.0 / 3) * 2.0
     thres = 100.0
     eps = 100.0

@@ -23,6 +23,11 @@ _PREDICTORS = (P_ZERO, P_LEFT, P_TOP, P_AVG0, P_SELECT, P_GRADIENT)
 _MAX_CLASSES = 40
 # Cost (bits) of signalling one extra leaf; discourages overfit splits.
 _SPLIT_COST = 96.0
+# Per-node cap on samples used for the SPLIT SEARCH (histogram costs
+# scale with it; the chosen split is then applied to the node's full
+# sample set). Mirrors enc_ma.cc's pixel sampling: split quality
+# estimates don't need every pixel.
+_SEARCH_CAP = 4096
 
 
 def _shift(c, dy, dx, fill_from=None):
@@ -220,67 +225,79 @@ def learn_tree(channels: list, chan_indices: list | None = None,
     k_pred = len(predictors)
 
     def build(sel: np.ndarray, depth: int, leaves_left: list) -> dict:
-        base_cost, base_k = _cost(cls[:, sel])
-        node = {"pred": predictors[base_k]}
-        if depth >= 10 or leaves_left[0] <= 1 or sel.sum() < 64:
-            return node
-        best_gain = _SPLIT_COST
-        best = None
-        fsel = feat[:, sel]
-        csel = cls[:, sel]
-        # All candidate cuts of one property share a single
-        # (bucket, predictor, class) bincount; left/right histograms
-        # are prefix sums over the cut buckets.
-        base_comb = np.arange(k_pred, dtype=np.int64)[:, None] \
-            * _MAX_CLASSES + csel
-        for pi, prop in enumerate(_LEARN_PROPS):
-            vals = fsel[pi]
-            qs = np.unique(np.percentile(
-                vals, [6, 12, 25, 37, 50, 63, 75, 88, 94]).astype(np.int64))
-            nb = len(qs) + 1
-            # Integer vals/qs: side="left" makes bucket == #{q < v},
-            # so vals <= qs[j] <=> bucket <= j (side="right" would put
-            # boundary values one bucket too high).
-            bucket = np.searchsorted(qs, vals, side="left")
-            comb = (bucket[None] * (k_pred * _MAX_CLASSES)
-                    + base_comb).ravel()
-            counts = np.bincount(
-                comb, minlength=nb * k_pred * _MAX_CLASSES
-            ).reshape(nb, k_pred, _MAX_CLASSES)
-            pref = counts.cumsum(axis=0)
-            total = pref[-1]
-            # Cut j: right side (vals <= qs[j]) = pref[j],
-            # left side (vals > qs[j]) = total - pref[j].
-            right = pref[:-1]
-            left = total[None] - right
-            with np.errstate(divide="ignore", invalid="ignore"):
-                def bits(cnts):
-                    tot = cnts.sum(-1, keepdims=True)
-                    logp = np.log2(cnts / np.where(tot > 0, tot, 1))
-                    ent = -(cnts * np.where(cnts > 0, logp, 0.0)).sum(-1)
-                    return ent + (cnts * _RAW_BITS).sum(-1) \
-                        + cnts[..., 1:].sum(-1)
-                lbits = bits(left)    # (ncuts, k_pred)
-                rbits = bits(right)
-            lsz = left.sum(axis=(1, 2)) // k_pred
-            rsz = right.sum(axis=(1, 2)) // k_pred
-            valid = (lsz > 0) & (rsz > 0)
-            if not valid.any():
-                continue
-            lk_all = lbits.argmin(axis=1)
-            rk_all = rbits.argmin(axis=1)
-            gain = base_cost - lbits.min(axis=1) - rbits.min(axis=1)
-            gain[~valid] = -np.inf
-            j = int(np.argmax(gain))
-            if gain[j] > best_gain:
-                best_gain = float(gain[j])
-                best = (prop, int(qs[j]), vals > qs[j],
-                        int(lk_all[j]), int(rk_all[j]))
-        if best is None:
-            return node
-        prop, sv, mask, lk, rk = best
-        leaves_left[0] -= 1
         sub_idx = np.nonzero(sel)[0]
+        nsel = len(sub_idx)
+        # Split search runs on a strided subsample of the node (cost
+        # histograms scale linearly with it); gains are rescaled to the
+        # node's full size before the split-cost comparison.
+        if nsel > _SEARCH_CAP:
+            search_idx = sub_idx[::(nsel + _SEARCH_CAP - 1)
+                                 // _SEARCH_CAP]
+        else:
+            search_idx = sub_idx
+        scale = nsel / len(search_idx)
+        base_cost, base_k = _cost(cls[:, search_idx])
+        node = {"pred": predictors[base_k]}
+        if depth >= 10 or leaves_left[0] <= 1 or nsel < 64:
+            return node
+        best_gain = _SPLIT_COST / scale
+        fsel = feat[:, search_idx]           # (nprops, ns)
+        csel = cls[:, search_idx]            # (k_pred, ns)
+        ns = len(search_idx)
+        nprops = len(_LEARN_PROPS)
+        # Candidate cuts: 9 quantile positions per property from one
+        # sort; every (prop, cut, predictor, class) count comes from a
+        # SINGLE combined bincount, and left/right histograms are
+        # prefix sums over the cut buckets. One vectorized cost pass
+        # replaces the former per-property numpy-call soup.
+        qpos = (np.array([6, 12, 25, 37, 50, 63, 75, 88, 94])
+                * (ns - 1)) // 100
+        svals = np.sort(fsel, axis=1)
+        qs_all = svals[:, qpos]              # (nprops, 9) ascending
+        nb = qs_all.shape[1] + 1
+        buckets = np.empty((nprops, ns), np.int64)
+        for pi in range(nprops):
+            # Integer vals/qs: side="left" makes bucket == #{q < v},
+            # so vals <= qs[j] <=> bucket <= j.
+            buckets[pi] = np.searchsorted(qs_all[pi], fsel[pi],
+                                          side="left")
+        comb = ((np.arange(nprops, dtype=np.int64)[:, None, None] * nb
+                 + buckets[:, None, :]) * k_pred
+                + np.arange(k_pred, dtype=np.int64)[None, :, None]) \
+            * _MAX_CLASSES + csel[None]
+        counts = np.bincount(
+            comb.ravel(), minlength=nprops * nb * k_pred * _MAX_CLASSES
+        ).reshape(nprops, nb, k_pred, _MAX_CLASSES)
+        pref = counts.cumsum(axis=1)
+        total = pref[:, -1]
+        # Cut j: right side (vals <= qs[j]) = pref[j], left = rest.
+        right = pref[:, :-1]
+        left = total[:, None] - right
+        with np.errstate(divide="ignore", invalid="ignore"):
+            def bits(cnts):
+                tot = cnts.sum(-1, keepdims=True)
+                logp = np.log2(cnts / np.where(tot > 0, tot, 1))
+                ent = -(cnts * np.where(cnts > 0, logp, 0.0)).sum(-1)
+                return ent + (cnts * _RAW_BITS).sum(-1) \
+                    + cnts[..., 1:].sum(-1)
+            lbits = bits(left)    # (nprops, ncuts, k_pred)
+            rbits = bits(right)
+        lsz = left.sum(axis=(2, 3)) // k_pred    # (nprops, ncuts)
+        rsz = right.sum(axis=(2, 3)) // k_pred
+        valid = (lsz > 0) & (rsz > 0)
+        gain = base_cost - lbits.min(axis=2) - rbits.min(axis=2)
+        gain[~valid] = -np.inf
+        flat = int(np.argmax(gain))
+        pi, j = divmod(flat, gain.shape[1])
+        if not valid.any() or gain[pi, j] <= best_gain:
+            return node
+        best = (pi, _LEARN_PROPS[pi], int(qs_all[pi, j]),
+                int(lbits[pi, j].argmin()), int(rbits[pi, j].argmin()))
+        pi, prop, sv, lk, rk = best
+        mask = feat[pi, sub_idx] > sv   # full node, not the subsample
+        if not mask.any() or mask.all():
+            return node
+        leaves_left[0] -= 1
         lsel = np.zeros_like(sel)
         lsel[sub_idx[mask]] = True
         rsel = np.zeros_like(sel)

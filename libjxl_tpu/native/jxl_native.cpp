@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cmath>
 #include <vector>
 #include <algorithm>
 
@@ -959,6 +960,133 @@ int64_t mod_encode_channel(ChannelDesc* chans, int num_chans, int chan_idx,
   delete wp;
   return count;
 }
+
+// ---------------------------------------------------------------------------
+// Sub-8x8 ACS cost model (enc_ac_strategy.cc FindBest8x8Transform): the
+// per-coefficient quantize/entropy pass and the per-pixel masked-error
+// pass, fused per block. The two 64x64 transforms between them stay in
+// BLAS (numpy float32 matmul) — C++ owns only the elementwise soup that
+// dominated the numpy formulation with (nblocks, 64) temporaries.
+
+extern "C" {
+
+// coef: [3][n][64] candidate-space coefficients. Emits diff*mat into
+// diffm ([3][n][64]) and the per-block entropy term into entropy [n].
+void acs_sub8x8_stage1(int64_t n, const float* coef, const float* quant,
+                       const float* inv_mat /*[3][64]*/,
+                       const float* mat /*[3][64]*/,
+                       const float* cmap_factors /*[3]*/,
+                       float zeros_mul, float cost_delta,
+                       float* diffm, float* entropy) {
+  for (int64_t b = 0; b < n; b++) entropy[b] = 0.f;
+  for (int c = 0; c < 3; c++) {
+    const float cf = cmap_factors[c];
+    const float* im = inv_mat + c * 64;
+    const float* mm = mat + c * 64;
+    for (int64_t b = 0; b < n; b++) {
+      const float q = quant[b];
+      const float* cc = coef + (c * n + b) * 64;
+      const float* cy = coef + (1 * n + b) * 64;
+      float* dm = diffm + (c * n + b) * 64;
+      float ent = 0.f;
+      int nz = 0;
+      for (int j = 0; j < 64; j++) {
+        const float val = (cc[j] - cf * cy[j]) * im[j] * q;
+        const float rval = nearbyintf(val);   // round-half-even = np.round
+        const float diff = val - rval;
+        const float aq = fabsf(rval);
+        ent += sqrtf(aq);
+        nz += (rval != 0.f);
+        dm[j] = diff * mm[j];
+      }
+      // nbits = (nz > 0 ? floor(log2(nz)) + 1 : 0) + 1
+      const int nbits = (nz > 0 ? (31 - __builtin_clz((unsigned)nz)) + 1
+                                : 0) + 1;
+      const int lb = 31 - __builtin_clz((unsigned)(nbits + 17));
+      entropy[b] += cost_delta * ent
+                    + zeros_mul * (float)(lb + 1 + nbits);
+    }
+  }
+}
+
+// errpix: [3][n][64] pixel-space quantization error. Folds the masked
+// L8 information-loss norm and updates the running per-block best.
+void acs_sub8x8_stage2(int64_t n, const float* errpix, const float* masku,
+                       const float* masku_off /*[3]*/,
+                       const float* channel_mul /*[3]*/,
+                       const float* quant, const float* entropy,
+                       float entropy_mul, float info_loss_multiplier,
+                       int32_t cand_id, float* best_cost,
+                       int32_t* best_s) {
+  for (int64_t b = 0; b < n; b++) {
+    double loss = 0.0;
+    const float* mrow = masku + b * 64;
+    for (int c = 0; c < 3; c++) {
+      const float off = masku_off[c];
+      const float cm = channel_mul[c];
+      const float* er = errpix + (c * n + b) * 64;
+      float acc = 0.f;
+      for (int j = 0; j < 64; j++) {
+        const float e = (mrow[j] + off) * er[j];
+        const float e2 = e * e;
+        const float e4 = e2 * e2;
+        acc += e4 * e4;
+      }
+      loss += (double)cm * acc;
+    }
+    const float loss_scalar =
+        (float)(pow(loss / 64.0, 0.125) * 64.0) / quant[b];
+    const float cost = entropy[b] * entropy_mul
+                       + info_loss_multiplier * loss_scalar;
+    if (cost < best_cost[b]) {
+      best_cost[b] = cost;
+      best_s[b] = cand_id;
+    }
+  }
+}
+
+// Precise CfL multiplier fit (enc_chroma_from_luma.cc CFLFunction):
+// Newton steps on the robust saturated-L1 cost; a/b are the weighted
+// luma/residual arrays the Python caller prepares per tile.
+int32_t cfl_find_multiplier(const double* a, const double* b, int64_t n,
+                            double distance_mul) {
+  if (n == 0) return 0;
+  const double kc = (1.0 / 3) * 2.0;
+  const double thres = 100.0, eps = 100.0;
+  double x = 0.0;
+  for (int it = 0; it < 20; it++) {
+    double d0 = 0, dp = 0, dm = 0;
+    for (int64_t i = 0; i < n; i++) {
+      const double ai = a[i];
+      const double v = ai * x + b[i];
+      if (std::fabs(v) >= thres) continue;
+      const double ae = ai * eps;
+      const double vp = v + ae, vm = v - ae;
+      const double d = kc * ai;
+      d0 += v < 0 ? -d * (std::fabs(v) + 1.0) : d * (std::fabs(v) + 1.0);
+      dp += vp < 0 ? -d * (std::fabs(vp) + 1.0) : d * (std::fabs(vp) + 1.0);
+      dm += vm < 0 ? -d * (std::fabs(vm) + 1.0) : d * (std::fabs(vm) + 1.0);
+    }
+    const double reg = 2.0 * distance_mul * (double)n;
+    const double fd = reg * x + d0;
+    const double fpe = reg * (x + eps) + dp;
+    const double fme = reg * (x - eps) + dm;
+    const double ddf = (fpe - fme) / (2.0 * eps);
+    double step = fd / (ddf + 0.85);
+    step = std::min(20.0, std::max(-20.0, step));
+    x -= step;
+    if (std::fabs(step) < 3e-3) break;
+  }
+  const double tz = 2.6;
+  if (x >= tz) x -= tz;
+  else if (x <= -tz) x += tz;
+  else x = 0.0;
+  double r = nearbyint(x);   // round-half-even, like Python round()
+  r = std::min(127.0, std::max(-128.0, r));
+  return (int32_t)r;
+}
+
+}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // LSB-first bit sink with a 64-bit accumulator (out buffer must be
