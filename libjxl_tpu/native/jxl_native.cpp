@@ -284,9 +284,10 @@ struct WpState {
   }
 
   inline uint32_t error_weight(uint64_t x, uint32_t maxweight) const {
-    int shift = 0;
-    uint64_t t = x + 1;
-    while (t >> (shift + 6)) shift++;  // floor_log2(x+1)-5 clamped >= 0
+    // shift = floor_log2(x+1) - 5 clamped >= 0, branch-free via clz.
+    const uint64_t t = x + 1;
+    const int bw = 64 - __builtin_clzll(t);   // bit width of t (t >= 1)
+    const int shift = bw > 6 ? bw - 6 : 0;
     return 4 + ((maxweight * static_cast<uint64_t>(divlookup[x >> shift]))
                 >> shift);
   }
@@ -756,6 +757,21 @@ int mod_decode_channel(ModularDecoderHandle* h, ChannelDesc* chans,
   tree_c.reserve(tree_c0.size());
   copy_simplified(tree_c0.data(), 0, 1, group_id, tree_c);
 
+  // Properties any remaining split can test — unneeded ones are never
+  // computed in the pixel loop (learned trees usually touch only a
+  // handful of the 16).
+  uint32_t needed = 0;
+  for (const TreeNode& nd : tree_c)
+    if (nd.property >= 0 && nd.property < 32) needed |= 1u << nd.property;
+  const bool need89 = (needed & ((1u << 8) | (1u << 9))) != 0;
+
+  // Single-property "ladder" trees (e.g. the WP-error tree the encoder
+  // learns for DC planes: every split on property 15) become a sorted
+  // interval table: a branchless compare-count replaces the
+  // mispredicting pointer walk.
+  std::vector<int64_t> lad_bounds;
+  std::vector<int32_t> lad_leaves;
+
   for (int y = 0; y < hgt; y++) {
     props[2] = y;
     props[9] = 0;
@@ -763,6 +779,41 @@ int mod_decode_channel(ModularDecoderHandle* h, ChannelDesc* chans,
     tree_row.clear();
     copy_simplified(tree_c.data(), 0, 2, y, tree_row);
     const TreeNode* rtree = tree_row.data();
+    int ladder_prop = -1;
+    if (tree_row.size() > 2) {
+      ladder_prop = -2;
+      for (const TreeNode& nd : tree_row) {
+        if (nd.property < 0) continue;
+        if (ladder_prop == -2) ladder_prop = nd.property;
+        else if (ladder_prop != nd.property) { ladder_prop = -1; break; }
+      }
+      if (ladder_prop >= 0) {
+        lad_bounds.clear();
+        lad_leaves.clear();
+        // In-order traversal, right (value <= splitval) side first:
+        // bounds come out ascending, leaves in interval order.
+        std::vector<std::pair<int32_t, int>> st;
+        st.push_back({0, 0});
+        while (!st.empty()) {
+          auto [p, phase] = st.back();
+          st.pop_back();
+          const TreeNode& nd = rtree[p];
+          if (nd.property < 0) {
+            lad_leaves.push_back(p);
+            continue;
+          }
+          if (phase == 0) {
+            st.push_back({p, 1});
+            st.push_back({nd.rchild, 0});
+          } else {
+            lad_bounds.push_back(nd.splitval);
+            st.push_back({nd.lchild, 0});
+          }
+        }
+      }
+    }
+    const size_t nbounds = lad_bounds.size();
+    const int64_t* bptr = lad_bounds.data();
     int32_t* r = ch.data + static_cast<int64_t>(y) * w;
     const int32_t* rt = r - w;
     const int32_t* rtt = r - 2 * w;
@@ -776,17 +827,19 @@ int mod_decode_channel(ModularDecoderHandle* h, ChannelDesc* chans,
       int64_t trr = (x + 2 < w && y) ? rt[x + 2] : topright;
 
       props[3] = x;
-      props[4] = std::llabs(top);
-      props[5] = std::llabs(left);
+      if (needed & (1u << 4)) props[4] = std::llabs(top);
+      if (needed & (1u << 5)) props[5] = std::llabs(left);
       props[6] = top;
       props[7] = left;
-      props[8] = left - props[9];
-      props[9] = left + top - topleft;
-      props[10] = left - topleft;
-      props[11] = topleft - top;
-      props[12] = top - topright;
-      props[13] = top - toptop;
-      props[14] = left - leftleft;
+      if (need89) {
+        props[8] = left - props[9];
+        props[9] = left + top - topleft;
+      }
+      if (needed & (1u << 10)) props[10] = left - topleft;
+      if (needed & (1u << 11)) props[11] = topleft - top;
+      if (needed & (1u << 12)) props[12] = top - topright;
+      if (needed & (1u << 13)) props[13] = top - toptop;
+      if (needed & (1u << 14)) props[14] = left - leftleft;
 
       int64_t wp_pred = 0;
       if (wp) {
@@ -804,14 +857,23 @@ int mod_decode_channel(ModularDecoderHandle* h, ChannelDesc* chans,
         }
       }
 
-      // Tree lookup over the row-simplified tree.
-      int pos = 0;
-      while (rtree[pos].property >= 0) {
-        pos = props[rtree[pos].property] > rtree[pos].splitval
-                  ? rtree[pos].lchild
-                  : rtree[pos].rchild;
+      const TreeNode* leafp;
+      if (ladder_prop >= 0) {
+        const int64_t v = props[ladder_prop];
+        size_t idx = 0;
+        for (size_t i = 0; i < nbounds; i++) idx += (bptr[i] < v);
+        leafp = &rtree[lad_leaves[idx]];
+      } else {
+        // Tree lookup over the row-simplified tree.
+        int pos = 0;
+        while (rtree[pos].property >= 0) {
+          pos = props[rtree[pos].property] > rtree[pos].splitval
+                    ? rtree[pos].lchild
+                    : rtree[pos].rchild;
+        }
+        leafp = &rtree[pos];
       }
-      const TreeNode& leaf = rtree[pos];
+      const TreeNode& leaf = *leafp;
       int64_t guess = predict_one(leaf.predictor, left, top, toptop, topleft,
                                   topright, leftleft, trr, wp_pred)
                       + leaf.offset;
