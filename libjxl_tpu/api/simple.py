@@ -429,8 +429,13 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                     frame_kwargs["patches"] = pd
         qf_adjust = None
         if effort >= 8 and resampling == 1 and noise is None:
+            # e8 -> 2 refinement iterations, e9 -> 3, e10 (the
+            # kGlacier/kTectonicPlate-class exhaustive tier,
+            # common.h:42-71) -> 5 with a finer step.
+            iters = {8: 2, 9: 3}.get(effort, 5)
             qf_adjust = _butteraugli_qf_iteration(
-                image, srgb, xyb, meta, writer, distance, frame_kwargs)
+                image, srgb, xyb, meta, writer, distance, frame_kwargs,
+                iterations=iters, fine=effort >= 10)
         encode_vardct_frame(xyb, meta, writer, qf_adjust=qf_adjust,
                             **frame_kwargs)
     writer.align_to_byte()
@@ -440,10 +445,13 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
 
 def _butteraugli_qf_iteration(image, srgb, xyb, meta, header_writer,
                               distance, frame_kwargs,
-                              iterations: int = 2) -> np.ndarray:
+                              iterations: int = 2,
+                              fine: bool = False) -> np.ndarray:
     """Iteratively refines a per-8x8-block quant-field multiplier so
     the decoded butteraugli error tracks the target distance
-    (enc_heuristics.cc FindBestQuantization's role)."""
+    (enc_heuristics.cc FindBestQuantization's role). ``fine`` (the
+    effort-10 tier) takes smaller, better-damped steps so the extra
+    iterations converge instead of oscillating."""
     from libjxl_tpu.frame.decode_frame import decode_frame
     from libjxl_tpu.metrics.butteraugli import butteraugli_diffmap
 
@@ -473,7 +481,9 @@ def _butteraugli_qf_iteration(image, srgb, xyb, meta, header_writer,
         blocks = dpad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
             .reshape(by, bx, 64)
         err = np.quantile(blocks, 0.9, axis=-1)
-        ratio = np.clip((err / max(distance, 1e-6)) ** 0.6, 1 / 1.3, 1.3)
+        step_exp, step_lim = (0.35, 1.12) if fine else (0.6, 1.3)
+        ratio = np.clip((err / max(distance, 1e-6)) ** step_exp,
+                        1 / step_lim, step_lim)
         # Keep the step monotone toward the target: while the global
         # distance overshoots, blocks may only get finer (and vice
         # versa) — per-block relaxation otherwise trades bits away from
@@ -688,6 +698,21 @@ def _decode_impl(data: bytes, device: bool = False,
                             preview=preview, extra=extra_list)
 
     from libjxl_tpu.frame.frame_header import ColorTransform as _CT
+    _tf_enum0 = meta.m.color_encoding.tf.transfer_function \
+        if not meta.m.color_encoding.tf.have_gamma else None
+    from libjxl_tpu.color.color_encoding import TransferFunction as _TF0
+    if (frame.header.color_transform != _CT.YCBCR and not float_out
+            and not frame.extra_channels
+            and _tf_enum0 not in (int(_TF0.PQ), int(_TF0.HLG))):
+        # Fused native XYB -> sRGB -> quantized pixels (the whole tail
+        # of the hot sRGB decode path in one C++ pass).
+        from libjxl_tpu.color.xyb import xyb_to_srgb_px_native
+        fused = xyb_to_srgb_px_native(frame.xyb, maxval, dtype)
+        if fused is not None:
+            fused = _apply_orientation(fused, meta.m.orientation)
+            return DecodeResult(pixels=fused, metadata=meta,
+                                lossless=False, preview=preview,
+                                extra=[])
     if frame.header.color_transform == _CT.YCBCR:
         # VarDCT YCbCr (JPEG transcode): planes are (Cb, Y-128, Cr)/255.
         from libjxl_tpu.color.ycbcr import ycbcr_to_rgb

@@ -49,6 +49,45 @@ def xyb_to_linear_rgb(xyb: np.ndarray,
     return rgb.astype(np.float32)
 
 
+def xyb_to_srgb_px_native(xyb: np.ndarray, maxval: int,
+                          dtype) -> np.ndarray | None:
+    """Fused native XYB -> linear -> sRGB -> quantized (H, W, 3)
+    pixels (jxl_native.cpp xyb_to_srgb_px); None when unavailable."""
+    import ctypes as C
+    import os
+    if os.environ.get("LIBJXL_TPU_NO_NATIVE_COLOR"):
+        return None
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_srgbpx_bound"):
+        lib.xyb_to_srgb_px.restype = None
+        lib.xyb_to_srgb_px.argtypes = [
+            C.POINTER(C.c_float), C.c_int64, C.POINTER(C.c_double),
+            C.POINTER(C.c_double), C.POINTER(C.c_uint8),
+            C.POINTER(C.c_uint16), C.c_int32]
+        lib._srgbpx_bound = True
+    _, h, w = xyb.shape
+    src = np.ascontiguousarray(xyb, np.float32)
+    inv = np.ascontiguousarray(DEFAULT_INVERSE_OPSIN_MATRIX, np.float64)
+    bias = np.ascontiguousarray(OPSIN_ABSORBANCE_BIAS, np.float64)
+    out = np.empty((h, w, 3), dtype)
+    lib.xyb_to_srgb_px(
+        src.ctypes.data_as(C.POINTER(C.c_float)), h * w,
+        inv.ctypes.data_as(C.POINTER(C.c_double)),
+        bias.ctypes.data_as(C.POINTER(C.c_double)),
+        out.ctypes.data_as(C.POINTER(C.c_uint8))
+        if dtype == np.uint8 else None,
+        None if dtype == np.uint8
+        else out.ctypes.data_as(C.POINTER(C.c_uint16)),
+        maxval)
+    return out
+
+
 _SRGB_LUT8 = None
 
 

@@ -42,7 +42,8 @@ def compute_ar_sharpness(orig_xyb: np.ndarray, prefilter: np.ndarray,
     reconstructed frame BEFORE loop filters (3, ysize_padded, ...).
     """
     from libjxl_tpu.pipeline.loop_filters import (
-        apply_loop_filters, compute_sigma_map, epf0, epf1, epf2, gaborish)
+        apply_loop_filters, compute_sigma_map, epf0, epf1, epf2,
+        epf_native, gaborish, gaborish_native)
 
     BY, BX = fd.ysize_blocks, fd.xsize_blocks
     clamped = min(5.0, distance)
@@ -56,7 +57,9 @@ def compute_ar_sharpness(orig_xyb: np.ndarray, prefilter: np.ndarray,
 
     img = prefilter[:, :fd.ysize, :fd.xsize]
     if lf.gab:
-        img = gaborish(np.ascontiguousarray(img), lf)
+        gn = gaborish_native(np.ascontiguousarray(img), lf)
+        img = gn if gn is not None \
+            else gaborish(np.ascontiguousarray(img), lf)
 
     orig = orig_xyb[:, :fd.ysize, :fd.xsize].astype(np.float32)
     error_images = {}
@@ -64,13 +67,16 @@ def compute_ar_sharpness(orig_xyb: np.ndarray, prefilter: np.ndarray,
         sharp = np.full((BY, BX), val, np.int32)
         inv_sigma = compute_sigma_map(lf, raw_quant, sharp,
                                       quantizer.global_scale_float)
-        out = img
-        if lf.epf_iters >= 3:
-            out = epf0(out, lf, inv_sigma)
-        if lf.epf_iters >= 1:
-            out = epf1(out, lf, inv_sigma)
-        if lf.epf_iters >= 2:
-            out = epf2(out, lf, inv_sigma)
+        out = epf_native(img, lf, inv_sigma) if lf.epf_iters > 0 \
+            else None
+        if out is None:
+            out = img
+            if lf.epf_iters >= 3:
+                out = epf0(out, lf, inv_sigma)
+            if lf.epf_iters >= 1:
+                out = epf1(out, lf, inv_sigma)
+            if lf.epf_iters >= 2:
+                out = epf2(out, lf, inv_sigma)
         error_images[val] = _block_l2(orig, out, mask1x1, BY, BX)
 
     # Pass 1: greedy per-block choice with top/left reuse preference.

@@ -625,9 +625,28 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     # (base/data_parallel.h); the native decoder releases the GIL.
     if not device:
         parallel = (not single) and fd.num_groups > 1
-        if parallel:
-            from libjxl_tpu.parallel.runner import get_runner
-            runner = get_runner()
+        from libjxl_tpu.parallel.runner import get_runner
+        runner = get_runner()
+
+        def reconstruct_frame_level() -> None:
+            # One batched reconstruction across ALL groups: per-strategy
+            # pooling amortizes the dequant/IDCT fixed costs that a
+            # per-group pass pays num_groups x strategies times.
+            from libjxl_tpu.vardct.group import CoeffBlock
+            all_blocks = []
+            for g in range(fd.num_groups):
+                brect = fd.block_group_rect(g)
+                for b in group_blocks[g]:
+                    all_blocks.append(CoeffBlock(
+                        brect.x0 + b.bx, brect.y0 + b.by, b.strategy,
+                        b.coeffs))
+            pix = reconstruct_group(
+                all_blocks, fd.xsize_blocks, fd.ysize_blocks, quantizer,
+                raw_quant, dc_full, cmap, ytox_map, ytob_map, 0, 0,
+                x_mul, b_mul)
+            out[:, :fd.ysize_blocks * 8, :fd.xsize_blocks * 8] = pix
+
+        if parallel and runner.num_workers > 1:
             for p in range(num_passes):
                 runner.run(lambda g, p=p: process_ac_group(p, g),
                            fd.num_groups)
@@ -636,8 +655,11 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
             for p in range(num_passes):
                 for g in range(fd.num_groups):
                     process_ac_group(p, g)
-            for g in range(fd.num_groups):
-                reconstruct_one(g)
+            if fd.num_groups > 1 and not single:
+                reconstruct_frame_level()
+            else:
+                for g in range(fd.num_groups):
+                    reconstruct_one(g)
 
     # Loop filters (gaborish/EPF) — applied when enabled, on the image
     # region only: the pipeline mirrors at image bounds, not at the

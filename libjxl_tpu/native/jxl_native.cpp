@@ -1107,6 +1107,307 @@ void acs_sub8x8_stage2(int64_t n, const float* errpix, const float* masku,
   }
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host loop filters (render_pipeline/stage_gaborish.cc + stage_epf.cc
+// semantics, matching pipeline/loop_filters.py's whole-image numpy
+// formulation): fused single-pass C++ replaces ~40 full-image numpy
+// temporaries per EPF pass on the one-core host decode path.
+
+static void mirror_pad_3(const float* img, int64_t h, int64_t w, int r,
+                         std::vector<float>& out) {
+  // np.pad mode="symmetric": edge sample repeats ([a b] -> [a a b b]).
+  const int64_t ph = h + 2 * r, pw = w + 2 * r;
+  out.assign(3 * ph * pw, 0.f);
+  for (int c = 0; c < 3; c++) {
+    const float* src = img + c * h * w;
+    float* dst = out.data() + c * ph * pw;
+    for (int64_t y = 0; y < ph; y++) {
+      int64_t sy = y - r;
+      if (sy < 0) sy = -sy - 1;
+      if (sy >= h) sy = 2 * h - 1 - sy;
+      const float* srow = src + sy * w;
+      float* drow = dst + y * pw;
+      for (int64_t x = 0; x < r; x++) drow[x] = srow[r - 1 - x];
+      std::memcpy(drow + r, srow, w * sizeof(float));
+      for (int64_t x = 0; x < r; x++) drow[r + w + x] = srow[w - 1 - x];
+    }
+  }
+}
+
+extern "C" {
+
+// Normalized 3x3 gaborish (stage_gaborish.cc): weights[c] = (w1, w2).
+void host_gaborish(const float* img, float* out, int64_t h, int64_t w,
+                   const double* weights) {
+  std::vector<float> pad;
+  mirror_pad_3(img, h, w, 1, pad);
+  const int64_t pw = w + 2;
+  for (int c = 0; c < 3; c++) {
+    const double div = 1.0 + 4.0 * (weights[c * 2] + weights[c * 2 + 1]);
+    const float w0 = (float)(1.0 / div);
+    const float w1 = (float)(weights[c * 2] / div);
+    const float w2 = (float)(weights[c * 2 + 1] / div);
+    const float* p = pad.data() + c * (h + 2) * pw;
+    float* o = out + c * h * w;
+    for (int64_t y = 0; y < h; y++) {
+      const float* r0 = p + y * pw;
+      const float* r1 = r0 + pw;
+      const float* r2 = r1 + pw;
+      float* orow = o + y * w;
+      for (int64_t x = 0; x < w; x++) {
+        orow[x] = r1[x + 1] * w0
+                  + (r1[x] + r1[x + 2] + r0[x + 1] + r2[x + 1]) * w1
+                  + (r0[x] + r0[x + 2] + r2[x] + r2[x + 2]) * w2;
+      }
+    }
+  }
+}
+
+}  // extern "C"
+
+namespace {
+
+constexpr double kMinSigmaC = -3.90524291751269967465540850526868;
+
+// Per-pixel inv_sigma row for one image row (block expand * border map).
+static inline void isig_row(const float* isb, int64_t bw, int64_t y,
+                            int64_t w, float sm, float bsm, float* row) {
+  const float* brow = isb + (y >> 3) * bw;
+  const bool ybord = (y & 7) == 0 || (y & 7) == 7;
+  for (int64_t x = 0; x < w; x++) {
+    const bool bord = ybord || (x & 7) == 0 || (x & 7) == 7;
+    row[x] = brow[x >> 3] * (bord ? bsm : sm);
+  }
+}
+
+// One EPF pass with plus-shaped SADs over `ncand` candidate offsets.
+// rad: padding radius (3 for EPF0, 2 for EPF1). Exactly mirrors
+// loop_filters.py epf0/epf1.
+static void epf_plus_pass(const float* img, float* out, int64_t h,
+                          int64_t w, const float* isb, int64_t bh,
+                          int64_t bw, float sm, float bsm,
+                          const float* cscale, const int (*cands)[2],
+                          int ncand, int rad) {
+  (void)bh;
+  std::vector<float> pad;
+  mirror_pad_3(img, h, w, rad, pad);
+  const int64_t ph = h + 2 * rad, pw = w + 2 * rad;
+  const float* P[3] = {pad.data(), pad.data() + ph * pw,
+                       pad.data() + 2 * ph * pw};
+  // Running accumulators.
+  std::vector<float> acc(3 * h * w);
+  std::vector<float> wsum(h * w, 1.0f);
+  std::memcpy(acc.data(), img, 3 * h * w * sizeof(float));
+  // Candidate diff field E over [(rad-1)..(rad+h+1)) x likewise.
+  const int64_t eh = h + 2, ew = w + 2;
+  std::vector<float> E(eh * ew);
+  std::vector<float> isig(w);
+  for (int ci = 0; ci < ncand; ci++) {
+    const int sy = cands[ci][0], sx = cands[ci][1];
+    for (int64_t u = 0; u < eh; u++) {
+      const int64_t py = rad - 1 + u;
+      float* erow = E.data() + u * ew;
+      const float* a0 = P[0] + py * pw + (rad - 1);
+      const float* b0 = P[0] + (py + sy) * pw + (rad - 1 + sx);
+      const float* a1 = P[1] + py * pw + (rad - 1);
+      const float* b1 = P[1] + (py + sy) * pw + (rad - 1 + sx);
+      const float* a2 = P[2] + py * pw + (rad - 1);
+      const float* b2 = P[2] + (py + sy) * pw + (rad - 1 + sx);
+      for (int64_t v = 0; v < ew; v++) {
+        erow[v] = cscale[0] * std::fabs(a0[v] - b0[v])
+                  + cscale[1] * std::fabs(a1[v] - b1[v])
+                  + cscale[2] * std::fabs(a2[v] - b2[v]);
+      }
+    }
+    for (int64_t y = 0; y < h; y++) {
+      isig_row(isb, bw, y, w, sm, bsm, isig.data());
+      const float* e0 = E.data() + y * ew + 1;        // (y-1, x)
+      const float* e1 = E.data() + (y + 1) * ew;      // (y, x-1)
+      const float* e1c = e1 + 1;                      // (y, x)
+      const float* e1r = e1 + 2;                      // (y, x+1)
+      const float* e2 = E.data() + (y + 2) * ew + 1;  // (y+1, x)
+      const float* c0 = P[0] + (rad + y + sy) * pw + rad + sx;
+      const float* c1 = P[1] + (rad + y + sy) * pw + rad + sx;
+      const float* c2 = P[2] + (rad + y + sy) * pw + rad + sx;
+      float* a0 = acc.data() + y * w;
+      float* a1r = acc.data() + h * w + y * w;
+      float* a2r = acc.data() + 2 * h * w + y * w;
+      float* ws = wsum.data() + y * w;
+      for (int64_t x = 0; x < w; x++) {
+        const float sad = e0[x] + e1[x] + e1c[x] + e1r[x] + e2[x];
+        float wgt = sad * isig[x] + 1.0f;
+        wgt = wgt > 0.f ? wgt : 0.f;
+        a0[x] += wgt * c0[x];
+        a1r[x] += wgt * c1[x];
+        a2r[x] += wgt * c2[x];
+        ws[x] += wgt;
+      }
+    }
+  }
+  // Normalize; skip blocks whose raw inv_sigma < MIN_SIGMA.
+  for (int64_t y = 0; y < h; y++) {
+    const float* brow = isb + (y >> 3) * bw;
+    const float* ws = wsum.data() + y * w;
+    for (int c = 0; c < 3; c++) {
+      const float* a = acc.data() + c * h * w + y * w;
+      const float* src = img + c * h * w + y * w;
+      float* o = out + c * h * w + y * w;
+      for (int64_t x = 0; x < w; x++) {
+        const bool skip = brow[x >> 3] < (float)kMinSigmaC;
+        o[x] = skip ? src[x] : a[x] / ws[x];
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full EPF sequence (dec_cache.cc order: EPF0 if iters>=3, EPF1 if
+// >=1, EPF2 if >=2) in place over `img` -> `out` (may alias only via
+// distinct buffers; caller passes separate in/out).
+void host_epf(const float* img, float* out, int64_t h, int64_t w,
+              const float* inv_sigma_blocks, int64_t bh, int64_t bw,
+              int iters, double pass0_scale, double pass2_scale,
+              double border_mul, const double* channel_scale) {
+  const float cs[3] = {(float)channel_scale[0], (float)channel_scale[1],
+                       (float)channel_scale[2]};
+  static const int cands0[12][2] = {
+      {-2, 0}, {-1, -1}, {-1, 0}, {-1, 1}, {0, -2}, {0, -1},
+      {0, 1}, {0, 2}, {1, -1}, {1, 0}, {1, 1}, {2, 0}};
+  static const int cands1[4][2] = {{-1, 0}, {0, -1}, {0, 1}, {1, 0}};
+  std::vector<float> tmp;
+  const float* cur = img;
+  float* nxt = out;
+  std::vector<float> scratch;
+  if (iters >= 3) {
+    const float sm = (float)(pass0_scale * 1.65);
+    epf_plus_pass(cur, nxt, h, w, inv_sigma_blocks, bh, bw, sm,
+                  (float)(sm * border_mul), cs, cands0, 12, 3);
+    scratch.assign(nxt, nxt + 3 * h * w);
+    cur = scratch.data();
+  }
+  if (iters >= 1) {
+    const float sm = 1.65f;
+    epf_plus_pass(cur, nxt, h, w, inv_sigma_blocks, bh, bw, sm,
+                  (float)(sm * border_mul), cs, cands1, 4, 2);
+    if (iters >= 2) {
+      if (scratch.empty()) scratch.resize(3 * h * w);
+      std::memcpy(scratch.data(), nxt, 3 * h * w * sizeof(float));
+      cur = scratch.data();
+    }
+  }
+  if (iters >= 2) {
+    // EPF2: 3x3, single-pixel SADs vs the pass input center.
+    const float sm = (float)(pass2_scale * 1.65);
+    const float bsm = (float)(sm * border_mul);
+    std::vector<float> pad;
+    mirror_pad_3(cur, h, w, 1, pad);
+    const int64_t pw = w + 2, phh = h + 2;
+    const float* P[3] = {pad.data(), pad.data() + phh * pw,
+                         pad.data() + 2 * phh * pw};
+    std::vector<float> isig(w);
+    for (int64_t y = 0; y < h; y++) {
+      isig_row(inv_sigma_blocks, bw, y, w, sm, bsm, isig.data());
+      const float* brow = inv_sigma_blocks + (y >> 3) * bw;
+      const float* ctr[3] = {cur + y * w, cur + h * w + y * w,
+                             cur + 2 * h * w + y * w};
+      float* orow[3] = {out + y * w, out + h * w + y * w,
+                        out + 2 * h * w + y * w};
+      for (int64_t x = 0; x < w; x++) {
+        float a0 = ctr[0][x], a1 = ctr[1][x], a2 = ctr[2][x];
+        float x0 = a0, x1 = a1, x2 = a2, ws = 1.0f;
+        for (int ci = 0; ci < 4; ci++) {
+          const int sy = cands1[ci][0], sx = cands1[ci][1];
+          const float q0 = P[0][(1 + y + sy) * pw + 1 + x + sx];
+          const float q1 = P[1][(1 + y + sy) * pw + 1 + x + sx];
+          const float q2 = P[2][(1 + y + sy) * pw + 1 + x + sx];
+          const float sad = cs[0] * std::fabs(q0 - a0)
+                            + cs[1] * std::fabs(q1 - a1)
+                            + cs[2] * std::fabs(q2 - a2);
+          float wgt = sad * isig[x] + 1.0f;
+          wgt = wgt > 0.f ? wgt : 0.f;
+          x0 += wgt * q0;
+          x1 += wgt * q1;
+          x2 += wgt * q2;
+          ws += wgt;
+        }
+        const bool skip = brow[x >> 3] < (float)kMinSigmaC;
+        orow[0][x] = skip ? a0 : x0 / ws;
+        orow[1][x] = skip ? a1 : x1 / ws;
+        orow[2][x] = skip ? a2 : x2 / ws;
+      }
+    }
+  }
+  if (iters == 0) {
+    std::memcpy(out, img, 3 * h * w * sizeof(float));
+  }
+  (void)tmp;
+}
+
+// Fused XYB -> linear RGB -> sRGB -> quantized interleaved pixels
+// (dec_xyb-inl.h XybToRgb + TF_SRGB encode + round/clip). The sRGB
+// OETF is a 4096-entry sqrt-warped lerp LUT (max abs err < 2e-6,
+// far inside the 8/16-bit quantum).
+void xyb_to_srgb_px(const float* xyb, int64_t n, const double* inv_mat,
+                    const double* bias, uint8_t* out8, uint16_t* out16,
+                    int32_t maxval) {
+  static float lut[4098];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i <= 4097; i++) {
+      double t = (double)i / 4096.0;
+      double lin = t * t;
+      lut[i] = (float)(lin <= 0.0031308
+                           ? lin * 12.92
+                           : 1.055 * pow(lin, 1.0 / 2.4) - 0.055);
+    }
+    init = true;
+  }
+  const float bc0 = (float)cbrt(bias[0]);
+  const float bc1 = (float)cbrt(bias[1]);
+  const float bc2 = (float)cbrt(bias[2]);
+  float m[9];
+  for (int i = 0; i < 9; i++) m[i] = (float)inv_mat[i];
+  const float b0 = (float)bias[0], b1 = (float)bias[1],
+              b2 = (float)bias[2];
+  const float* X = xyb;
+  const float* Y = xyb + n;
+  const float* B = xyb + 2 * n;
+  const float mv = (float)maxval;
+  for (int64_t i = 0; i < n; i++) {
+    const float gl = Y[i] + X[i] + bc0;
+    const float gm = Y[i] - X[i] + bc1;
+    const float gs = B[i] + bc2;
+    const float L = gl * gl * gl - b0;
+    const float M = gm * gm * gm - b1;
+    const float S = gs * gs * gs - b2;
+    float rgb[3];
+    rgb[0] = m[0] * L + m[1] * M + m[2] * S;
+    rgb[1] = m[3] * L + m[4] * M + m[5] * S;
+    rgb[2] = m[6] * L + m[7] * M + m[8] * S;
+    for (int c = 0; c < 3; c++) {
+      float v = rgb[c];
+      v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+      const float t = std::sqrt(v) * 4096.0f;
+      const int idx = (int)t;
+      const float fr = t - (float)idx;
+      const float enc = lut[idx] + (lut[idx + 1] - lut[idx]) * fr;
+      float q = nearbyintf(enc * mv);
+      q = q < 0.f ? 0.f : (q > mv ? mv : q);
+      if (out8) out8[i * 3 + c] = (uint8_t)q;
+      else out16[i * 3 + c] = (uint16_t)q;
+    }
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Precise CfL multiplier fit (enc_chroma_from_luma.cc CFLFunction):
 // Newton steps on the robust saturated-L1 cost; a/b are the weighted
 // luma/residual arrays the Python caller prepares per tile.

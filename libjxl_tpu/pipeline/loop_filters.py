@@ -175,6 +175,73 @@ def epf2(img: np.ndarray, lf, inv_sigma_blocks: np.ndarray) -> np.ndarray:
     return np.where(skip[None], img, out)
 
 
+def _native_filters():
+    """Bound native lib with host_gaborish/host_epf, or None."""
+    import ctypes as C
+    import os
+    if os.environ.get("LIBJXL_TPU_NO_NATIVE_FILTERS"):
+        return None
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        F = C.POINTER(C.c_float)
+        D = C.POINTER(C.c_double)
+        lib.host_gaborish.restype = None
+        lib.host_gaborish.argtypes = [F, F, C.c_int64, C.c_int64, D]
+        lib.host_epf.restype = None
+        lib.host_epf.argtypes = [F, F, C.c_int64, C.c_int64, F,
+                                 C.c_int64, C.c_int64, C.c_int,
+                                 C.c_double, C.c_double, C.c_double, D]
+        lib._filters_bound = True
+    return lib
+
+
+def gaborish_native(img: np.ndarray, lf) -> np.ndarray | None:
+    """Fused C++ gaborish; None when the native module is missing."""
+    import ctypes as C
+    lib = _native_filters()
+    if lib is None:
+        return None
+    _, h, w = img.shape
+    src = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(src)
+    wts = np.array([[lf.gab_x_weight1, lf.gab_x_weight2],
+                    [lf.gab_y_weight1, lf.gab_y_weight2],
+                    [lf.gab_b_weight1, lf.gab_b_weight2]], np.float64)
+    lib.host_gaborish(src.ctypes.data_as(C.POINTER(C.c_float)),
+                      out.ctypes.data_as(C.POINTER(C.c_float)),
+                      h, w, wts.ctypes.data_as(C.POINTER(C.c_double)))
+    return out
+
+
+def epf_native(img: np.ndarray, lf,
+               inv_sigma_blocks: np.ndarray) -> np.ndarray | None:
+    """Fused C++ EPF sequence; None when native is missing."""
+    import ctypes as C
+    lib = _native_filters()
+    if lib is None:
+        return None
+    _, h, w = img.shape
+    src = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(src)
+    isb = np.ascontiguousarray(inv_sigma_blocks, np.float32)
+    cs = np.asarray(lf.epf_channel_scale, np.float64)
+    lib.host_epf(src.ctypes.data_as(C.POINTER(C.c_float)),
+                 out.ctypes.data_as(C.POINTER(C.c_float)),
+                 h, w, isb.ctypes.data_as(C.POINTER(C.c_float)),
+                 isb.shape[0], isb.shape[1], int(lf.epf_iters),
+                 float(lf.epf_pass0_sigma_scale),
+                 float(lf.epf_pass2_sigma_scale),
+                 float(lf.epf_border_sad_mul),
+                 cs.ctypes.data_as(C.POINTER(C.c_double)))
+    return out
+
+
 def apply_loop_filters(img: np.ndarray, lf, raw_quant: np.ndarray,
                        strategies: np.ndarray, quantizer, fd,
                        sharpness: np.ndarray | None = None) -> np.ndarray:
@@ -182,12 +249,16 @@ def apply_loop_filters(img: np.ndarray, lf, raw_quant: np.ndarray,
     (dec_cache.cc:150-170: EPF0 if iters>=3, EPF1 if >=1, EPF2 if >=2)."""
     out = img
     if lf.gab:
-        out = gaborish(out, lf)
+        native = gaborish_native(out, lf)
+        out = native if native is not None else gaborish(out, lf)
     if lf.epf_iters > 0:
         if sharpness is None:
             sharpness = np.zeros_like(raw_quant)
         inv_sigma = compute_sigma_map(lf, raw_quant, sharpness,
                                       quantizer.global_scale_float)
+        native = epf_native(out, lf, inv_sigma)
+        if native is not None:
+            return native
         if lf.epf_iters >= 3:
             out = epf0(out, lf, inv_sigma)
         if lf.epf_iters >= 1:

@@ -575,9 +575,9 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
            final_h, final_w, noise_cfg is not None, spline_cap,
            patch_ka is not None, used_slots)
 
-    def core(get, mat_bank, noise_raw=None, splines_dev=None,
-             patch_ka_dev=None):
-        """Shared pipeline body; `get(name)` yields the named input."""
+    def core_xyb(get, mat_bank):
+        """Stage A: packed feed -> cropped XYB (scatter + dequant +
+        CfL + IDCT)."""
         if sparse:
             coeff_img = jnp.zeros(
                 cshape[0] * cshape[1] * cshape[2], jnp.int16
@@ -601,7 +601,11 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
                           inv_gs, qmul, get("tables8"), mat_bank,
                           big_tables, classes, get("biases"),
                           BW_blocks, class_masks=cmasks)
-        xyb = xyb[:, :image_h, :image_w]
+        return xyb[:, :image_h, :image_w]
+
+    def core_post(xyb, get, noise_raw=None, splines_dev=None,
+                  patch_ka_dev=None):
+        """Stage B: XYB -> filters + post stages + output encoding."""
         if gab or epf_iters > 0:
             xyb = apply_loop_filters_tpu(xyb, get("inv_sigma"),
                                          epf_iters=epf_iters, gab=gab)
@@ -630,20 +634,32 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     names = [s[0] for s in specs]
     if key not in _FN2_CACHE:
         if packed:
+            # TWO programs split at the XYB boundary: XLA's global
+            # fusion search over the fully fused frame program goes
+            # superlinear at 4K (>25 min single-core compile for the
+            # monolith; each half compiles in seconds), and the halves
+            # chain as two async dispatches with no host sync between.
             @jax.jit
-            def run(buf, mat_bank, noise_raw=None, splines_dev=None,
-                    patch_ka_dev=None):
-                return core(lambda n: _unpack_dev(buf, layout, n),
-                            mat_bank, noise_raw, splines_dev,
-                            patch_ka_dev)
+            def run_a(buf, mat_bank):
+                return core_xyb(lambda n: _unpack_dev(buf, layout, n),
+                                mat_bank)
+
+            @jax.jit
+            def run_b(xyb, buf, noise_raw=None, splines_dev=None,
+                      patch_ka_dev=None):
+                return core_post(xyb,
+                                 lambda n: _unpack_dev(buf, layout, n),
+                                 noise_raw, splines_dev, patch_ka_dev)
+            _FN2_CACHE[key] = ("split", run_a, run_b)
         else:
             @jax.jit
             def run(mat_bank, noise_raw, splines_dev, patch_ka_dev,
                     *arrs):
                 byname = dict(zip(names, arrs))
-                return core(byname.__getitem__, mat_bank, noise_raw,
-                            splines_dev, patch_ka_dev)
-        _FN2_CACHE[key] = run
+                x = core_xyb(byname.__getitem__, mat_bank)
+                return core_post(x, byname.__getitem__, noise_raw,
+                                 splines_dev, patch_ka_dev)
+            _FN2_CACHE[key] = ("mono", run)
     fn = _FN2_CACHE[key]
     noise_dev = None
     if noise_cfg is not None:
@@ -694,18 +710,20 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
             _pack_host(buf, layout, n, host_value(n))
         dbuf, dbank = jax.device_put(
             (buf, family8_matrices()[list(used_slots)]))
+        _, run_a, run_b = fn
+        x = run_a(dbuf, dbank)
         if (noise_dev is not None or spline_args is not None
                 or patch_ka is not None):
-            out = fn(dbuf, dbank, noise_dev, spline_args, patch_ka)
+            out = run_b(x, dbuf, noise_dev, spline_args, patch_ka)
         else:
-            out = fn(dbuf, dbank)
+            out = run_b(x, dbuf)
     else:
         arrs = [np.ascontiguousarray(host_value(n), dtype=layout[n][1])
                 .reshape(layout[n][2]) for n in names]
         dargs = jax.device_put(
             [family8_matrices()[list(used_slots)]] + arrs)
-        out = fn(dargs[0], noise_dev, spline_args, patch_ka,
-                 *dargs[1:])
+        out = fn[1](dargs[0], noise_dev, spline_args, patch_ka,
+                    *dargs[1:])
     return np.asarray(out) if as_numpy else out
 
 
@@ -782,7 +800,10 @@ def decode_frames_device_batched(feeds: list, image_h: int, image_w: int,
     key = (n, class_keys, epf_iters, gab, cshape, image_h, image_w,
            out, nz_cap)
     if key not in _FNB_CACHE:
-        def one(buf, mat_bank):
+        # Split at the XYB boundary like decode_frame_device2: the
+        # fully fused frame program's XLA compile goes superlinear at
+        # 4K; the halves compile in seconds and chain asynchronously.
+        def one_xyb(buf, mat_bank):
             get = lambda nm: _unpack_dev(buf, layout, nm)  # noqa: E731
             coeff_img = jnp.zeros(
                 cshape[0] * cshape[1] * cshape[2], jnp.int16
@@ -797,7 +818,10 @@ def decode_frames_device_batched(feeds: list, image_h: int, image_w: int,
                               sc[0], sc[1:4], get("tables8"), mat_bank,
                               big_tables, None, get("biases"),
                               BW_blocks, class_masks=cmasks)
-            xyb = xyb[:, :image_h, :image_w]
+            return xyb[:, :image_h, :image_w]
+
+        def one_post(xyb, buf):
+            get = lambda nm: _unpack_dev(buf, layout, nm)  # noqa: E731
             if gab or epf_iters > 0:
                 xyb = apply_loop_filters_tpu(xyb, get("inv_sigma"),
                                              epf_iters=epf_iters,
@@ -808,7 +832,9 @@ def decode_frames_device_batched(feeds: list, image_h: int, image_w: int,
                 from libjxl_tpu.ops.decode_tpu import xyb_to_pq16
                 return xyb_to_pq16(xyb)
             return _srgb8(xyb)
-        _FNB_CACHE[key] = jax.jit(jax.vmap(one, in_axes=(0, None)))
+        _FNB_CACHE[key] = (
+            jax.jit(jax.vmap(one_xyb, in_axes=(0, None))),
+            jax.jit(jax.vmap(one_post, in_axes=(0, 0))))
     fn = _FNB_CACHE[key]
 
     bufs = np.zeros((n, total), np.uint8)
@@ -836,5 +862,6 @@ def decode_frames_device_batched(feeds: list, image_h: int, image_w: int,
                 _pack_host(buf, layout, f"mask{k}", fmasks[k])
             # else: zeros already in place (mask all-False)
     dbufs, dbank = jax.device_put((bufs, family8_matrices()))
-    res = fn(dbufs, dbank)
+    fn_a, fn_b = fn
+    res = fn_b(fn_a(dbufs, dbank), dbufs)
     return np.asarray(res) if as_numpy else res

@@ -507,14 +507,15 @@ def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
         bxs[i] = b.bx
         bys[i] = b.by
         dcs[i] = dc[:, b.by:b.by + cy, b.bx:b.bx + cx]
-    table = quantizer.dequant.table(strategy).reshape(3, size)
+    table = quantizer.dequant.table(strategy).reshape(3, size) \
+        .astype(np.float32)
     rq = raw_quant[bys, bxs].astype(np.float32)
-    scale = quantizer.inv_global_scale / rq
+    scale = (quantizer.inv_global_scale / rq).astype(np.float32)
     qmul = np.array([x_qm_mul, 1.0, b_qm_mul], np.float32)
     x = coeffs.astype(np.float32)
     bias_c = np.asarray(biases[:3], np.float32).reshape(1, 3, 1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        general = x - biases[3] / np.where(x == 0, 1, x)
+        general = x - np.float32(biases[3]) / np.where(x == 0, 1, x)
     biased = np.where(x == 0, 0.0,
                       np.where(x == 1, bias_c,
                                np.where(x == -1, -bias_c, general)))
@@ -528,7 +529,10 @@ def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
     dq[:, 0] += fx[:, None] * dq[:, 1]
     dq[:, 2] += fb[:, None] * dq[:, 1]
 
-    # LLF from DC, batched: dct2d(dcs) * resample scales.
+    # LLF from DC, batched: dct2d(dcs) * resample scales. The LLF einsum
+    # is tiny (cy*cx per block) and stays float64; the full-size IDCT
+    # runs as float32 BLAS matmuls (f32 rounding is ~1e-5 relative,
+    # far inside the 18181-3 conformance tolerances).
     mcy = dct_matrix(cy) if cy > 1 else np.ones((1, 1))
     mcx = dct_matrix(cx) if cx > 1 else np.ones((1, 1))
     coefdc = np.einsum("ui,ncij,vj->ncuv", mcy, dcs.astype(np.float64),
@@ -536,15 +540,21 @@ def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
     sy = resample_scales(cy, cy * 8)
     sx = resample_scales(cx, cx * 8)
     llf = coefdc * sy[None, None, :, None] * sx[None, None, None, :]
-    grid = dq.reshape(n, 3, ly * 8, lx * 8).astype(np.float64)
+    grid = dq.reshape(n, 3, ly * 8, lx * 8).astype(np.float32)
     if cy >= cx:
         llf = llf.transpose(0, 1, 3, 2)
-    grid[:, :, :ly, :lx] = llf
+    grid[:, :, :ly, :lx] = llf.astype(np.float32)
     if cy >= cx:
-        grid = grid.transpose(0, 1, 3, 2)
-    ih = idct_matrix(cy * 8)
-    iw = idct_matrix(cx * 8)
-    pix = np.einsum("yu,ncuv,wv->ncyw", ih, grid, iw,
-                    optimize=True).astype(np.float32)
-    for i, b in enumerate(blks):
-        out[:, b.by * 8:(b.by + cy) * 8, b.bx * 8:(b.bx + cx) * 8] = pix[i]
+        grid = np.ascontiguousarray(grid.transpose(0, 1, 3, 2))
+    ih = idct_matrix(cy * 8).astype(np.float32)
+    iw = idct_matrix(cx * 8).astype(np.float32)
+    # pix = ih @ grid @ iw.T via two batched sgemms.
+    pix = np.matmul(np.matmul(ih, grid), iw.T)
+    # Vectorized scatter: linear pixel indices of every covered sample.
+    W = out.shape[2]
+    lin = ((bys.astype(np.int64) * 8)[:, None, None]
+           + np.arange(cy * 8)[None, :, None]) * W \
+        + (bxs.astype(np.int64) * 8)[:, None, None] \
+        + np.arange(cx * 8)[None, None, :]
+    out.reshape(3, -1)[:, lin.reshape(-1)] = \
+        pix.transpose(1, 0, 2, 3).reshape(3, -1)

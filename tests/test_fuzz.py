@@ -9,6 +9,7 @@ a parser entry point is a bug — the reference hardens every read the
 same way (SURVEY.md §4.4).
 """
 
+import os
 import numpy as np
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -184,7 +185,14 @@ def test_shuffled_section_order_bit_exact(seed):
     img = np.clip(rng.normal(128, 40, (300, 520, 3)), 0, 255
                   ).astype(np.uint8)
     data = encode(img, distance=1.0, effort=3)
-    ref = decode(data).pixels
+    # The reference must use the same numpy color tail the incremental
+    # comparison below uses (the fused native XYB->sRGB tail may differ
+    # by 1 LSB at exact rounding boundaries).
+    os.environ["LIBJXL_TPU_NO_NATIVE_COLOR"] = "1"
+    try:
+        ref = decode(data).pixels
+    finally:
+        del os.environ["LIBJXL_TPU_NO_NATIVE_COLOR"]
 
     r = BitReader(data)
     meta = read_codestream_headers(r)
