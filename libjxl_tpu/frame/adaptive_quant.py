@@ -170,6 +170,18 @@ def initial_quant_field(butteraugli_target: float, xyb: np.ndarray,
                          blue_modulation(xyb[0].astype(np.float64), y_plane,
                                          xyb[2].astype(np.float64), mask_val))
 
+    # One-sided masking steepening: on busy content the reference
+    # encoder's field drops RELATIVELY further below its median than
+    # this model produces (measured against system-cjxl raw_quant
+    # fields on adversarial corpora: busy blocks ~1.5x finer here at
+    # equal nominal distance, smooth blocks matched). Amplify only the
+    # below-median exponent so textured areas coarsen while smooth
+    # areas keep their allocation — this changes the SHAPE of the
+    # allocation (the matched-quality RD position), not just the scale.
+    m = np.median(out_val)
+    out_val = out_val + (_MASK_STEEPEN - 1.0) * np.minimum(
+        0.0, out_val - m)
+
     base_level = 0.48 * scale
     k_ramp_start, k_ramp_end = 2.0, 14.0
     dampen = 1.0
@@ -180,6 +192,13 @@ def initial_quant_field(butteraugli_target: float, xyb: np.ndarray,
     add = (1.0 - dampen) * base_level
     qf = np.exp(out_val) * mul + add
     return qf.astype(np.float32)
+
+
+# Low-side exponent amplification (see comment in initial_quant_field).
+# Measured on the adversarial corpus: steepening reallocates along the
+# same RD curve (no matched-butteraugli gain), so it ships neutral; the
+# hook stays for per-content tuning experiments.
+_MASK_STEEPEN = 1.0
 
 
 # -- gaborish inverse (encoder) --------------------------------------------

@@ -122,6 +122,8 @@ def main():
     ap.add_argument("--distances", default="0.5,1.0,2.0,4.0")
     ap.add_argument("--corpus", choices=("photo", "hard"),
                     default="photo")
+    ap.add_argument("--device", action="store_true",
+                    help="encode with the jitted device (TPU) stages")
     args = ap.parse_args()
 
     from libjxl_tpu.api.simple import encode as enc_ours
@@ -139,7 +141,8 @@ def main():
                                 "s2_o", "s2_r", "enc_o", "enc_r")}
         for img in corpus:
             t0 = time.time()
-            so = enc_ours(img, distance=d, effort=args.effort)
+            so = enc_ours(img, distance=d, effort=args.effort,
+                          device=args.device)
             acc["enc_o"] += time.time() - t0
             t0 = time.time()
             sr = refjxl.encode(img, distance=d, effort=args.effort)
@@ -168,6 +171,27 @@ def main():
     # nominal distance, so matched-distance bpp ratios alone mislead.
     ba_o = np.array([r[3] for r in rows])
     bpp_o = np.array([r[1] for r in rows])
+    # The two encoders land at different achieved quality for the same
+    # nominal distance (this encoder sits finer at high distances), so
+    # OUR curve also gets sampled at coarser settings — the matched-
+    # quality interpolation must bracket every reference point instead
+    # of extrapolating past our last measurement.
+    max_ref_ba = max(r[4] for r in rows)
+    extra_d = [d for d in (6.0, 8.0, 12.0)
+               if max(ba_o) < max_ref_ba and d > max(distances)]
+    for d in extra_d:
+        if max(ba_o) >= max_ref_ba:
+            break
+        bpp_e = ba_e = 0.0
+        for img in corpus:
+            so = enc_ours(img, distance=d, effort=args.effort,
+                          device=args.device)
+            do = np.asarray(refjxl.decode(so, dtype="uint8").pixels)
+            do = do.reshape(img.shape[0], img.shape[1], -1)[..., :3]
+            bpp_e += len(so) * 8 / px_per_img
+            ba_e += refjxl.butteraugli_distance(img, do)
+        ba_o = np.append(ba_o, ba_e / len(corpus))
+        bpp_o = np.append(bpp_o, bpp_e / len(corpus))
     order = np.argsort(ba_o)
     matched = []
     for (d, bo, br, bao, bar, *_rest) in rows:
