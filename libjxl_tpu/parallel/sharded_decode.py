@@ -325,7 +325,8 @@ def batch_feeds2(feeds: list, nspace: int) -> tuple:
         raise ValueError("W must divide by 8 * space shards")
     BW = W // 8
     BWl = BW // nspace
-    coeff = np.stack([np.asarray(f["coeff_img"], np.int16)
+    from libjxl_tpu.tpu.feed import dense_coeff
+    coeff = np.stack([np.asarray(dense_coeff(f), np.int16)
                       for f in feeds])
     ids = np.stack([f["mat_ids"] for f in feeds])
     rq = np.stack([f["raw_quant"] for f in feeds])

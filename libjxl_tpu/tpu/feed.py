@@ -348,6 +348,20 @@ def build_feed2(group_blocks, fd, strategies, raw_quant, dc_full, quantizer,
     )
 
 
+def dense_coeff(feed: dict) -> np.ndarray:
+    """Dense coefficient image of a v2 feed. When the parse ran in
+    sparse-sink-only mode the dense image was never written (it is all
+    zeros); materialize it from the (idx, value) sink by scatter-add
+    (progressive passes contribute multiple entries per position)."""
+    ci = np.asarray(feed["coeff_img"])
+    nz = feed.get("coeff_nz")
+    if nz is None:
+        return ci
+    dense = np.zeros(ci.shape, ci.dtype)
+    np.add.at(dense.reshape(-1), nz[0], nz[1])
+    return dense
+
+
 def build_feed3(coeff_img, mat_ids, fd, strategies, raw_quant, dc_full,
                 quantizer, cmap, ytox_map, ytob_map, x_mul, b_mul,
                 biases) -> dict:
