@@ -216,12 +216,21 @@ class Decoder:
         return True
 
     def _to_pixels(self, xyb: np.ndarray) -> np.ndarray:
-        from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear_rgb
+        from libjxl_tpu.color.xyb import (linear_to_srgb,
+                                          xyb_to_linear_rgb,
+                                          xyb_to_srgb_px_native)
         bits = self.metadata.m.bit_depth.bits_per_sample
         dtype = np.uint8 if bits <= 8 else np.uint16
         maxval = (1 << bits) - 1
-        linear = xyb_to_linear_rgb(xyb)
         pref = self._preferred_profile
+        if pref is None or pref == "srgb":
+            # Same fused native tail as api.simple.decode, so the
+            # streaming decoder's pixels are bit-identical to the
+            # one-shot decoder's.
+            fused = xyb_to_srgb_px_native(xyb, maxval, dtype)
+            if fused is not None:
+                return fused
+        linear = xyb_to_linear_rgb(xyb)
         if pref == "linear":
             arr = np.clip(np.round(linear * maxval), 0, maxval)
             return arr.astype(dtype).transpose(1, 2, 0)

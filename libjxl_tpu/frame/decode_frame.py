@@ -625,8 +625,13 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     # (base/data_parallel.h); the native decoder releases the GIL.
     if not device:
         parallel = (not single) and fd.num_groups > 1
-        from libjxl_tpu.parallel.runner import get_runner
+        from libjxl_tpu.parallel.runner import ThreadRunner, get_runner
         runner = get_runner()
+        # Frame-level batching bypasses the per-group runner calls ONLY
+        # for the stock single-worker pool — a custom installed runner
+        # (embedder scheduler) must keep receiving every item.
+        stock_serial = (isinstance(runner, ThreadRunner)
+                        and runner.num_workers == 1)
 
         def reconstruct_frame_level() -> None:
             # One batched reconstruction across ALL groups: per-strategy
@@ -646,7 +651,7 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
                 x_mul, b_mul)
             out[:, :fd.ysize_blocks * 8, :fd.xsize_blocks * 8] = pix
 
-        if parallel and runner.num_workers > 1:
+        if parallel and not stock_serial:
             for p in range(num_passes):
                 runner.run(lambda g, p=p: process_ac_group(p, g),
                            fd.num_groups)

@@ -153,6 +153,14 @@ def decode_low_memory(data: bytes, callback) -> tuple:
         return band
 
     def emit(xyb_rows: np.ndarray, y0u: int) -> None:
+        # Same fused native tail as api.simple.decode so band outputs
+        # are bit-identical to the one-shot decoder's pixels.
+        from libjxl_tpu.color.xyb import xyb_to_srgb_px_native
+        fused = xyb_to_srgb_px_native(
+            np.ascontiguousarray(xyb_rows, np.float32), 255, np.uint8)
+        if fused is not None:
+            callback(y0u, fused)
+            return
         srgb = linear_to_srgb(xyb_to_linear_rgb(xyb_rows))
         rows = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
         callback(y0u, rows.transpose(1, 2, 0))

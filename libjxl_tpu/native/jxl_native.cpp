@@ -1110,6 +1110,59 @@ void acs_sub8x8_stage2(int64_t n, const float* errpix, const float* masku,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Fused host dequant: AdjustQuantBias + dequant table + per-block scale
+// + CfL in ONE pass over the batched coefficients (the numpy where-
+// chain streams ~10 full passes over the same arrays).
+
+extern "C" {
+
+// coeffs: [n][3][size] int32; table [3][size]; scale [n]; fx/fb [n];
+// out [n][3][size] float32. biases: (bx, by, bb, b3).
+void dequant_blocks(int64_t n, int64_t size, const int32_t* coeffs,
+                    const float* table, const float* scale,
+                    const float* fx, const float* fb, float qmx,
+                    float qmb, const double* biases, float* out) {
+  const float b0 = (float)biases[0], b1 = (float)biases[1],
+              b2 = (float)biases[2], b3 = (float)biases[3];
+  const float bias_c[3] = {b0, b1, b2};
+  const float qm[3] = {qmx, 1.0f, qmb};
+  for (int64_t i = 0; i < n; i++) {
+    const float sc = scale[i];
+    const int32_t* blk = coeffs + i * 3 * size;
+    float* o = out + i * 3 * size;
+    // Y first (X/B need the dequantized Y for CfL).
+    for (int c : {1, 0, 2}) {
+      const float* tb = table + c * size;
+      const int32_t* in = blk + c * size;
+      float* oc = o + c * size;
+      const float bc = bias_c[c];
+      const float q = qm[c];
+      for (int64_t j = 0; j < size; j++) {
+        const float x = (float)in[j];
+        float biased;
+        if (in[j] == 0) biased = 0.0f;
+        else if (in[j] == 1) biased = bc;
+        else if (in[j] == -1) biased = -bc;
+        else biased = x - b3 / x;
+        // Same association order as the numpy chain (bit-stable).
+        oc[j] = ((biased * tb[j]) * sc) * q;
+      }
+      if (c == 0) {
+        const float f = fx[i];
+        const float* y = o + size;
+        for (int64_t j = 0; j < size; j++) oc[j] += f * y[j];
+      } else if (c == 2) {
+        const float f = fb[i];
+        const float* y = o + size;
+        for (int64_t j = 0; j < size; j++) oc[j] += f * y[j];
+      }
+    }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Host loop filters (render_pipeline/stage_gaborish.cc + stage_epf.cc
 // semantics, matching pipeline/loop_filters.py's whole-image numpy
 // formulation): fused single-pass C++ replaces ~40 full-image numpy

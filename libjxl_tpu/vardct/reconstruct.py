@@ -278,6 +278,47 @@ def dequant_block(coeffs_q: np.ndarray, strategy: int, quantizer: Quantizer,
     return dq
 
 
+def _native_dequant(coeffs, table, scale, fx, fb, x_qm_mul, b_qm_mul,
+                    biases):
+    """Fused AdjustQuantBias + dequant + CfL (jxl_native.cpp
+    dequant_blocks); None when the native module is unavailable.
+    coeffs: (n, 3, size) int32; table: (3, size); scale/fx/fb: (n,)."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_deq_bound"):
+        F = C.POINTER(C.c_float)
+        lib.dequant_blocks.restype = None
+        lib.dequant_blocks.argtypes = [
+            C.c_int64, C.c_int64, C.POINTER(C.c_int32), F, F, F, F,
+            C.c_float, C.c_float, C.POINTER(C.c_double), F]
+        lib._deq_bound = True
+    n, _, size = coeffs.shape
+    cf = np.ascontiguousarray(coeffs, np.int32)
+    tb = np.ascontiguousarray(table, np.float32)
+    sc = np.ascontiguousarray(scale, np.float32)
+    fxa = np.ascontiguousarray(fx, np.float32)
+    fba = np.ascontiguousarray(fb, np.float32)
+    bs = np.ascontiguousarray(biases, np.float64)
+    out = np.empty((n, 3, size), np.float32)
+
+    def fp(a):
+        return a.ctypes.data_as(C.POINTER(C.c_float))
+
+    lib.dequant_blocks(n, size,
+                       cf.ctypes.data_as(C.POINTER(C.c_int32)),
+                       fp(tb), fp(sc), fp(fxa), fp(fba),
+                       float(x_qm_mul), float(b_qm_mul),
+                       bs.ctypes.data_as(C.POINTER(C.c_double)),
+                       fp(out))
+    return out
+
+
 def reconstruct_group_dct8(blocks, block_w, block_h, quantizer, raw_quant,
                            dc, cmap_base, ytox_map, ytob_map, group_bx0,
                            group_by0, x_qm_mul, b_qm_mul,
@@ -293,25 +334,29 @@ def reconstruct_group_dct8(blocks, block_w, block_h, quantizer, raw_quant,
         bys[i] = b.by
     table = quantizer.dequant.table(acs.DCT8X8).reshape(3, 64)
     rq = raw_quant[bys, bxs].astype(np.float32)
-    scale = quantizer.inv_global_scale / rq  # (n,)
-    qmul = np.array([x_qm_mul, 1.0, b_qm_mul], np.float32)
-    # adjust_quant_bias vectorized over (n,3,64)
-    x = coeffs.astype(np.float32)
-    bias_c = np.asarray(biases[:3], np.float32).reshape(1, 3, 1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        general = x - biases[3] / np.where(x == 0, 1, x)
-    biased = np.where(x == 0, 0.0,
-                      np.where(x == 1, bias_c,
-                               np.where(x == -1, -bias_c, general)))
-    dq = biased * table[None] * scale[:, None, None] * qmul[None, :, None]
+    scale = (quantizer.inv_global_scale / rq).astype(np.float32)
     tx = (group_bx0 + bxs) // 8
     ty = (group_by0 + bys) // 8
     fx = (cmap_base.base_correlation_x
           + ytox_map[ty, tx] * cmap_base.color_scale).astype(np.float32)
     fb = (cmap_base.base_correlation_b
           + ytob_map[ty, tx] * cmap_base.color_scale).astype(np.float32)
-    dq[:, 0] += fx[:, None] * dq[:, 1]
-    dq[:, 2] += fb[:, None] * dq[:, 1]
+    dq = _native_dequant(coeffs, table.astype(np.float32), scale, fx,
+                         fb, x_qm_mul, b_qm_mul, biases)
+    if dq is None:
+        qmul = np.array([x_qm_mul, 1.0, b_qm_mul], np.float32)
+        # adjust_quant_bias vectorized over (n,3,64)
+        x = coeffs.astype(np.float32)
+        bias_c = np.asarray(biases[:3], np.float32).reshape(1, 3, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            general = x - np.float32(biases[3]) / np.where(x == 0, 1, x)
+        biased = np.where(x == 0, 0.0,
+                          np.where(x == 1, bias_c,
+                                   np.where(x == -1, -bias_c, general)))
+        dq = biased * table[None].astype(np.float32) \
+            * scale[:, None, None] * qmul[None, :, None]
+        dq[:, 0] += fx[:, None] * dq[:, 1]
+        dq[:, 2] += fb[:, None] * dq[:, 1]
     dq[:, :, 0] = dc[:, bys, bxs].T  # (n,3)
     i8 = idct_matrix(8).astype(np.float32)
     # Stored layout is transposed (hfreq, vfreq) per the square-DCT rule.
@@ -511,23 +556,27 @@ def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
         .astype(np.float32)
     rq = raw_quant[bys, bxs].astype(np.float32)
     scale = (quantizer.inv_global_scale / rq).astype(np.float32)
-    qmul = np.array([x_qm_mul, 1.0, b_qm_mul], np.float32)
-    x = coeffs.astype(np.float32)
-    bias_c = np.asarray(biases[:3], np.float32).reshape(1, 3, 1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        general = x - np.float32(biases[3]) / np.where(x == 0, 1, x)
-    biased = np.where(x == 0, 0.0,
-                      np.where(x == 1, bias_c,
-                               np.where(x == -1, -bias_c, general)))
-    dq = biased * table[None] * scale[:, None, None] * qmul[None, :, None]
     tx_ = (group_bx0 + bxs) // 8
     ty_ = (group_by0 + bys) // 8
     fx = (cmap_base.base_correlation_x
           + ytox_map[ty_, tx_] * cmap_base.color_scale).astype(np.float32)
     fb = (cmap_base.base_correlation_b
           + ytob_map[ty_, tx_] * cmap_base.color_scale).astype(np.float32)
-    dq[:, 0] += fx[:, None] * dq[:, 1]
-    dq[:, 2] += fb[:, None] * dq[:, 1]
+    dq = _native_dequant(coeffs, table, scale, fx, fb, x_qm_mul,
+                         b_qm_mul, biases)
+    if dq is None:
+        qmul = np.array([x_qm_mul, 1.0, b_qm_mul], np.float32)
+        x = coeffs.astype(np.float32)
+        bias_c = np.asarray(biases[:3], np.float32).reshape(1, 3, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            general = x - np.float32(biases[3]) / np.where(x == 0, 1, x)
+        biased = np.where(x == 0, 0.0,
+                          np.where(x == 1, bias_c,
+                                   np.where(x == -1, -bias_c, general)))
+        dq = biased * table[None] * scale[:, None, None] \
+            * qmul[None, :, None]
+        dq[:, 0] += fx[:, None] * dq[:, 1]
+        dq[:, 2] += fb[:, None] * dq[:, 1]
 
     # LLF from DC, batched: dct2d(dcs) * resample scales. The LLF einsum
     # is tiny (cy*cx per block) and stays float64; the full-size IDCT
