@@ -265,11 +265,13 @@ def main():
 
     def sync_all(outs):
         # block_until_ready is unreliable over tunneled devices: force
-        # completion with one tiny combined fetch that depends on every
-        # output.
-        combined = jnp.stack([o.ravel()[:2].astype(jnp.int32)
-                              for o in outs])
-        return np.asarray(combined)
+        # completion with a tiny fetch. A single device executes
+        # enqueued programs in FIFO order, so fetching from the LAST
+        # output synchronizes every preceding dispatch — stacking a
+        # slice of every output added one extra dispatch per frame,
+        # which at ~30-50 ms tunnel latency each dominated the measured
+        # time (this is a timing sync, not a data dependency).
+        return np.asarray(outs[-1].ravel()[:2])
 
     # Phase 2: device kernel only (feeds pre-built; per-frame packed
     # transfer + async dispatch, steady state).

@@ -408,6 +408,22 @@ def decode_xyb2(coeff_img, mat_ids, raw_quant, dc, fx, fb, inv_gs, qmul,
 
 _FN2_CACHE: dict = {}
 
+# Device-resident pruned matrix banks, keyed by used-slot tuple. The
+# bank is identical for every frame using the same slots, and a
+# device_put over the tunneled link costs ~50 ms of fixed latency —
+# re-shipping 16-96 KB of constants per frame doubled the per-frame
+# transfer count for nothing.
+_BANK_CACHE: dict = {}
+
+
+def _device_bank(used_slots: tuple):
+    jax, _ = _jax()
+    bank = _BANK_CACHE.get(used_slots)
+    if bank is None:
+        bank = jax.device_put(family8_matrices()[list(used_slots)])
+        _BANK_CACHE[used_slots] = bank
+    return bank
+
 # Granularity of the sparse-coefficient capacity padding: coarse enough
 # to keep the number of distinct compiled programs small, fine enough
 # not to waste link bandwidth (pow2 padding wasted up to ~50%).
@@ -708,8 +724,8 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
             rest = names[1:]
         for n in rest:
             _pack_host(buf, layout, n, host_value(n))
-        dbuf, dbank = jax.device_put(
-            (buf, family8_matrices()[list(used_slots)]))
+        dbuf = jax.device_put(buf)
+        dbank = _device_bank(used_slots)
         _, run_a, run_b = fn
         x = run_a(dbuf, dbank)
         if (noise_dev is not None or spline_args is not None
@@ -720,10 +736,9 @@ def decode_frame_device2(feed: dict, image_h: int, image_w: int,
     else:
         arrs = [np.ascontiguousarray(host_value(n), dtype=layout[n][1])
                 .reshape(layout[n][2]) for n in names]
-        dargs = jax.device_put(
-            [family8_matrices()[list(used_slots)]] + arrs)
-        out = fn[1](dargs[0], noise_dev, spline_args, patch_ka,
-                    *dargs[1:])
+        dargs = jax.device_put(arrs)
+        out = fn[1](_device_bank(used_slots), noise_dev, spline_args,
+                    patch_ka, *dargs)
     return np.asarray(out) if as_numpy else out
 
 
@@ -861,7 +876,8 @@ def decode_frames_device_batched(feeds: list, image_h: int, image_w: int,
                 _pack_host(buf, layout, f"tbl{k}", f["big_tables"][k])
                 _pack_host(buf, layout, f"mask{k}", fmasks[k])
             # else: zeros already in place (mask all-False)
-    dbufs, dbank = jax.device_put((bufs, family8_matrices()))
+    dbufs = jax.device_put(bufs)
+    dbank = _device_bank(tuple(range(len(FAMILY8))))
     fn_a, fn_b = fn
     res = fn_b(fn_a(dbufs, dbank), dbufs)
     return np.asarray(res) if as_numpy else res
