@@ -330,14 +330,18 @@ def encode(image: np.ndarray, *, distance: float = 1.0,
                 disp = hlg_ootf(scene, hlg_ootf_gamma(it))
                 linear = (disp * (it / 255.0)).astype(np.float32)
         elif image.dtype == np.uint8 and scale == 255.0:
-            from libjxl_tpu.color.xyb import srgb_to_linear_u8
+            from libjxl_tpu.color.xyb import (srgb8_to_xyb_native,
+                                              srgb_to_linear_u8)
             src = image[:, :, :min(ncolor, 3)]
             if ncolor == 1:
                 src = np.repeat(src, 3, axis=2)
-            linear = srgb_to_linear_u8(src).transpose(2, 0, 1)
+            xyb = srgb8_to_xyb_native(src)
+            linear = None if xyb is not None \
+                else srgb_to_linear_u8(src).transpose(2, 0, 1)
         else:
             linear = srgb_to_linear(srgb).transpose(2, 0, 1)
-        xyb = linear_rgb_to_xyb(linear)
+        if linear is not None:
+            xyb = linear_rgb_to_xyb(linear)
         extra = [image[:, :, -1].astype(np.int32)] if has_alpha else []
         extra = (extra + ec_planes) or None
         if photon_noise_iso:

@@ -125,3 +125,44 @@ def linear_to_srgb_ext(linear: np.ndarray) -> np.ndarray:
     enc = np.where(a <= 0.0031308, a * 12.92,
                    1.055 * np.maximum(a, 1e-12) ** (1 / 2.4) - 0.055)
     return (np.sign(linear) * enc).astype(np.float32)
+
+
+def srgb8_to_xyb_native(img: np.ndarray) -> np.ndarray | None:
+    """Fused sRGB-u8 -> linear (256-LUT) -> XYB, one native pass
+    (jxl_native.cpp srgb8_to_xyb; same f64 op order as
+    srgb_to_linear_u8 + linear_rgb_to_xyb). img: (H, W, 3) uint8;
+    returns (3, H, W) float32, or None when native is unavailable."""
+    import ctypes as C
+    global _SRGB_LUT8
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None or img.dtype != np.uint8 or img.shape[-1] != 3:
+        return None
+    if not hasattr(lib, "_srgb8_xyb_bound"):
+        lib.srgb8_to_xyb.restype = None
+        lib.srgb8_to_xyb.argtypes = [
+            C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_float),
+            C.POINTER(C.c_double), C.POINTER(C.c_double),
+            C.POINTER(C.c_double), C.POINTER(C.c_float)]
+        lib._srgb8_xyb_bound = True
+    if _SRGB_LUT8 is None:
+        _SRGB_LUT8 = srgb_to_linear(np.arange(256, dtype=np.float64)
+                                    / 255.0)
+    lut = np.ascontiguousarray(_SRGB_LUT8, np.float32)
+    m = np.ascontiguousarray(OPSIN_ABSORBANCE_MATRIX, np.float64)
+    bias = np.ascontiguousarray(OPSIN_ABSORBANCE_BIAS, np.float64)
+    cb = np.cbrt(bias)
+    h, w, _ = img.shape
+    src = np.ascontiguousarray(img)
+    out = np.empty((3, h, w), np.float32)
+    lib.srgb8_to_xyb(
+        src.ctypes.data_as(C.POINTER(C.c_uint8)), h * w,
+        lut.ctypes.data_as(C.POINTER(C.c_float)),
+        m.ctypes.data_as(C.POINTER(C.c_double)),
+        bias.ctypes.data_as(C.POINTER(C.c_double)),
+        cb.ctypes.data_as(C.POINTER(C.c_double)),
+        out.ctypes.data_as(C.POINTER(C.c_float)))
+    return out

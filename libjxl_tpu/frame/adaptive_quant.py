@@ -228,6 +228,10 @@ def gaborish_inverse(xyb: np.ndarray, mul: float = 1.0) -> np.ndarray:
             for sx in (-1, 1):
                 ker[2 + sy * dy, 2 + sx * dx] = wv
                 ker[2 + sy * dx, 2 + sx * dy] = wv
+    if xyb.dtype == np.float32 and xyb.shape[0] == 3:
+        out = _gaborish_inverse_native(xyb, ker)
+        if out is not None:
+            return out
     out = np.empty_like(xyb)
     for c in range(3):
         p = np.pad(xyb[c], 2, mode="symmetric")
@@ -238,4 +242,33 @@ def gaborish_inverse(xyb: np.ndarray, mul: float = 1.0) -> np.ndarray:
                     acc += ker[dy, dx] * p[dy:dy + xyb.shape[1],
                                            dx:dx + xyb.shape[2]]
         out[c] = acc
+    return out
+
+
+def _gaborish_inverse_native(xyb: np.ndarray, ker: np.ndarray
+                             ) -> np.ndarray | None:
+    """Native 5x5 symmetric-pad convolution (same f64 tap order as the
+    numpy loop above; f32 output absorbs contraction ULPs)."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_gab_inv_bound"):
+        lib.gaborish_inverse_f32.restype = None
+        lib.gaborish_inverse_f32.argtypes = [
+            C.POINTER(C.c_float), C.c_int64, C.c_int64,
+            C.POINTER(C.c_double), C.POINTER(C.c_float)]
+        lib._gab_inv_bound = True
+    src = np.ascontiguousarray(xyb, np.float32)
+    k64 = np.ascontiguousarray(ker, np.float64)
+    out = np.empty_like(src)
+    lib.gaborish_inverse_f32(
+        src.ctypes.data_as(C.POINTER(C.c_float)),
+        src.shape[1], src.shape[2],
+        k64.ctypes.data_as(C.POINTER(C.c_double)),
+        out.ctypes.data_as(C.POINTER(C.c_float)))
     return out

@@ -32,6 +32,38 @@ def _block_l2(orig: np.ndarray, dec: np.ndarray, mask1x1: np.ndarray,
     return err.reshape(BY, 8, BX, 8).sum(axis=(1, 3))
 
 
+def _native_select(error_images: dict, epf_steps: list, BY: int, BX: int,
+                   clamped: float):
+    """Run both greedy selection passes natively; None when the native
+    module is unavailable."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ar_bound"):
+        lib.ar_sharpness_select.restype = None
+        lib.ar_sharpness_select.argtypes = [
+            C.POINTER(C.c_double), C.POINTER(C.c_int32), C.c_int,
+            C.c_int64, C.c_int64, C.c_double, C.c_double, C.c_double,
+            C.c_double, C.POINTER(C.c_int32)]
+        lib._ar_bound = True
+    err = np.ascontiguousarray(
+        np.stack([error_images[v] for v in epf_steps]), np.float64)
+    steps = np.asarray(epf_steps, np.int32)
+    out = np.zeros((BY, BX), np.int32)
+    c3 = max(_C3_CLAMP, _C3_BASE ** clamped)
+    lib.ar_sharpness_select(
+        err.ctypes.data_as(C.POINTER(C.c_double)),
+        steps.ctypes.data_as(C.POINTER(C.c_int32)), len(epf_steps),
+        BY, BX, _FAVOR_NO_SMOOTHING, _C5, c3, clamped,
+        out.ctypes.data_as(C.POINTER(C.c_int32)))
+    return out
+
+
 def compute_ar_sharpness(orig_xyb: np.ndarray, prefilter: np.ndarray,
                          lf, quantizer, raw_quant: np.ndarray,
                          strategies: np.ndarray, fd, distance: float,
@@ -78,6 +110,22 @@ def compute_ar_sharpness(orig_xyb: np.ndarray, prefilter: np.ndarray,
             if lf.epf_iters >= 2:
                 out = epf2(out, lf, inv_sigma)
         error_images[val] = _block_l2(orig, out, mask1x1, BY, BX)
+
+    # Native path: both greedy passes in one C call (the per-block
+    # Python loops dominated this heuristic's cost).
+    sharp_n = _native_select(error_images, epf_steps, BY, BX, clamped)
+    if sharp_n is not None:
+        err_stack = np.stack([error_images[v] for v in epf_steps])
+        lut_arr = np.zeros(8, np.int64)
+        for i, v in enumerate(epf_steps):
+            lut_arr[v] = i
+        field_err = float(np.take_along_axis(
+            err_stack, lut_arr[sharp_n][None], axis=0).sum())
+        uni_errs = {v: float(error_images[v].sum()) for v in epf_steps}
+        best_uni = min(uni_errs, key=uni_errs.get)
+        if field_err > 0.98 * uni_errs[best_uni]:
+            sharp_n[:] = best_uni
+        return sharp_n.astype(np.int32)
 
     # Pass 1: greedy per-block choice with top/left reuse preference.
     sharpness = np.zeros((BY, BX), np.uint8)

@@ -121,6 +121,31 @@ def fit_cfl_maps(coeffs: np.ndarray, inv_table: np.ndarray,
     ac = coeffs.copy()
     ac[..., 0] = 0.0  # zero LLF
     q = quant_scale * k_strange * raw_quant.astype(np.float64)
+    lib = _native_cfl()
+    if lib is not None and not hasattr(lib, "_cfl_tiles_bound"):
+        import ctypes as C
+        lib.cfl_fit_tiles.restype = None
+        lib.cfl_fit_tiles.argtypes = [
+            C.POINTER(C.c_double), C.POINTER(C.c_double),
+            C.c_int64, C.c_int64, C.c_double, C.POINTER(C.c_int32)]
+        lib._cfl_tiles_bound = True
+    if lib is not None:
+        import ctypes as C
+        qe = q[..., None]
+
+        def fit(vm, vs, base, dst):
+            a = np.ascontiguousarray(vm / DEFAULT_COLOR_FACTOR,
+                                     np.float64)
+            b = np.ascontiguousarray(base * vm - vs, np.float64)
+            lib.cfl_fit_tiles(a.ctypes.data_as(C.POINTER(C.c_double)),
+                              b.ctypes.data_as(C.POINTER(C.c_double)),
+                              by, bx, k_distance_mul_ac,
+                              dst.ctypes.data_as(C.POINTER(C.c_int32)))
+        fit(ac[1] * inv_table[0] * qe, ac[0] * inv_table[0] * qe,
+            0.0, ytox)
+        fit(ac[1] * inv_table[2] * qe, ac[2] * inv_table[2] * qe,
+            K_YTOB_BASE, ytob)
+        return ytox, ytob
     for t_y in range(ty):
         for t_x in range(tx):
             sl = (slice(t_y * 8, min((t_y + 1) * 8, by)),

@@ -224,6 +224,13 @@ def learn_tree(channels: list, chan_indices: list | None = None,
 
     k_pred = len(predictors)
 
+    from libjxl_tpu.native import bindings as _nb
+    # int32 feature transport: property values are neighbor sums/diffs,
+    # so anything from <=30-bit samples fits; wider content (never
+    # encoder-produced today) keeps the int64 numpy path.
+    use_native = (_nb.available() and feat.size > 0
+                  and int(np.abs(feat).max()) < (1 << 31) - 1)
+
     def build(sel: np.ndarray, depth: int, leaves_left: list) -> dict:
         sub_idx = np.nonzero(sel)[0]
         nsel = len(sub_idx)
@@ -236,6 +243,31 @@ def learn_tree(channels: list, chan_indices: list | None = None,
         else:
             search_idx = sub_idx
         scale = nsel / len(search_idx)
+        if use_native:
+            # One C call covers base cost + the full (prop, cut) search
+            # (same quantiles/cost model as the numpy path below).
+            fsel32 = np.ascontiguousarray(feat[:, search_idx]
+                                          .astype(np.int32))
+            csel8 = np.ascontiguousarray(cls[:, search_idx])
+            (base_cost, base_k, gain_n, prop_i, sv_n, lk_n,
+             rk_n) = _nb.ma_split_search(fsel32, csel8)
+            node = {"pred": predictors[base_k]}
+            if depth >= 10 or leaves_left[0] <= 1 or nsel < 64:
+                return node
+            if prop_i < 0 or gain_n <= _SPLIT_COST / scale:
+                return node
+            mask = feat[prop_i, sub_idx] > sv_n
+            if not mask.any() or mask.all():
+                return node
+            leaves_left[0] -= 1
+            lsel = np.zeros_like(sel)
+            lsel[sub_idx[mask]] = True
+            rsel = np.zeros_like(sel)
+            rsel[sub_idx[~mask]] = True
+            node.update(prop=_LEARN_PROPS[prop_i], splitval=sv_n,
+                        left=build(lsel, depth + 1, leaves_left),
+                        right=build(rsel, depth + 1, leaves_left))
+            return node
         base_cost, base_k = _cost(cls[:, search_idx])
         node = {"pred": predictors[base_k]}
         if depth >= 10 or leaves_left[0] <= 1 or nsel < 64:

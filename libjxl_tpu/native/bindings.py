@@ -142,6 +142,11 @@ def get_lib():
         C.POINTER(C.c_int32), C.POINTER(C.c_int8),
         C.POINTER(C.c_int16), C.c_int64, C.c_int64, C.c_int64,
         C.POINTER(C.c_int8), C.c_int64, C.c_int64]
+    lib.ma_split_search.restype = None
+    lib.ma_split_search.argtypes = [
+        C.POINTER(C.c_int32), C.POINTER(C.c_uint8),
+        C.c_int, C.c_int, C.c_int64,
+        C.POINTER(C.c_double), C.POINTER(C.c_int32)]
     _lib = lib
     return _lib
 
@@ -303,3 +308,18 @@ def interleave_clip(planes, maxval: int, dtype) -> np.ndarray:
         lib.interleave_clip_u16(ptrs_cast, k, h * w, maxval,
                                 out.ctypes.data_as(C.POINTER(C.c_uint16)))
     return out
+
+
+def ma_split_search(feat: np.ndarray, cls: np.ndarray):
+    """Native MA-tree node split search (enc_ma.cc ComputeBestTree inner
+    loop). feat: (nprops, ns) int32 C-contiguous; cls: (kpred, ns) uint8.
+    Returns (base_cost, base_k, gain, prop_i, splitval, lk, rk);
+    prop_i == -1 when no valid cut improves on the unsplit node."""
+    lib = get_lib()
+    out_f = (C.c_double * 2)()
+    out_i = (C.c_int32 * 5)()
+    lib.ma_split_search(_as_ptr(feat, C.c_int32), _as_ptr(cls, C.c_uint8),
+                        feat.shape[0], cls.shape[0], feat.shape[1],
+                        out_f, out_i)
+    return (out_f[0], int(out_i[0]), out_f[1], int(out_i[1]),
+            int(out_i[2]), int(out_i[3]), int(out_i[4]))

@@ -1472,16 +1472,18 @@ int32_t cfl_find_multiplier(const double* a, const double* b, int64_t n,
   double x = 0.0;
   for (int it = 0; it < 20; it++) {
     double d0 = 0, dp = 0, dm = 0;
+    // Branchless so the compiler vectorizes (the saturation test is an
+    // unpredictable data-dependent branch otherwise).
     for (int64_t i = 0; i < n; i++) {
       const double ai = a[i];
       const double v = ai * x + b[i];
-      if (std::fabs(v) >= thres) continue;
+      const double av = std::fabs(v);
+      const double d = av < thres ? kc * ai : 0.0;
       const double ae = ai * eps;
       const double vp = v + ae, vm = v - ae;
-      const double d = kc * ai;
-      d0 += v < 0 ? -d * (std::fabs(v) + 1.0) : d * (std::fabs(v) + 1.0);
-      dp += vp < 0 ? -d * (std::fabs(vp) + 1.0) : d * (std::fabs(vp) + 1.0);
-      dm += vm < 0 ? -d * (std::fabs(vm) + 1.0) : d * (std::fabs(vm) + 1.0);
+      d0 += (v < 0 ? -1.0 : 1.0) * d * (av + 1.0);
+      dp += (vp < 0 ? -1.0 : 1.0) * d * (std::fabs(vp) + 1.0);
+      dm += (vm < 0 ? -1.0 : 1.0) * d * (std::fabs(vm) + 1.0);
     }
     const double reg = 2.0 * distance_mul * (double)n;
     const double fd = reg * x + d0;
@@ -1500,6 +1502,34 @@ int32_t cfl_find_multiplier(const double* a, const double* b, int64_t n,
   double r = nearbyint(x);   // round-half-even, like Python round()
   r = std::min(127.0, std::max(-128.0, r));
   return (int32_t)r;
+}
+
+// Whole-map CfL fit (enc_chroma_from_luma.cc ComputeTile over every
+// 64x64 tile): a/b are (BY, BX, 64) row-major weighted coefficient
+// planes; each 8x8-block tile's pairs are gathered and passed through
+// the same Newton fit as cfl_find_multiplier. Replaces a per-tile
+// Python slicing loop (192 calls/frame on a 768x512 input).
+void cfl_fit_tiles(const double* a, const double* b, int64_t by,
+                   int64_t bx, double distance_mul, int32_t* out) {
+  const int64_t ty = (by + 7) / 8, tx = (bx + 7) / 8;
+  std::vector<double> ta(8 * 8 * 64), tb(8 * 8 * 64);
+  for (int64_t t_y = 0; t_y < ty; t_y++) {
+    const int64_t y0 = t_y * 8, y1 = std::min(y0 + 8, by);
+    for (int64_t t_x = 0; t_x < tx; t_x++) {
+      const int64_t x0 = t_x * 8, x1 = std::min(x0 + 8, bx);
+      int64_t n = 0;
+      for (int64_t y = y0; y < y1; y++) {
+        const double* ra = a + (y * bx + x0) * 64;
+        const double* rb = b + (y * bx + x0) * 64;
+        const int64_t m = (x1 - x0) * 64;
+        std::copy(ra, ra + m, ta.data() + n);
+        std::copy(rb, rb + m, tb.data() + n);
+        n += m;
+      }
+      out[t_y * tx + t_x] =
+          cfl_find_multiplier(ta.data(), tb.data(), n, distance_mul);
+    }
+  }
 }
 
 }  // extern "C"
@@ -2969,3 +2999,309 @@ int vardct_decode_ac_frame(
   }
   return h->br.overread ? -1 : 0;
 }
+
+// ---------------------------------------------------------------------------
+// MA-tree split search (enc_ma.cc ComputeBestTree's inner loop): given a
+// node's subsampled property matrix and per-predictor residual-class
+// matrix, find the (property, quantile-cut) minimizing summed
+// token-entropy cost of the best static predictor per side.
+// Mirrors frame/ma_learn.py build()'s vectorized numpy search exactly
+// (same 9 quantile positions, same cost model, same argmax tie-break).
+
+namespace {
+
+constexpr int kMaClasses = 40;
+
+// n * log2(n) for n in [0, 1<<16); larger falls back to std::log2.
+struct XlogxLut {
+  std::vector<double> t;
+  XlogxLut() : t(1 << 16) {
+    t[0] = 0.0;
+    for (int i = 1; i < (1 << 16); i++) t[i] = i * std::log2((double)i);
+  }
+  inline double operator()(int64_t n) const {
+    return n < (1 << 16) ? t[n] : n * std::log2((double)n);
+  }
+};
+const XlogxLut kXlogx;
+
+// cost(bits) of a 40-class histogram: entropy + raw bits.
+// ent = tot*log2(tot) - sum xlogx(c); raw = sum c*max(cls-1,0) + sum_{cls>=1} c
+static inline double ma_hist_cost(const int64_t* h) {
+  int64_t tot = 0, raw = 0;
+  double sx = 0.0;
+  for (int c = 0; c < kMaClasses; c++) {
+    const int64_t n = h[c];
+    tot += n;
+    sx += kXlogx(n);
+    if (c >= 1) raw += n * c;  // (c-1) extra bits + 1 sign/presence bit
+  }
+  if (tot == 0) return 0.0;
+  return kXlogx(tot) - sx + (double)raw;
+}
+
+}  // namespace
+
+extern "C" {
+
+// feat: (nprops, ns) int32 row-major; cls: (kpred, ns) uint8 row-major.
+// out_f: [base_cost, best_gain]; out_i: [base_k, prop_i, splitval, lk, rk]
+// prop_i = -1 when no valid cut beats gain 0 (caller applies its own
+// split-cost threshold to best_gain).
+void ma_split_search(const int32_t* feat, const uint8_t* cls,
+                     int nprops, int kpred, int64_t ns,
+                     double* out_f, int32_t* out_i) {
+  // Base cost: per-predictor histograms over the node.
+  std::vector<int64_t> base_h((size_t)kpred * kMaClasses, 0);
+  for (int k = 0; k < kpred; k++) {
+    const uint8_t* row = cls + (size_t)k * ns;
+    int64_t* h = base_h.data() + (size_t)k * kMaClasses;
+    for (int64_t i = 0; i < ns; i++) h[row[i]]++;
+  }
+  double base_cost = 1e300;
+  int base_k = 0;
+  for (int k = 0; k < kpred; k++) {
+    double c = ma_hist_cost(base_h.data() + (size_t)k * kMaClasses);
+    if (c < base_cost) { base_cost = c; base_k = k; }
+  }
+
+  static const int kQPos[9] = {6, 12, 25, 37, 50, 63, 75, 88, 94};
+  const int nq = 9, nb = nq + 1;
+  std::vector<int32_t> sorted(ns);
+  std::vector<int32_t> qs(nq);
+  std::vector<uint8_t> buckets(ns);
+  // counts[bucket][pred][cls] for one property at a time.
+  std::vector<int64_t> counts((size_t)nb * kpred * kMaClasses);
+  std::vector<int64_t> pref((size_t)nb * kpred * kMaClasses);
+
+  double best_gain = 0.0;
+  int best_prop = -1, best_sv = 0, best_lk = 0, best_rk = 0;
+
+  for (int pi = 0; pi < nprops; pi++) {
+    const int32_t* f = feat + (size_t)pi * ns;
+    std::copy(f, f + ns, sorted.begin());
+    std::sort(sorted.begin(), sorted.end());
+    for (int j = 0; j < nq; j++) qs[j] = sorted[(kQPos[j] * (ns - 1)) / 100];
+    // bucket = #{q < v} (searchsorted side=left semantics)
+    for (int64_t i = 0; i < ns; i++) {
+      const int32_t v = f[i];
+      int b = 0;
+      while (b < nq && qs[b] < v) b++;
+      buckets[i] = (uint8_t)b;
+    }
+    std::fill(counts.begin(), counts.end(), 0);
+    for (int k = 0; k < kpred; k++) {
+      const uint8_t* row = cls + (size_t)k * ns;
+      for (int64_t i = 0; i < ns; i++) {
+        counts[((size_t)buckets[i] * kpred + k) * kMaClasses + row[i]]++;
+      }
+    }
+    // prefix over buckets
+    std::copy(counts.begin(), counts.begin() + (size_t)kpred * kMaClasses,
+              pref.begin());
+    for (int b = 1; b < nb; b++) {
+      const int64_t* src = counts.data() + (size_t)b * kpred * kMaClasses;
+      const int64_t* prev = pref.data() + (size_t)(b - 1) * kpred * kMaClasses;
+      int64_t* dst = pref.data() + (size_t)b * kpred * kMaClasses;
+      for (int j = 0; j < kpred * kMaClasses; j++) dst[j] = prev[j] + src[j];
+    }
+    const int64_t* total = pref.data() + (size_t)(nb - 1) * kpred * kMaClasses;
+    // Cut j (j in [0, nq)): right = pref[j], left = total - right.
+    for (int j = 0; j < nq; j++) {
+      const int64_t* right = pref.data() + (size_t)j * kpred * kMaClasses;
+      double lmin = 1e300, rmin = 1e300;
+      int lk = 0, rk = 0;
+      int64_t lsz = 0, rsz = 0;
+      int64_t lh[kMaClasses];
+      for (int k = 0; k < kpred; k++) {
+        const int64_t* rh = right + (size_t)k * kMaClasses;
+        const int64_t* th = total + (size_t)k * kMaClasses;
+        int64_t rs = 0;
+        for (int c = 0; c < kMaClasses; c++) {
+          lh[c] = th[c] - rh[c];
+          rs += rh[c];
+        }
+        double rc = ma_hist_cost(rh);
+        double lc = ma_hist_cost(lh);
+        if (rc < rmin) { rmin = rc; rk = k; }
+        if (lc < lmin) { lmin = lc; lk = k; }
+        if (k == 0) {
+          rsz = rs;
+          int64_t ls = 0;
+          for (int c = 0; c < kMaClasses; c++) ls += lh[c];
+          lsz = ls;
+        }
+      }
+      if (lsz == 0 || rsz == 0) continue;
+      const double gain = base_cost - lmin - rmin;
+      if (gain > best_gain) {
+        best_gain = gain;
+        best_prop = pi;
+        best_sv = qs[j];
+        best_lk = lk;
+        best_rk = rk;
+      }
+    }
+  }
+  out_f[0] = base_cost;
+  out_f[1] = best_gain;
+  out_i[0] = base_k;
+  out_i[1] = best_prop;
+  out_i[2] = best_sv;
+  out_i[3] = best_lk;
+  out_i[4] = best_rk;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// EPF-sharpness selection (enc_heuristics.cc ComputeARHeuristics): given
+// per-candidate block error maps, the two greedy passes (top/left reuse
+// preference, then context-frequency reweighting) + the uniform-field
+// guard. Mirrors frame/ar_heuristic.py's Python loops exactly.
+
+extern "C" {
+
+void ar_sharpness_select(const double* err /* (ns, by*bx) */,
+                         const int32_t* steps, int ns, int64_t by,
+                         int64_t bx, double favor_no_smoothing, double c5,
+                         double c3, double clamped, int32_t* out) {
+  int lut[8] = {0};
+  for (int i = 0; i < ns; i++) lut[steps[i] & 7] = i;
+  const int64_t n = by * bx;
+  int64_t histo[9][8] = {{0}};
+  int64_t totals[9];
+  for (int i = 0; i < 9; i++) totals[i] = 1;
+  // Pass 1: greedy with top/left reuse preference.
+  for (int64_t y = 0; y < by; y++) {
+    for (int64_t x = 0; x < bx; x++) {
+      const int top_val = y > 0 ? out[(y - 1) * bx + x] : 0;
+      const int left_val = x > 0 ? out[y * bx + x - 1] : 0;
+      int best_val = 0;
+      double best_error = 1e300;
+      for (int s = 0; s < ns; s++) {
+        double e = err[s * n + y * bx + x];
+        if (steps[s] == 0) e *= favor_no_smoothing;
+        if (e < best_error) { best_val = steps[s]; best_error = e; }
+      }
+      const double top_error = err[(int64_t)lut[top_val & 7] * n
+                                   + y * bx + x];
+      const double left_error = err[(int64_t)lut[left_val & 7] * n
+                                    + y * bx + x];
+      int chosen;
+      if (best_error < std::min(top_error, left_error)) chosen = best_val;
+      else if (top_error < left_error) chosen = top_val;
+      else chosen = left_val;
+      out[y * bx + x] = chosen;
+      const int ctx = lut[top_val & 7] * 3 + lut[left_val & 7];
+      histo[ctx][chosen & 7]++;
+      totals[ctx]++;
+    }
+  }
+  // Context-frequency reweighting.
+  double mul[27] = {0};
+  for (int ti = 0; ti < ns; ti++) {
+    for (int li = 0; li < ns; li++) {
+      const int ctx = ti * 3 + li;
+      for (int vi = 0; vi < ns; vi++) {
+        const int val = steps[vi];
+        const int ix = vi + 3 * ctx;
+        mul[ix] = 1.0 / (1.0 + c5 * std::log1p(
+            (double)histo[ctx][val & 7] / (double)totals[ctx]) / clamped);
+        if (val == 0) mul[ix] *= c3;
+      }
+    }
+  }
+  // Pass 2.
+  for (int64_t y = 0; y < by; y++) {
+    for (int64_t x = 0; x < bx; x++) {
+      const int top_val = y > 0 ? out[(y - 1) * bx + x] : 0;
+      const int left_val = x > 0 ? out[y * bx + x - 1] : 0;
+      const int ctx = lut[top_val & 7] * 3 + lut[left_val & 7];
+      int best_val = 0;
+      double best_error = 1e300;
+      for (int s = 0; s < ns; s++) {
+        const double e = err[s * n + y * bx + x] * mul[s + 3 * ctx];
+        if (e < best_error) { best_val = steps[s]; best_error = e; }
+      }
+      out[y * bx + x] = best_val;
+    }
+  }
+  // The uniform-field guard stays in Python (numpy pairwise summation
+  // keeps it bit-identical to the reference implementation there).
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Encoder input conversion + gaborish inverse (enc_xyb.cc LinearRGBToXYB,
+// enc_gaborish.cc GaborishInverse). Scalar f64 math in the exact
+// operation order of the numpy reference (color/xyb.py,
+// frame/adaptive_quant.py); outputs are f32, which absorbs any last-ULP
+// f64 contraction differences.
+
+extern "C" {
+
+// interleaved sRGB u8 (H, W, 3) -> planar XYB f32 (3, H, W).
+// lut: 256-entry float32 sRGB->linear table (built host-side so it is
+// bit-identical to the numpy LUT); m: 3x3 f64 opsin matrix; bias: f64.
+void srgb8_to_xyb(const uint8_t* rgb, int64_t n, const float* lut,
+                  const double* m, const double* bias,
+                  const double* cbrt_bias, float* out) {
+  for (int64_t i = 0; i < n; i++) {
+    const double r = (double)lut[rgb[i * 3]];
+    const double g = (double)lut[rgb[i * 3 + 1]];
+    const double b = (double)lut[rgb[i * 3 + 2]];
+    double mix0 = m[0] * r + m[1] * g + m[2] * b + bias[0];
+    double mix1 = m[3] * r + m[4] * g + m[5] * b + bias[1];
+    double mix2 = m[6] * r + m[7] * g + m[8] * b + bias[2];
+    mix0 = mix0 < 0 ? 0 : mix0;
+    mix1 = mix1 < 0 ? 0 : mix1;
+    mix2 = mix2 < 0 ? 0 : mix2;
+    const double c0 = std::cbrt(mix0) - cbrt_bias[0];
+    const double c1 = std::cbrt(mix1) - cbrt_bias[1];
+    const double c2 = std::cbrt(mix2) - cbrt_bias[2];
+    out[i] = (float)(0.5 * (c0 - c1));
+    out[n + i] = (float)(0.5 * (c0 + c1));
+    out[2 * n + i] = (float)c2;
+  }
+}
+
+// 5x5 symmetric-pad convolution: img (3, H, W) f32, kernel 25 f64
+// (zeros skipped in the SAME dy-major order as the numpy tap loop),
+// f64 accumulate, f32 store.
+void gaborish_inverse_f32(const float* img, int64_t h, int64_t w,
+                          const double* ker, float* out) {
+  // Precompute symmetric-reflected index maps for the +-2 borders.
+  auto reflect = [](int64_t t, int64_t nn) {
+    if (t < 0) return -1 - t;
+    if (t >= nn) return 2 * nn - 1 - t;
+    return t;
+  };
+  std::vector<int32_t> xm(w + 4);
+  for (int64_t x = 0; x < w + 4; x++)
+    xm[x] = (int32_t)reflect(x - 2, w);
+  for (int c = 0; c < 3; c++) {
+    const float* p = img + (size_t)c * h * w;
+    float* o = out + (size_t)c * h * w;
+    for (int64_t y = 0; y < h; y++) {
+      const float* rows[5];
+      for (int dy = 0; dy < 5; dy++)
+        rows[dy] = p + (size_t)reflect(y + dy - 2, h) * w;
+      for (int64_t x = 0; x < w; x++) {
+        double acc = 0.0;
+        for (int dy = 0; dy < 5; dy++) {
+          const float* row = rows[dy];
+          const double* kr = ker + dy * 5;
+          for (int dx = 0; dx < 5; dx++) {
+            const double kv = kr[dx];
+            if (kv != 0.0) acc += kv * (double)row[xm[x + dx]];
+          }
+        }
+        o[y * w + x] = (float)acc;
+      }
+    }
+  }
+}
+
+}  // extern "C"
