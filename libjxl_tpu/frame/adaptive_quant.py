@@ -140,11 +140,44 @@ def initial_quant_dc(butteraugli_target: float) -> float:
     return min(K_DC_QUANT / bt_dc, 50.0)
 
 
+def _native_quant_field(butteraugli_target, xyb, rescale):
+    """Fused native InitialQuantField (jxl_native.cpp
+    aq_initial_quant_field); None when unavailable. Matches the numpy
+    chain below to ~1e-15 relative (sequential vs pairwise sums)."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_aq_bound"):
+        lib.aq_initial_quant_field.restype = None
+        lib.aq_initial_quant_field.argtypes = [
+            C.POINTER(C.c_float), C.c_int64, C.c_int64,
+            C.c_double, C.c_double, C.c_double, C.POINTER(C.c_float)]
+        lib._aq_bound = True
+    _, h, w = xyb.shape
+    if h % 8 or w % 8:
+        return None
+    src = np.ascontiguousarray(xyb, np.float32)
+    qf = np.empty((h // 8, w // 8), np.float32)
+    lib.aq_initial_quant_field(
+        src.ctypes.data_as(C.POINTER(C.c_float)), h, w,
+        float(butteraugli_target), float(rescale), float(_MASK_STEEPEN),
+        qf.ctypes.data_as(C.POINTER(C.c_float)))
+    return qf
+
+
 def initial_quant_field(butteraugli_target: float, xyb: np.ndarray,
                         rescale: float = 1.0) -> np.ndarray:
     """InitialQuantField: per-8x8-block float quant field.
 
     xyb: (3, H, W) padded to whole blocks."""
+    nat = _native_quant_field(butteraugli_target, xyb, rescale)
+    if nat is not None:
+        return nat
     _, h, w = xyb.shape
     y_plane = xyb[1].astype(np.float64)
     match_gamma_offset = 0.019

@@ -292,6 +292,24 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     # Progressive passes accumulate coefficients << shift in place.
     use_frame_path = (bool(device) and device != "feed_v1"
                       and not single)
+    # Host frame path: same dense interleaved decode, then ONE native
+    # call reconstructs the whole frame (fused dequant + CfL + LLF +
+    # IDCT + scatter) — no per-block Python objects on the hot path.
+    # Only taken over the per-group runner loop when the stock serial
+    # runner is active (a custom/multi-worker runner keeps receiving
+    # per-group items).
+    host_frame_path = False
+    if not device:
+        from libjxl_tpu.parallel.runner import ThreadRunner, get_runner
+        _runner = get_runner()
+        if single or (isinstance(_runner, ThreadRunner)
+                      and _runner.num_workers == 1):
+            try:
+                from libjxl_tpu.native.bindings import get_lib
+                host_frame_path = get_lib() is not None
+            except Exception:
+                host_frame_path = False
+        use_frame_path = use_frame_path or host_frame_path
     coeff_frame = mat_ids_frame = None
     pass_flat_caches = [None] * num_passes
     nz_sink = None
@@ -303,10 +321,13 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
         # Sparse transfer sink: the native decoder appends each nonzero
         # coefficient contribution; a device scatter-add rebuilds the
         # frame from ~6 bytes/nonzero instead of shipping the dense
-        # int16 image (2 B/px x 3) over the host->device link.
-        nz_cap = max(1 << 16, coeff_frame.size // 8)
-        nz_sink = (np.empty(nz_cap, np.int32), np.empty(nz_cap, np.int16),
-                   np.zeros(1, np.int64))
+        # int16 image (2 B/px x 3) over the host->device link. Host
+        # reconstruction reads the dense frame directly — no sink.
+        if device:
+            nz_cap = max(1 << 16, coeff_frame.size // 8)
+            nz_sink = (np.empty(nz_cap, np.int32),
+                       np.empty(nz_cap, np.int16),
+                       np.zeros(1, np.int64))
     # (pass, group) -> (bit pos after the histogram selector, ctx_offset),
     # kept so an int16-overflow redo can resume without re-reading them.
     sel_pos: dict = {}
@@ -623,7 +644,33 @@ def decode_frame(r: BitReader, metadata: CodecMetadata,
     # AC group sections are independent (own TOC entries + ANS states):
     # run them on a thread pool like the reference's ThreadPool::Run
     # (base/data_parallel.h); the native decoder releases the GIL.
-    if not device:
+    if not device and host_frame_path:
+        # Dense interleaved decode of all groups per pass, then one
+        # native whole-frame reconstruction call.
+        from libjxl_tpu.vardct.reconstruct import (
+            native_reconstruct_frame)
+        for p in range(num_passes):
+            if single:
+                # Sequential sections: per-group frame-pass decode from
+                # the one shared reader.
+                for g in range(fd.num_groups):
+                    cur = seq.read(histo_bits) if histo_bits else 0
+                    if cur >= num_histograms:
+                        raise BitstreamError("invalid histogram selector")
+                    sel_pos[(p, g)] = (seq.bits_consumed,
+                                       cur * ctx_map.num_ac_contexts())
+                    process_ac_group_frame_pass(p, g, br=seq)
+            elif not process_ac_pass_multi(p):
+                for g in range(fd.num_groups):
+                    br = _read_selector(p, g)
+                    process_ac_group_frame_pass(p, g, br=br)
+        if not native_reconstruct_frame(
+                coeff_frame, strategies, raw_quant, dc_full, quantizer,
+                cmap, ytox_map, ytob_map, x_mul, b_mul, out):
+            # Native lib vanished mid-flight: rebuild per-block lists
+            # from the dense frame via the feed consumer and fall back.
+            raise BitstreamError("native reconstruction unavailable")
+    elif not device:
         parallel = (not single) and fd.num_groups > 1
         from libjxl_tpu.parallel.runner import ThreadRunner, get_runner
         runner = get_runner()

@@ -391,6 +391,63 @@ class IncrementalFrameDecoder:
         x_mul = 1.0 / x_qm_multiplier(fh.x_qm_scale)
         b_mul = 1.0 / b_qm_multiplier(fh.b_qm_scale)
         out = np.zeros((3, fd.ysize_padded, fd.xsize_padded), np.float32)
+        if self._render_native(out, force, x_mul, b_mul):
+            pass
+        else:
+            self._render_groups(out, force, x_mul, b_mul)
+        lfp = fh.loop_filter
+        if lfp.gab or lfp.epf_iters > 0:
+            from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
+            filtered = apply_loop_filters(
+                np.ascontiguousarray(out[:, :fd.ysize, :fd.xsize]), lfp,
+                self.raw_quant, self.strategies, self.quantizer, fd,
+                sharpness=self.sharpness)
+            out[:, :fd.ysize, :fd.xsize] = filtered
+        # Upsampling precedes patches/splines/noise (dec_cache.cc stage
+        # order: EPF -> upsampling -> patches -> splines -> noise).
+        if fh.upsampling != 1:
+            from libjxl_tpu.pipeline.upsample import upsample_image
+            out = upsample_image(out[:, :fd.ysize, :fd.xsize],
+                                 fh.upsampling)
+        if self.patch_dict is not None:
+            from libjxl_tpu.frame.patches import apply_patches
+            apply_patches(self.patch_dict, out, None,
+                          self.reference_frames)
+        if self.splines is not None:
+            from libjxl_tpu.frame.splines import render_splines
+            render_splines(self.splines, out, self.cmap)
+        if self.noise_lut is not None:
+            from libjxl_tpu.frame.noise import add_noise
+            out = add_noise(out, self.noise_lut, self.cmap, fd)
+        return out[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
+
+    def _render_native(self, out, force, x_mul, b_mul) -> bool:
+        """Whole-frame native reconstruction from a dense coefficient
+        frame scattered from the per-group block lists — the SAME fused
+        kernel the one-shot decoder uses, so incremental output stays
+        bit-identical to decode() regardless of section arrival order."""
+        from libjxl_tpu.vardct.group_native import scatter_blocks_to_frame
+        from libjxl_tpu.vardct.reconstruct import native_reconstruct_frame
+        fd = self.fd
+        coeff = np.zeros(
+            (3, fd.ysize_blocks * 8, fd.xsize_blocks * 8), np.int32)
+        mat_ids = np.zeros((fd.ysize_blocks, fd.xsize_blocks), np.int8)
+        for g in range(fd.num_groups):
+            blocks = self._group_blocks[g]
+            brect = fd.block_group_rect(g)
+            if blocks is None:
+                if not force:
+                    return False  # partial without force: old loop
+                continue  # zero coefficients = DC/LLF-only render
+            scatter_blocks_to_frame(blocks, coeff, mat_ids,
+                                    brect.y0, brect.x0, 0)
+        return native_reconstruct_frame(
+            coeff, self.strategies, self.raw_quant, self.dc_full,
+            self.quantizer, self.cmap, self.ytox_map, self.ytob_map,
+            x_mul, b_mul, out)
+
+    def _render_groups(self, out, force, x_mul, b_mul) -> None:
+        fh, fd = self.fh, self.fd
         for g in range(fd.num_groups):
             brect = fd.block_group_rect(g)
             sl = brect.slices()
@@ -419,31 +476,6 @@ class IncrementalFrameDecoder:
                 brect.y0, x_mul, b_mul)
             out[:, brect.y0 * 8:brect.y0 * 8 + brect.ysize * 8,
                 brect.x0 * 8:brect.x0 * 8 + brect.xsize * 8] = pix
-        lfp = fh.loop_filter
-        if lfp.gab or lfp.epf_iters > 0:
-            from libjxl_tpu.pipeline.loop_filters import apply_loop_filters
-            filtered = apply_loop_filters(
-                np.ascontiguousarray(out[:, :fd.ysize, :fd.xsize]), lfp,
-                self.raw_quant, self.strategies, self.quantizer, fd,
-                sharpness=self.sharpness)
-            out[:, :fd.ysize, :fd.xsize] = filtered
-        # Upsampling precedes patches/splines/noise (dec_cache.cc stage
-        # order: EPF -> upsampling -> patches -> splines -> noise).
-        if fh.upsampling != 1:
-            from libjxl_tpu.pipeline.upsample import upsample_image
-            out = upsample_image(out[:, :fd.ysize, :fd.xsize],
-                                 fh.upsampling)
-        if self.patch_dict is not None:
-            from libjxl_tpu.frame.patches import apply_patches
-            apply_patches(self.patch_dict, out, None,
-                          self.reference_frames)
-        if self.splines is not None:
-            from libjxl_tpu.frame.splines import render_splines
-            render_splines(self.splines, out, self.cmap)
-        if self.noise_lut is not None:
-            from libjxl_tpu.frame.noise import add_noise
-            out = add_noise(out, self.noise_lut, self.cmap, fd)
-        return out[:, :fd.ysize_upsampled, :fd.xsize_upsampled]
 
     def flush(self) -> np.ndarray | None:
         """Partial image from the passes received so far, or None when

@@ -140,12 +140,21 @@ def decode_low_memory(data: bytes, callback) -> tuple:
             blocks = inc._group_blocks[g]
             brect = fd.block_group_rect(g)
             sl = brect.slices()
-            pix = reconstruct_group(
-                blocks, brect.xsize, brect.ysize, inc.quantizer,
-                inc.raw_quant[sl],
+            # Same fused native kernel as the one-shot decoder
+            # (block-local math -> bit-identical bands); numpy fallback.
+            from libjxl_tpu.vardct.reconstruct import (
+                native_reconstruct_group)
+            pix = native_reconstruct_group(
+                blocks, brect, inc.quantizer, inc.raw_quant[sl],
                 inc.dc_full[:, brect.y0:brect.y1, brect.x0:brect.x1],
-                inc.cmap, inc.ytox_map, inc.ytob_map, brect.x0,
-                brect.y0, x_mul, b_mul)
+                inc.cmap, inc.ytox_map, inc.ytob_map, x_mul, b_mul)
+            if pix is None:
+                pix = reconstruct_group(
+                    blocks, brect.xsize, brect.ysize, inc.quantizer,
+                    inc.raw_quant[sl],
+                    inc.dc_full[:, brect.y0:brect.y1, brect.x0:brect.x1],
+                    inc.cmap, inc.ytox_map, inc.ytob_map, brect.x0,
+                    brect.y0, x_mul, b_mul)
             inc._group_blocks[g] = None   # free coefficients
             x0 = gx * gd
             w_ = min(gd, W - x0)

@@ -3305,3 +3305,498 @@ void gaborish_inverse_f32(const float* img, int64_t h, int64_t w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full-frame VarDCT reconstruction: fused dequant + AdjustQuantBias +
+// CfL + LLF-from-DC + per-strategy IDCT + pixel scatter in ONE pass
+// over the dense stored-layout coefficient frame (the layout
+// vardct_decode_ac_frame writes). Replaces the numpy block
+// reconstruction (vardct/reconstruct.py reconstruct_group) on the
+// host decode path: dec_group.cc DequantBlock + TransformToPixels
+// semantics, block-at-a-time so every buffer stays L1-resident.
+
+namespace {
+
+// pix = I8 @ G^T @ I8^T for one 8x8 block (stored grid transposed:
+// square DCTs store (hfreq, vfreq) per the coefficient-layout rule).
+// Computed as P = (I8 @ G) @ I8^T followed by a transposed 8x8 store
+// (pix = P^T) so every inner loop runs over contiguous rows.
+static inline void idct8x8_stored(const float* __restrict g /*64*/,
+                                  const float* __restrict i8 /*8x8*/,
+                                  float* __restrict pix /*64*/) {
+  float t[64];  // t = I8 @ G: t[y] += I8[y][v] * G[v]
+  for (int y = 0; y < 8; y++) {
+    float* tr = t + y * 8;
+    for (int k = 0; k < 8; k++) tr[k] = 0.f;
+    const float* ir = i8 + y * 8;
+    for (int v = 0; v < 8; v++) {
+      const float a = ir[v];
+      const float* gr = g + v * 8;
+      for (int k = 0; k < 8; k++) tr[k] += a * gr[k];
+    }
+  }
+  // p[y][x] = sum_u t[y][u] * I8[x][u] as a saxpy over x (the
+  // u-reduction stays in sequential order per element, so results
+  // match the dot formulation bit-for-bit while vectorizing across x).
+  for (int y = 0; y < 8; y++) {
+    const float* tr = t + y * 8;
+    float pr[8] = {0.f};
+    for (int u = 0; u < 8; u++) {
+      const float a = tr[u];
+      for (int x = 0; x < 8; x++) pr[x] += a * i8[x * 8 + u];
+    }
+    for (int x = 0; x < 8; x++) pix[x * 8 + y] = pr[x];
+  }
+}
+
+// Branchless fused AdjustQuantBias + dequant of one row: |v| <= 1
+// collapses to bias_c * v (gives -bc/0/+bc), otherwise v - b3/v; same
+// multiply association as the numpy chain (((biased * tb) * sc) * q).
+template <typename T>
+static inline void dequant_row(const T* __restrict src,
+                               const float* __restrict tb, float sc,
+                               float q, float bc, float b3,
+                               float* __restrict o, int n) {
+  for (int k = 0; k < n; k++) {
+    const float x = (float)src[k];
+    const float gen = x - b3 / x;  // x == 0 -> non-finite, masked below
+    const float sml = bc * x;
+    const float ax = x < 0.f ? -x : x;
+    const float biased = ax <= 1.f ? sml : gen;
+    o[k] = ((biased * tb[k]) * sc) * q;
+  }
+}
+
+template <typename T>
+static void reconstruct_frame_impl(
+    const T* coeff, int64_t BH, int64_t BW, const int32_t* strategies,
+    const int32_t* raw_quant, const float* dc, const float* fx_map,
+    const float* fb_map, int64_t TW, float inv_global_scale, float qmx,
+    float qmb, const double* biases, const float* tables,
+    const int64_t* table_off, const float* fam8, const int8_t* slot_lut,
+    const int32_t* covx, const int32_t* covy, const float* i8mat,
+    const float* fblob, const int64_t* ih_off, const int64_t* iw_off,
+    const double* dblob, const int64_t* mcy_off, const int64_t* mcx_off,
+    const int64_t* sy_off, const int64_t* sx_off, float* out,
+    int64_t out_h, int64_t out_w) {
+  const float b3 = (float)biases[3];
+  const float bias_c[3] = {(float)biases[0], (float)biases[1],
+                           (float)biases[2]};
+  const float qm[3] = {qmx, 1.0f, qmb};
+  const int64_t W = BW * 8;
+  const int64_t cplane = BH * 8 * W;
+  const int64_t oplane = out_h * out_w;
+  static const int chan_order[3] = {1, 0, 2};
+  // Scratch sized for the largest block (256x256 = 65536/channel).
+  std::vector<float> dqbuf, gbuf, t1buf, pixbuf;
+  for (int64_t by = 0; by < BH; by++) {
+    for (int64_t bx = 0; bx < BW; bx++) {
+      const int s = strategies[by * BW + bx];
+      if (s < 0) continue;
+      const float sc = inv_global_scale / (float)raw_quant[by * BW + bx];
+      const float fxv = fx_map[(by >> 3) * TW + (bx >> 3)];
+      const float fbv = fb_map[(by >> 3) * TW + (bx >> 3)];
+      const float* tb = tables + table_off[s];
+      const int slot = slot_lut[s];
+      const int64_t corig = by * 8 * W + bx * 8;
+      if (slot >= 0) {
+        // 8x8 family: dequant 3x64 (Y first for CfL), DC into slot 0,
+        // then separable IDCT (DCT8X8) or 64x64 bank matvec.
+        float dq[3][64];
+        for (int ci = 0; ci < 3; ci++) {
+          const int c = chan_order[ci];
+          float* o = dq[c];
+          for (int r = 0; r < 8; r++)
+            dequant_row(coeff + c * cplane + corig + r * W,
+                        tb + c * 64 + r * 8, sc, qm[c], bias_c[c], b3,
+                        o + r * 8, 8);
+          if (c == 0)
+            for (int k = 0; k < 64; k++) o[k] += fxv * dq[1][k];
+          else if (c == 2)
+            for (int k = 0; k < 64; k++) o[k] += fbv * dq[1][k];
+          o[0] = dc[c * BH * BW + by * BW + bx];
+        }
+        float pix[64];
+        for (int c = 0; c < 3; c++) {
+          if (slot == 0) {
+            idct8x8_stored(dq[c], i8mat, pix);
+          } else {
+            const float* M = fam8 + (size_t)slot * 64 * 64;
+            for (int j = 0; j < 64; j++) pix[j] = 0.f;
+            for (int k = 0; k < 64; k++) {
+              const float v = dq[c][k];
+              if (v == 0.f) continue;
+              const float* Mr = M + k * 64;
+              for (int j = 0; j < 64; j++) pix[j] += v * Mr[j];
+            }
+          }
+          float* op = out + c * oplane + by * 8 * out_w + bx * 8;
+          for (int r = 0; r < 8; r++)
+            for (int k = 0; k < 8; k++) op[r * out_w + k] = pix[r * 8 + k];
+        }
+        continue;
+      }
+      // Big plain DCT: stored grid is (ly*8, lx*8) with ly=min, lx=max.
+      const int cxk = covx[s], cyk = covy[s];
+      const int fh = cyk * 8, fw = cxk * 8;
+      const int ly = cyk < cxk ? cyk : cxk, lx = cyk < cxk ? cxk : cyk;
+      const int size = fh * fw;
+      dqbuf.resize(3 * (size_t)size);
+      gbuf.resize((size_t)size);
+      t1buf.resize((size_t)size);
+      pixbuf.resize((size_t)size);
+      // Dequant straight from the covered rect (row-major == linear
+      // stored order), Y first.
+      for (int ci = 0; ci < 3; ci++) {
+        const int c = chan_order[ci];
+        float* o = dqbuf.data() + (size_t)c * size;
+        for (int r = 0; r < fh; r++)
+          dequant_row(coeff + c * cplane + corig + (int64_t)r * W,
+                      tb + (size_t)c * size + (size_t)r * fw, sc, qm[c],
+                      bias_c[c], b3, o + (size_t)r * fw, fw);
+        if (c == 0) {
+          const float* yq = dqbuf.data() + size;
+          for (int k = 0; k < size; k++) o[k] += fxv * yq[k];
+        } else if (c == 2) {
+          const float* yq = dqbuf.data() + size;
+          for (int k = 0; k < size; k++) o[k] += fbv * yq[k];
+        }
+      }
+      // LLF from DC (double, matching the numpy einsum chain):
+      // coefdc = mcy @ dcs @ mcx^T, scaled; placed (transposed when
+      // cy >= cx) into the stored grid's [:ly, :lx] corner.
+      const double* mcy = dblob + mcy_off[s];
+      const double* mcx = dblob + mcx_off[s];
+      const double* syv = dblob + sy_off[s];
+      const double* sxv = dblob + sx_off[s];
+      const float* ih = fblob + ih_off[s];
+      const float* iw = fblob + iw_off[s];
+      for (int c = 0; c < 3; c++) {
+        float* g = dqbuf.data() + (size_t)c * size;  // stored (ly8, lx8)
+        double tmp[32 * 32];  // cy, cx <= 32
+        for (int u = 0; u < cyk; u++) {
+          for (int j = 0; j < cxk; j++) {
+            double acc = 0.0;
+            for (int i = 0; i < cyk; i++)
+              acc += mcy[u * cyk + i] *
+                     (double)dc[c * BH * BW + (by + i) * BW + (bx + j)];
+            tmp[u * cxk + j] = acc;
+          }
+        }
+        for (int u = 0; u < cyk; u++) {
+          for (int v = 0; v < cxk; v++) {
+            double acc = 0.0;
+            for (int j = 0; j < cxk; j++)
+              acc += tmp[u * cxk + j] * mcx[v * cxk + j];
+            const double llf = acc * syv[u] * sxv[v];
+            // stored position: (u, v) when cy < cx, else (v, u).
+            if (cyk >= cxk)
+              g[v * (lx * 8) + u] = (float)llf;
+            else
+              g[u * (lx * 8) + v] = (float)llf;
+          }
+        }
+        // Logical grid (fh, fw): stored^T when cy >= cx.
+        const float* G;
+        if (cyk >= cxk) {
+          float* gt = gbuf.data();
+          for (int r = 0; r < ly * 8; r++)
+            for (int k = 0; k < lx * 8; k++)
+              gt[k * (ly * 8) + r] = g[r * (lx * 8) + k];
+          G = gt;
+        } else {
+          G = g;
+        }
+        // pix = (IH @ G) @ IW^T, float32 like the numpy sgemm chain.
+        float* __restrict t1 = t1buf.data();
+        for (int y = 0; y < fh; y++) {
+          float* __restrict t1r = t1 + (size_t)y * fw;
+          for (int k = 0; k < fw; k++) t1r[k] = 0.f;
+          const float* ihr = ih + (size_t)y * fh;
+          for (int u = 0; u < fh; u++) {
+            const float a = ihr[u];
+            if (a == 0.f) continue;
+            const float* Gr = G + (size_t)u * fw;
+            for (int k = 0; k < fw; k++) t1r[k] += a * Gr[k];
+          }
+        }
+        float* __restrict pix = pixbuf.data();
+        // pix = t1 @ IW^T with iwt = IW^T pre-transposed host-side:
+        // saxpy over x per v keeps the v-accumulation order of the
+        // dot form (bit-identical) while vectorizing across x.
+        for (int y = 0; y < fh; y++) {
+          const float* t1r = t1 + (size_t)y * fw;
+          float* __restrict pr = pix + (size_t)y * fw;
+          for (int x = 0; x < fw; x++) pr[x] = 0.f;
+          for (int v = 0; v < fw; v++) {
+            const float a = t1r[v];
+            if (a == 0.f) continue;
+            const float* iwr = iw + (size_t)v * fw;  // row v of IW^T
+            for (int x = 0; x < fw; x++) pr[x] += a * iwr[x];
+          }
+        }
+        float* op = out + c * oplane + by * 8 * out_w + bx * 8;
+        for (int r = 0; r < fh; r++)
+          for (int k = 0; k < fw; k++) op[(int64_t)r * out_w + k] =
+              pix[(size_t)r * fw + k];
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// coeff16/coeff32: exactly one non-null; (3, BH*8, BW*8) dense
+// stored-layout coefficient frame (each block's linear coefficient
+// buffer written row-major over its covered rect).
+// strategies/raw_quant: (BH, BW) int32, anchors >= 0 / covered < 0.
+// dc: (3, BH, BW) f32 dequantized DC. fx/fb_map: (TH, TW) f32
+// premultiplied per-tile CfL factors (tile = 8x8 blocks).
+// tables+table_off[64]: packed (3, size) f32 dequant tables per
+// strategy id (-1 = unused). fam8: (10, 64, 64) pixels = coeffs @ M.
+// slot_lut[64]: strategy -> family8 bank slot or -1. covx/covy[64].
+// fblob+ih_off/iw_off[64]: f32 idct matrices (fh*fh)/(fw*fw) per big
+// strategy. dblob+mcy/mcx/sy/sx_off[64]: f64 LLF factors (dct_matrix
+// cy*cy / cx*cx, resample scales cy / cx).
+// out: (3, out_h, out_w) f32, written in [0, BH*8) x [0, BW*8).
+void reconstruct_frame(
+    const int16_t* coeff16, const int32_t* coeff32, int64_t BH, int64_t BW,
+    const int32_t* strategies, const int32_t* raw_quant, const float* dc,
+    const float* fx_map, const float* fb_map, int64_t TW,
+    float inv_global_scale, float qmx, float qmb, const double* biases,
+    const float* tables, const int64_t* table_off, const float* fam8,
+    const int8_t* slot_lut, const int32_t* covx, const int32_t* covy,
+    const float* i8mat, const float* fblob, const int64_t* ih_off,
+    const int64_t* iw_off, const double* dblob, const int64_t* mcy_off,
+    const int64_t* mcx_off, const int64_t* sy_off, const int64_t* sx_off,
+    float* out, int64_t out_h, int64_t out_w) {
+  if (coeff16)
+    reconstruct_frame_impl(coeff16, BH, BW, strategies, raw_quant, dc,
+                           fx_map, fb_map, TW, inv_global_scale, qmx, qmb,
+                           biases, tables, table_off, fam8, slot_lut, covx,
+                           covy, i8mat, fblob, ih_off, iw_off, dblob,
+                           mcy_off, mcx_off, sy_off, sx_off, out, out_h,
+                           out_w);
+  else
+    reconstruct_frame_impl(coeff32, BH, BW, strategies, raw_quant, dc,
+                           fx_map, fb_map, TW, inv_global_scale, qmx, qmb,
+                           biases, tables, table_off, fam8, slot_lut, covx,
+                           covy, i8mat, fblob, ih_off, iw_off, dblob,
+                           mcy_off, mcx_off, sy_off, sx_off, out, out_h,
+                           out_w);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Adaptive-quantization field (enc_adaptive_quantization.cc
+// InitialQuantField + ComputeMask/GammaModulation/HfModulation/
+// BlueModulation/FuzzyErosion): single fused native pass replacing
+// ~20 whole-image float64 numpy temporaries in
+// frame/adaptive_quant.py initial_quant_field. Formulas and constants
+// mirror the Python (which mirrors the reference); block sums are
+// sequential-order (the numpy pairwise-sum difference is ~1e-15
+// relative and only moves a raw_quant integer on exact ties).
+
+namespace {
+
+static const double kInvLog2e = 0.6931471805599453;
+static const double kSGMul = 226.77216153508914;
+static const double kSGMul2 = 1.0 / 73.377132366608819;
+static const double kSGRetMul = kSGMul2 * 18.6580932135 * kInvLog2e;
+static const double kSGVOffset = 7.7825991679894591;
+
+static inline double rod_cubic(double v, bool invert) {
+  // RatioOfDerivativesOfCubicRootToSimpleGamma
+  const double eps = 1e-2;
+  v = v < 0.0 ? 0.0 : v;
+  const double num_mul = kSGRetMul * 3.0 * kSGMul;
+  const double v_offset = kSGVOffset * kInvLog2e + eps;
+  const double den_mul = kInvLog2e * kSGMul;
+  const double v2 = v * v;
+  const double num = num_mul * v2 + eps;
+  const double den = den_mul * v * v2 + v_offset;
+  return invert ? num / den : den / num;
+}
+
+}  // namespace
+
+extern "C" {
+
+// xyb: (3, h, w) f32, h/w multiples of 8; qf out: (h/8, w/8) f32.
+void aq_initial_quant_field(const float* xyb, int64_t h, int64_t w,
+                            double bt, double rescale, double steepen,
+                            float* qf) {
+  const int64_t n = h * w;
+  const float* xp = xyb;
+  const float* yp = xyb + n;
+  const float* bp = xyb + 2 * n;
+  const int64_t h4 = h / 4, w4 = w / 4, hb = h / 8, wb = w / 8;
+  const double match_gamma_offset = 0.019;
+  const double limit = 0.2;
+  const double kLogOffset = 27.505837037000106;
+  const double kMulRoot = std::sqrt(211.66567973503678 * 1e8);
+
+  // Pass A: per-pixel masking diff, accumulated into 4x4 tiles * 0.25.
+  std::vector<double> pre(h4 * w4, 0.0);
+  for (int64_t y = 0; y < h; y++) {
+    const float* row = yp + y * w;
+    const float* rup = yp + (y == 0 ? 0 : y - 1) * w;
+    const float* rdn = yp + (y == h - 1 ? y : y + 1) * w;
+    double* prow = pre.data() + (y / 4) * w4;
+    for (int64_t x = 0; x < w; x++) {
+      const double l = row[x == 0 ? 0 : x - 1];
+      const double r = row[x == w - 1 ? x : x + 1];
+      const double base = 0.25 * ((double)rup[x] + (double)rdn[x] + l + r);
+      const double gammac =
+          rod_cubic((double)row[x] + match_gamma_offset, false);
+      double diff = gammac * ((double)row[x] - base);
+      diff = diff * diff;
+      diff = diff < limit ? diff : limit;
+      diff = 0.25 * std::sqrt(diff * kMulRoot + kLogOffset);
+      prow[x / 4] += 0.25 * diff;
+    }
+  }
+
+  // Pass B: FuzzyErosion — weighted sum of the 4 smallest of each 3x3
+  // neighborhood (edge-padded), then 2x2 accumulate -> aq_map (hb, wb).
+  double kMul[4] = {0.125, 0.1, 0.09, 0.06};
+  {
+    const double kAdd[4] = {0.0, -0.1, -0.09, -0.06};
+    const double mul =
+        bt < 2.0 ? ((2.0 - bt) / 2.0 > 0.0 ? (2.0 - bt) / 2.0 : 0.0) : 0.0;
+    double s = 0.0;
+    for (int i = 0; i < 4; i++) {
+      kMul[i] += mul * kAdd[i];
+      s += kMul[i];
+    }
+    const double norm = 0.29959705784054957 / s;
+    for (int i = 0; i < 4; i++) kMul[i] *= norm;
+  }
+  std::vector<double> aq(hb * wb, 0.0);
+  for (int64_t y = 0; y < h4; y++) {
+    const int64_t ym = y == 0 ? 0 : y - 1;
+    const int64_t yq = y == h4 - 1 ? y : y + 1;
+    double* arow = aq.data() + (y / 2) * wb;
+    for (int64_t x = 0; x < w4; x++) {
+      const int64_t xm = x == 0 ? 0 : x - 1;
+      const int64_t xq = x == w4 - 1 ? x : x + 1;
+      const double nb[9] = {
+          pre[ym * w4 + xm], pre[ym * w4 + x], pre[ym * w4 + xq],
+          pre[y * w4 + xm],  pre[y * w4 + x],  pre[y * w4 + xq],
+          pre[yq * w4 + xm], pre[yq * w4 + x], pre[yq * w4 + xq]};
+      // 4 smallest, ascending (insertion into a fixed-size window).
+      double s0 = 1e300, s1 = 1e300, s2 = 1e300, s3 = 1e300;
+      for (int i = 0; i < 9; i++) {
+        double v = nb[i];
+        if (v < s3) {
+          if (v < s2) { s3 = s2;
+            if (v < s1) { s2 = s1;
+              if (v < s0) { s1 = s0; s0 = v; } else s1 = v;
+            } else s2 = v;
+          } else s3 = v;
+        }
+      }
+      arow[x / 2] += kMul[0] * s0 + kMul[1] * s1 + kMul[2] * s2 +
+                     kMul[3] * s3;
+    }
+  }
+
+  // Pass C: per-block mask chain + per-pixel modulations.
+  const double scale = 0.765 / bt * rescale;
+  double dampen = 1.0;
+  if (bt >= 2.0) {
+    dampen = 1.0 - (bt - 2.0) / 12.0;
+    if (dampen < 0.0) dampen = 0.0;
+  }
+  const double mul_ = scale * dampen;
+  const double add_ = (1.0 - dampen) * (0.48 * scale);
+  std::vector<double> outv(hb * wb);
+  for (int64_t by = 0; by < hb; by++) {
+    for (int64_t bx = 0; bx < wb; bx++) {
+      // ComputeMask
+      const double kBase = -0.7647, kMul4 = 9.4708735624378946,
+                   kMul2 = 17.35036561631863,
+                   kOffset2 = 302.59587815579727,
+                   kMul3 = 6.7943250517376494,
+                   kOffset3 = 3.7179635626140772,
+                   kOffset4 = 0.25 * kOffset3,
+                   kMul0 = 0.80061762862741759;
+      double v1 = aq[by * wb + bx] * kMul0;
+      if (v1 < 1e-3) v1 = 1e-3;
+      double mask = kBase + kMul4 / (v1 * v1 + kOffset4) +
+                    kMul2 / (v1 + kOffset2) + kMul3 / (v1 * v1 + kOffset3);
+      // Per-pixel sums over the 8x8 block.
+      const double kBias = 0.16;
+      double gsum = 0.0, hsum = 0.0, bsum = 0.0;
+      for (int dy = 0; dy < 8; dy++) {
+        const int64_t yy = by * 8 + dy;
+        const float* yr = yp + yy * w + bx * 8;
+        const float* xr = xp + yy * w + bx * 8;
+        const float* br = bp + yy * w + bx * 8;
+        const float* yr1 =
+            dy < 7 ? yp + (yy + 1) * w + bx * 8 : yr;  // used when dy<7
+        for (int dx = 0; dx < 8; dx++) {
+          const double iny = (double)yr[dx] + kBias;
+          gsum += rod_cubic(iny - (double)xr[dx], true) +
+                  rod_cubic(iny + (double)xr[dx], true);
+          // Hf: capped right/down deltas, excluding block-crossing.
+          const double valmin = 0.0206;
+          if (dx < 7) {
+            double d = (double)yr[dx + 1] - (double)yr[dx];
+            d = d < 0 ? -d : d;
+            hsum += d < valmin ? d : valmin;
+          }
+          if (dy < 7) {
+            double d = (double)yr1[dx] - (double)yr[dx];
+            d = d < 0 ? -d : d;
+            hsum += d < valmin ? d : valmin;
+          }
+          // Blue
+          const double kLimit = 0.010474084867598155;
+          const double kOffsetB = 0.0031994768654636393;
+          const double ax = xr[dx] < 0 ? -(double)xr[dx] : (double)xr[dx];
+          const double p_y_eff = (double)yr[dx] + kOffsetB + ax;
+          if ((double)br[dx] > p_y_eff) {
+            const double c = (double)br[dx] - p_y_eff;
+            bsum += c < kLimit ? c : kLimit;
+          }
+        }
+      }
+      // GammaModulation
+      double overall = gsum * (0.5 / 64.0);
+      if (overall < 1e-9) overall = 1e-9;
+      const double mask_g =
+          mask + 0.1005613337192697 * (std::log2(overall));
+      // HfModulation
+      const double out_hf = mask_g + hsum * -0.38 + 0.42;
+      // BlueModulation
+      const double kLimit = 0.010474084867598155;
+      double s = bsum;
+      if (s >= 32 * kLimit) s = 64 * kLimit - s;
+      const double smax = 15.463398341612438 * kLimit;
+      if (s > smax) s = smax;
+      const double out_blue = mask_g + s * 0.90590804735610064;
+      outv[by * wb + bx] = out_hf < out_blue ? out_hf : out_blue;
+    }
+  }
+  if (steepen != 1.0) {
+    // Median via nth_element on a copy, then low-side amplification.
+    std::vector<double> cp(outv);
+    const size_t mid = cp.size() / 2;
+    std::nth_element(cp.begin(), cp.begin() + mid, cp.end());
+    double med = cp[mid];
+    if (cp.size() % 2 == 0) {
+      std::nth_element(cp.begin(), cp.begin() + mid - 1, cp.end());
+      med = 0.5 * (med + cp[mid - 1]);
+    }
+    for (auto& v : outv)
+      v = v + (steepen - 1.0) * (v - med < 0.0 ? v - med : 0.0);
+  }
+  for (int64_t i = 0; i < hb * wb; i++)
+    qf[i] = (float)(std::exp(outv[i]) * mul_ + add_);
+}
+
+}  // extern "C"

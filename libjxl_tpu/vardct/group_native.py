@@ -83,21 +83,44 @@ def pass_order_offsets(fprep: dict, orders: dict, row_stride: int):
     frame prep. Coefficient positions are pre-baked into PIXEL offsets
     within a block's top-left (`(p >> wlog) * row_stride + (p & wmask)`)
     so the native token loop does one add per coefficient instead of
-    shift/mask/multiply address math — row_stride is frame-constant and
-    each order bucket has a fixed block shape."""
-    from libjxl_tpu.vardct.ac_strategy import NUM_ORDERS
+    shift/mask/multiply address math — row_stride is frame-constant.
+
+    An order bucket serves BOTH orientations of a rectangular block
+    (coeff_order.h kStrategyOrder maps e.g. DCT16X8 and DCT8X16 to one
+    bucket) while the stored->pixel baking depends on the block's OWN
+    covered_x, so one segment is baked per (bucket, channel, log2cx)
+    orientation that actually appears in the frame."""
     flat_orders, order_index = flatten_orders(orders)
-    seg_wlog = np.zeros(len(flat_orders), np.uint8)
-    order_lut = np.zeros((NUM_ORDERS, 3), np.int32)
+    # log2(covered_x) per block (covered_x is a power of two).
+    blk_l2cx = np.asarray(fprep["blk_cx"], np.int64)
+    blk_l2cx = np.frexp(blk_l2cx.astype(np.float64))[1] - 1
+    ord_b = fprep["ord_b"]
+    need = {}
+    for ob, l2 in zip(np.asarray(ord_b).tolist(), blk_l2cx.tolist()):
+        need.setdefault(ob, set()).add(l2)
+    parts = []
+    lut = {}
+    pos = 0
+    p_all = flat_orders.astype(np.int64)
     for (ob, c), off_v in order_index.items():
-        order_lut[ob, c] = off_v
         ln = _bucket_order_len(orders, (ob, c))
-        seg_wlog[off_v:off_v + ln] = 3 + _BUCKET_LOG2_CX[ob]
-    p = flat_orders.astype(np.int64)
-    poff = ((p >> seg_wlog) * row_stride
-            + (p & ((1 << seg_wlog.astype(np.int64)) - 1)))
-    return (np.ascontiguousarray(poff.astype(np.int32)),
-            np.ascontiguousarray(order_lut[fprep["ord_b"]]))
+        seg = p_all[off_v:off_v + ln]
+        for l2 in sorted(need.get(ob, {int(_BUCKET_LOG2_CX[ob])})):
+            wlog = 3 + l2
+            poff = (seg >> wlog) * row_stride + (seg & ((1 << wlog) - 1))
+            lut[(ob, c, l2)] = pos
+            parts.append(poff)
+            pos += ln
+    flat = (np.concatenate(parts) if parts
+            else np.zeros(1, np.int64)).astype(np.int32)
+    from libjxl_tpu.vardct.ac_strategy import NUM_ORDERS
+    lut_arr = np.zeros((NUM_ORDERS, 3, 7), np.int32)
+    for (ob, c, l2), off in lut.items():
+        lut_arr[ob, c, l2] = off
+    blk_oo = lut_arr[np.asarray(ord_b), :,
+                     blk_l2cx]          # (n, 3) vectorized gather
+    return (np.ascontiguousarray(flat),
+            np.ascontiguousarray(blk_oo.astype(np.int32)))
 
 
 def _bucket_order_len(orders: dict, key) -> int:

@@ -607,3 +607,179 @@ def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
         + np.arange(cx * 8)[None, None, :]
     out.reshape(3, -1)[:, lin.reshape(-1)] = \
         pix.transpose(1, 0, 2, 3).reshape(3, -1)
+
+
+# -- native full-frame reconstruction ---------------------------------------
+
+
+def native_reconstruct_frame(coeff_frame, strategies, raw_quant, dc_full,
+                             quantizer, cmap, ytox_map, ytob_map,
+                             x_qm_mul, b_qm_mul, out,
+                             biases=DEFAULT_QUANT_BIAS) -> bool:
+    """Whole-frame fused dequant + CfL + LLF + IDCT + scatter in one
+    native call (jxl_native.cpp reconstruct_frame), consuming the dense
+    stored-layout coefficient frame written by vardct_decode_ac_frame.
+    Writes pixels into out[:, :BH*8, :BW*8]; returns False when the
+    native module is unavailable (caller falls back to numpy)."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return False
+    if lib is None:
+        return False
+    if not hasattr(lib, "_rec_frame_bound"):
+        F = C.POINTER(C.c_float)
+        I64 = C.POINTER(C.c_int64)
+        lib.reconstruct_frame.restype = None
+        lib.reconstruct_frame.argtypes = [
+            C.POINTER(C.c_int16), C.POINTER(C.c_int32),
+            C.c_int64, C.c_int64,
+            C.POINTER(C.c_int32), C.POINTER(C.c_int32), F,
+            F, F, C.c_int64,
+            C.c_float, C.c_float, C.c_float, C.POINTER(C.c_double),
+            F, I64, F, C.POINTER(C.c_int8),
+            C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+            F, F, I64, I64,
+            C.POINTER(C.c_double), I64, I64, I64, I64,
+            F, C.c_int64, C.c_int64]
+        lib._rec_frame_bound = True
+
+    from libjxl_tpu.tpu.feed import family8_matrices
+    from libjxl_tpu.vardct.dct import resample_scales
+    from libjxl_tpu.vardct.group_native import family8_slot_lut
+
+    BH, BW = strategies.shape
+    assert coeff_frame.shape == (3, BH * 8, BW * 8)
+    if coeff_frame.dtype == np.int16:
+        c16 = coeff_frame.ctypes.data_as(C.POINTER(C.c_int16))
+        c32 = C.POINTER(C.c_int32)()
+    else:
+        cf32 = np.ascontiguousarray(coeff_frame, np.int32)
+        c16 = C.POINTER(C.c_int16)()
+        c32 = cf32.ctypes.data_as(C.POINTER(C.c_int32))
+
+    strat = np.ascontiguousarray(strategies, np.int32)
+    rq = np.ascontiguousarray(raw_quant, np.int32)
+    dcf = np.ascontiguousarray(dc_full, np.float32)
+    fx_map = (cmap.base_correlation_x
+              + ytox_map * cmap.color_scale).astype(np.float32)
+    fb_map = (cmap.base_correlation_b
+              + ytob_map * cmap.color_scale).astype(np.float32)
+    fx_map = np.ascontiguousarray(fx_map)
+    fb_map = np.ascontiguousarray(fb_map)
+    TW = fx_map.shape[1]
+
+    used = [int(s) for s in np.unique(strat[strat >= 0])]
+    table_off = np.full(64, -1, np.int64)
+    tparts = []
+    tpos = 0
+    for s in used:
+        t = np.ascontiguousarray(
+            quantizer.dequant.table(s).reshape(3, -1), np.float32)
+        table_off[s] = tpos
+        tparts.append(t.ravel())
+        tpos += t.size
+    tables = np.concatenate(tparts) if tparts else np.zeros(1, np.float32)
+
+    fam8 = np.ascontiguousarray(family8_matrices(), np.float32)
+    slut = np.ascontiguousarray(family8_slot_lut(), np.int8)
+    slut64 = np.full(64, -1, np.int8)
+    slut64[:len(slut)] = slut
+    covx = np.zeros(64, np.int32)
+    covy = np.zeros(64, np.int32)
+    for s in used:
+        cx_, cy_ = acs.covered_blocks(s)
+        covx[s], covy[s] = cx_, cy_
+
+    i8 = np.ascontiguousarray(idct_matrix(8), np.float32)
+    fparts, ih_off, iw_off = [], np.zeros(64, np.int64), np.zeros(64, np.int64)
+    dparts = []
+    mcy_off = np.zeros(64, np.int64)
+    mcx_off = np.zeros(64, np.int64)
+    sy_off = np.zeros(64, np.int64)
+    sx_off = np.zeros(64, np.int64)
+    fpos = dpos = 0
+    for s in used:
+        if slut64[s] >= 0:
+            continue
+        cx_, cy_ = int(covx[s]), int(covy[s])
+        ih = np.ascontiguousarray(idct_matrix(cy_ * 8), np.float32)
+        # IW is shipped pre-transposed: the native second matmul runs
+        # pix = t1 @ IW^T as a saxpy over rows of IW^T.
+        iw = np.ascontiguousarray(
+            idct_matrix(cx_ * 8).astype(np.float32).T)
+        ih_off[s] = fpos
+        fparts.append(ih.ravel()); fpos += ih.size
+        iw_off[s] = fpos
+        fparts.append(iw.ravel()); fpos += iw.size
+        mcy = (dct_matrix(cy_) if cy_ > 1 else np.ones((1, 1))).astype(
+            np.float64)
+        mcx = (dct_matrix(cx_) if cx_ > 1 else np.ones((1, 1))).astype(
+            np.float64)
+        sy = resample_scales(cy_, cy_ * 8).astype(np.float64)
+        sx = resample_scales(cx_, cx_ * 8).astype(np.float64)
+        mcy_off[s] = dpos; dparts.append(mcy.ravel()); dpos += mcy.size
+        mcx_off[s] = dpos; dparts.append(mcx.ravel()); dpos += mcx.size
+        sy_off[s] = dpos; dparts.append(sy.ravel()); dpos += sy.size
+        sx_off[s] = dpos; dparts.append(sx.ravel()); dpos += sx.size
+    fblob = np.concatenate(fparts) if fparts else np.zeros(1, np.float32)
+    dblob = np.concatenate(dparts) if dparts else np.zeros(1, np.float64)
+    fblob = np.ascontiguousarray(fblob, np.float32)
+    dblob = np.ascontiguousarray(dblob, np.float64)
+    bs = np.ascontiguousarray(biases, np.float64)
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    _, out_h, out_w = out.shape
+
+    def fp(a):
+        return a.ctypes.data_as(C.POINTER(C.c_float))
+
+    def ip(a):
+        return a.ctypes.data_as(C.POINTER(C.c_int64))
+
+    lib.reconstruct_frame(
+        c16, c32, BH, BW,
+        strat.ctypes.data_as(C.POINTER(C.c_int32)),
+        rq.ctypes.data_as(C.POINTER(C.c_int32)), fp(dcf),
+        fp(fx_map), fp(fb_map), TW,
+        float(quantizer.inv_global_scale), float(x_qm_mul),
+        float(b_qm_mul), bs.ctypes.data_as(C.POINTER(C.c_double)),
+        fp(tables), ip(table_off), fp(fam8),
+        slut64.ctypes.data_as(C.POINTER(C.c_int8)),
+        covx.ctypes.data_as(C.POINTER(C.c_int32)),
+        covy.ctypes.data_as(C.POINTER(C.c_int32)),
+        fp(i8), fp(fblob), ip(ih_off), ip(iw_off),
+        dblob.ctypes.data_as(C.POINTER(C.c_double)),
+        ip(mcy_off), ip(mcx_off), ip(sy_off), ip(sx_off),
+        fp(out), out_h, out_w)
+    return True
+
+
+def native_reconstruct_group(blocks, brect, quantizer, raw_quant_sl,
+                             dc_sl, cmap, ytox_map, ytob_map,
+                             x_qm_mul, b_qm_mul,
+                             biases=DEFAULT_QUANT_BIAS):
+    """Group/band-local native reconstruction: scatter the per-block
+    coefficients into a rect-local dense frame and run the SAME fused
+    kernel as the whole-frame path (reconstruction is block-local, so
+    the output is bit-identical to native_reconstruct_frame on the full
+    frame). brect is the block-unit rect (x0/y0 multiples of 8 blocks so
+    tile maps slice cleanly). Returns (3, ysize*8, xsize*8) or None."""
+    from libjxl_tpu.vardct.group_native import scatter_blocks_to_frame
+    BH, BW = brect.ysize, brect.xsize
+    strat = np.full((BH, BW), -1, np.int32)
+    for b in blocks:
+        strat[b.by, b.bx] = b.strategy
+    coeff = np.zeros((3, BH * 8, BW * 8), np.int32)
+    mat_ids = np.zeros((BH, BW), np.int8)
+    scatter_blocks_to_frame(blocks, coeff, mat_ids, 0, 0, 0)
+    ty0, tx0 = brect.y0 // 8, brect.x0 // 8
+    ty1 = (brect.y0 + BH + 7) // 8
+    tx1 = (brect.x0 + BW + 7) // 8
+    out = np.zeros((3, BH * 8, BW * 8), np.float32)
+    ok = native_reconstruct_frame(
+        coeff, strat, raw_quant_sl, dc_sl, quantizer, cmap,
+        ytox_map[ty0:ty1, tx0:tx1], ytob_map[ty0:ty1, tx0:tx1],
+        x_qm_mul, b_qm_mul, out, biases)
+    return out if ok else None
