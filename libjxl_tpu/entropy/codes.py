@@ -127,6 +127,8 @@ class EntropyCodes:
     # encoder-side:
     counts: list[list[int]] | None = None         # normalized histograms
     reverse_maps: list[list[np.ndarray]] | None = None
+    # packed (freqs, rmap, rmap_off, alpha) for the native token writer
+    enc_tables: tuple | None = None
 
     @property
     def num_histograms(self) -> int:
@@ -246,6 +248,10 @@ class SymbolReader:
         self.codes = codes
         self.r = r
         if not codes.use_prefix_code:
+            if codes.alias_tables is None and codes.counts is not None:
+                # Encoder-built codes skip the Python alias tables
+                # (native enc_tables path); materialize for decoding.
+                _python_encoder_tables(codes)
             self.state = AnsState(r)
         else:
             self.state = None
@@ -444,8 +450,6 @@ def _finish_histograms(histograms, num_contexts, w, use_prefix_code,
                 codes.prefix_codes.append(pc)
     else:
         codes.counts = []
-        codes.reverse_maps = []
-        codes.alias_tables = []
         for h in clustered:
             nz = np.nonzero(h)[0]
             if len(nz) == 0:
@@ -458,11 +462,56 @@ def _finish_histograms(histograms, num_contexts, w, use_prefix_code,
                 raw = [int(c) for c in h[:int(nz[-1]) + 1]]
                 counts, omit = normalize_counts(raw, shift=ANS_LOG_TAB_SIZE)
             write_histogram(counts, w, shift=ANS_LOG_TAB_SIZE, omit_pos=omit)
-            table = init_alias_table(counts, log_alpha_size)
             codes.counts.append(counts)
-            codes.alias_tables.append(table)
-            codes.reverse_maps.append(build_reverse_maps(table, len(counts)))
+        if not _native_encoder_tables(codes):
+            _python_encoder_tables(codes)
     return codes
+
+
+def _python_encoder_tables(codes: "EntropyCodes") -> None:
+    codes.reverse_maps = []
+    codes.alias_tables = []
+    for counts in codes.counts:
+        table = init_alias_table(counts, codes.log_alpha_size)
+        codes.alias_tables.append(table)
+        codes.reverse_maps.append(build_reverse_maps(table, len(counts)))
+
+
+def _native_encoder_tables(codes: "EntropyCodes") -> bool:
+    """One C call builds every clustered histogram's encoder reverse
+    map in the packed (freqs, rmap, rmap_off) layout ans_write_tokens
+    consumes (jxl_native.cpp ans_encoder_tables). alias_tables /
+    reverse_maps stay None; SymbolReader materializes them lazily."""
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return False
+    if lib is None:
+        return False
+    import ctypes as C
+    if not hasattr(lib, "_enc_tab_bound"):
+        lib.ans_encoder_tables.restype = C.c_int
+        lib.ans_encoder_tables.argtypes = [
+            C.POINTER(C.c_int32), C.c_int, C.c_int, C.c_int,
+            C.POINTER(C.c_uint32), C.POINTER(C.c_uint32)]
+        lib._enc_tab_bound = True
+    m = len(codes.counts)
+    alpha = max(1, max(len(c) for c in codes.counts))
+    counts2d = np.zeros((m, alpha), np.int32)
+    for i, c in enumerate(codes.counts):
+        counts2d[i, :len(c)] = c
+    rmap = np.empty(m * ANS_TAB_SIZE, np.uint32)
+    rmap_off = np.empty((m, alpha), np.uint32)
+    rc = lib.ans_encoder_tables(
+        counts2d.ctypes.data_as(C.POINTER(C.c_int32)), m, alpha,
+        codes.log_alpha_size,
+        rmap.ctypes.data_as(C.POINTER(C.c_uint32)),
+        rmap_off.ctypes.data_as(C.POINTER(C.c_uint32)))
+    if rc != 0:
+        return False
+    codes.enc_tables = (counts2d.astype(np.uint32), rmap, rmap_off, alpha)
+    return True
 
 
 def write_tokens(tokens, codes: EntropyCodes, w: BitWriter,
@@ -528,23 +577,33 @@ def _native_write_tokens(ctx, val, codes: EntropyCodes, w: BitWriter) -> bool:
     import ctypes as C
 
     n_clusters = codes.num_histograms
-    alpha = max(len(c) for c in codes.counts)
-    freqs = np.zeros((n_clusters, alpha), np.uint32)
-    rmap_parts = []
-    rmap_off = np.zeros((n_clusters, alpha), np.uint32)
-    off = 0
-    for h in range(n_clusters):
-        for t, cnt in enumerate(codes.counts[h]):
-            rmap_off[h, t] = off
-            freqs[h, t] = cnt
-            if cnt > 0:
-                rmap_parts.append(codes.reverse_maps[h][t])
-                off += cnt
-    rmap = np.concatenate(rmap_parts).astype(np.uint32) if rmap_parts \
-        else np.zeros(1, np.uint32)
-    cmap = np.array(codes.context_map, np.uint8)
-    cfgs = np.array([[c.split_exponent, c.msb_in_token, c.lsb_in_token]
-                     for c in codes.uint_configs], np.int32)
+    packed = getattr(codes, "enc_tables", None)
+    if packed is None:
+        # Pack from the Python reverse maps once and cache.
+        alpha = max(len(c) for c in codes.counts)
+        freqs = np.zeros((n_clusters, alpha), np.uint32)
+        rmap_parts = []
+        rmap_off = np.zeros((n_clusters, alpha), np.uint32)
+        off = 0
+        for h in range(n_clusters):
+            for t, cnt in enumerate(codes.counts[h]):
+                rmap_off[h, t] = off
+                freqs[h, t] = cnt
+                if cnt > 0:
+                    rmap_parts.append(codes.reverse_maps[h][t])
+                    off += cnt
+        rmap = np.concatenate(rmap_parts).astype(np.uint32) if rmap_parts \
+            else np.zeros(1, np.uint32)
+        codes.enc_tables = (freqs, rmap, rmap_off, alpha)
+    freqs, rmap, rmap_off, alpha = codes.enc_tables
+    cached_meta = getattr(codes, "_enc_meta", None)
+    if cached_meta is None:
+        cmap = np.array(codes.context_map, np.uint8)
+        cfgs = np.array([[c.split_exponent, c.msb_in_token,
+                          c.lsb_in_token]
+                         for c in codes.uint_configs], np.int32)
+        codes._enc_meta = (cmap, cfgs)
+    cmap, cfgs = codes._enc_meta
     ctx32 = np.ascontiguousarray(ctx, np.int32)
     val32 = np.ascontiguousarray(val, np.uint32)
     cap_bits = 64 * len(ctx) + 4096
@@ -825,6 +884,8 @@ def write_tokens_lz77(lz_stream: tuple, codes: EntropyCodes,
                       w: BitWriter) -> None:
     """write_tokens for an apply_lz77 stream (pure-python ANS path)."""
     ctx, val, is_len = lz_stream
+    if codes.reverse_maps is None and codes.counts is not None:
+        _python_encoder_tables(codes)   # native enc_tables path skips these
     num_contexts = len(codes.context_map) - 1
     chunks: list[tuple[int, int]] = []
     enc = AnsEncoder()

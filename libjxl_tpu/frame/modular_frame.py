@@ -741,12 +741,19 @@ class ModularFrameEncoder:
         state = {"tree": tree, "streams": streams,
                  "all_tokens": all_tokens, "codes": None}
 
-        # --- exact pick-better: serialize both variants to scratch ---
-        wa = BitWriter()
-        self.write_vardct_aux_global(wa, state)
+        # --- exact pick-better: serialize both variants to scratch.
+        # Each learned piece goes into its OWN writer so the winning
+        # variant's bits are spliced verbatim at real write time
+        # (append_bits_lsb) instead of being re-serialized.
+        wg = BitWriter()
+        self.write_vardct_aux_global(wg, state)
+        piece = {}
+        bits_a = wg.bits_written
         for sid, _img in entries:
-            self.write_aux_with_tree(wa, state, sid)
-        bits_a = wa.bits_written
+            ws = BitWriter()
+            self.write_aux_with_tree(ws, state, sid)
+            piece[sid] = (ws.get_bytes(), ws.bits_written)
+            bits_a += ws.bits_written
         wb = BitWriter()
         wb.write_bool(False)
         from libjxl_tpu.modular.tree import ac_meta_tree
@@ -759,7 +766,8 @@ class ModularFrameEncoder:
                                       tree=ac_meta_tree())
         if bits_a >= wb.bits_written:
             return None
-        state["codes"] = None   # rebuilt at real write time
+        state["cached_global"] = (wg.get_bytes(), wg.bits_written)
+        state["cached_streams"] = piece
         return state
 
     def write_vardct_aux_global(self, w: BitWriter, state: dict) -> None:
@@ -768,6 +776,10 @@ class ModularFrameEncoder:
         global modular image itself is empty, so nothing follows (the
         decoder early-returns before reading a GroupHeader)."""
         from libjxl_tpu.entropy.codes import build_and_encode_histograms
+        cached = state.get("cached_global")
+        if cached is not None:
+            w.append_bits_lsb(*cached)
+            return
         w.write_bool(True)
         encode_tree(state["tree"], w)
         state["codes"] = build_and_encode_histograms(
@@ -777,6 +789,10 @@ class ModularFrameEncoder:
                             stream_id: int) -> None:
         from libjxl_tpu.entropy.codes import (
             build_and_encode_histograms, write_tokens)
+        cached = state.get("cached_streams")
+        if cached is not None and stream_id in cached:
+            w.append_bits_lsb(*cached[stream_id])
+            return
         if state["codes"] is None:
             scratch = BitWriter()
             state["codes"] = build_and_encode_histograms(

@@ -189,6 +189,10 @@ def codes_tables(codes):
     if cached is None:
         packed = getattr(codes, "_packed_native", None)
         if packed is None:
+            if codes.alias_tables is None and codes.counts is not None:
+                from libjxl_tpu.entropy.codes import (
+                    _python_encoder_tables)
+                _python_encoder_tables(codes)
             value = np.concatenate(
                 [t.value for t in codes.alias_tables]).astype(np.uint32)
             offset = np.concatenate(

@@ -3800,3 +3800,43 @@ void aq_initial_quant_field(const float* xyb, int64_t h, int64_t w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Encoder-side ANS build-info tables (enc_ans.cc ANSBuildInfoTable):
+// for every clustered histogram, the reverse map
+// rmap[rmap_off[h][s] + offset] = residue is derived from the SAME
+// packed alias construction the decoder uses (build_alias_packed), so
+// encoder and decoder stay symmetric by construction. Replaces the
+// per-cluster Python init_alias_table + build_reverse_maps chain.
+
+extern "C" {
+
+// counts: (m, alpha) int32 normalized histograms (each row sums to
+// kAnsTabSize). rmap: (m * kAnsTabSize) uint32. rmap_off: (m, alpha)
+// uint32 GLOBAL offsets into rmap. Returns 0 or a negative error.
+int ans_encoder_tables(const int32_t* counts, int m, int alpha,
+                       int log_alpha_size, uint32_t* rmap,
+                       uint32_t* rmap_off) {
+  std::vector<uint32_t> packed(kAnsTabSize);
+  for (int h = 0; h < m; h++) {
+    const int32_t* cnt = counts + (size_t)h * alpha;
+    const int rc =
+        build_alias_packed(cnt, alpha, log_alpha_size, packed.data());
+    if (rc != 0) return rc;
+    uint32_t off = (uint32_t)h * kAnsTabSize;
+    uint32_t* ro = rmap_off + (size_t)h * alpha;
+    for (int s = 0; s < alpha; s++) {
+      ro[s] = off;
+      off += cnt[s] > 0 ? (uint32_t)cnt[s] : 0;
+    }
+    for (uint32_t res = 0; res < kAnsTabSize; res++) {
+      const uint32_t slot = packed[res];
+      const uint32_t sym = slot & 0xFF;
+      const uint32_t o = (slot >> 8) & 0xFFF;
+      rmap[ro[sym] + o] = res;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
