@@ -178,6 +178,15 @@ def host_configs(result):
     result["cfg3_lossless_dec_mpix_s"] = round(mp / t_dec, 2)
     result["cfg3_exact"] = exact
     result["cfg3_bpp"] = round(len(s3) * 8 / (512 * 512), 3)
+    # Fast-lossless tier (effort 1: prefix codes + gradient, the
+    # reference's fast_lossless headline mode) on the same image.
+    s3f = encode(img, distance=0.0, effort=1)
+    exact_f = bool((decode(s3f).pixels == img).all())
+    t0 = time.perf_counter()
+    encode(img, distance=0.0, effort=1)
+    result["cfg3_e1_enc_mpix_s"] = round(
+        mp / (time.perf_counter() - t0), 2)
+    result["cfg3_e1_exact"] = exact_f
     result["phase"] = "cfg3"
     checkpoint(result)
 
