@@ -328,6 +328,26 @@ def main():
         result["resolution"] = "1080p"
         result["phase"] = "e2e_1080p"
         checkpoint(result)
+        # Batched dispatch at 1080p: 3 same-shape frames per packed
+        # transfer + ONE vmapped device program (DecodePipeline
+        # batch=3) — amortizes the per-dispatch tunnel round-trip that
+        # bounds the small-frame device rate (measured 13.9 -> 33.3
+        # MP/s device-side; at 4K each dispatch is already long enough
+        # that batching does not pay, so only this phase batches).
+        if _remaining() > 120:
+            pipe = DecodePipeline(out="pq16", max_inflight=4, batch=3)
+            futs = [pipe.submit(s1080) for _ in range(3)]
+            pipe.flush()
+            sync_all([f.result() for f in futs])   # warm-up (cached)
+            t0 = time.perf_counter()
+            futs = [pipe.submit(s1080) for _ in range(9)]
+            pipe.flush()
+            sync_all([f.result() for f in futs])
+            t_b = time.perf_counter() - t0
+            pipe.close()
+            result["e2e_1080p_batched_mpix_s"] = round(9 * mp / t_b, 1)
+            result["phase"] = "e2e_1080p_batched"
+            checkpoint(result)
 
     if _remaining() < 60:
         return
@@ -368,6 +388,7 @@ def main():
     result["resolution"] = "4k"
     result["phase"] = "complete"
     checkpoint(result)
+
 
     # Phase 4 (budget-permitting): device-encoder throughput on a
     # 1-MPix image (enc_frame.cc ComputeEncodingData's VarDCT half as

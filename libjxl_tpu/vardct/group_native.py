@@ -92,12 +92,12 @@ def pass_order_offsets(fprep: dict, orders: dict, row_stride: int):
     orientation that actually appears in the frame."""
     flat_orders, order_index = flatten_orders(orders)
     # log2(covered_x) per block (covered_x is a power of two).
-    blk_l2cx = np.asarray(fprep["blk_cx"], np.int64)
-    blk_l2cx = np.frexp(blk_l2cx.astype(np.float64))[1] - 1
-    ord_b = fprep["ord_b"]
+    blk_l2cx = _LOG2_LUT[np.asarray(fprep["blk_cx"], np.int64)]
+    ord_b = np.asarray(fprep["ord_b"], np.int64)
+    # Needed (bucket, log2cx) orientations, vectorized over the frame.
     need = {}
-    for ob, l2 in zip(np.asarray(ord_b).tolist(), blk_l2cx.tolist()):
-        need.setdefault(ob, set()).add(l2)
+    for pv in np.unique(ord_b * 8 + blk_l2cx).tolist():
+        need.setdefault(pv >> 3, set()).add(pv & 7)
     parts = []
     lut = {}
     pos = 0
@@ -114,13 +114,19 @@ def pass_order_offsets(fprep: dict, orders: dict, row_stride: int):
     flat = (np.concatenate(parts) if parts
             else np.zeros(1, np.int64)).astype(np.int32)
     from libjxl_tpu.vardct.ac_strategy import NUM_ORDERS
-    lut_arr = np.zeros((NUM_ORDERS, 3, 7), np.int32)
+    lut_arr = np.zeros((NUM_ORDERS, 3, 8), np.int32)
     for (ob, c, l2), off in lut.items():
         lut_arr[ob, c, l2] = off
-    blk_oo = lut_arr[np.asarray(ord_b), :,
-                     blk_l2cx]          # (n, 3) vectorized gather
+    blk_oo = lut_arr[ord_b, :, blk_l2cx]  # (n, 3) vectorized gather
     return (np.ascontiguousarray(flat),
             np.ascontiguousarray(blk_oo.astype(np.int32)))
+
+
+# log2 LUT for power-of-two covered_x values (1..32).
+_LOG2_LUT = np.zeros(64, np.int64)
+for _v in range(1, 64):
+    _LOG2_LUT[_v] = _v.bit_length() - 1
+del _v
 
 
 def _bucket_order_len(orders: dict, key) -> int:
