@@ -1256,7 +1256,11 @@ static void epf_plus_pass(const float* img, float* out, int64_t h,
   // Candidate diff field E over [(rad-1)..(rad+h+1)) x likewise.
   const int64_t eh = h + 2, ew = w + 2;
   std::vector<float> E(eh * ew);
-  std::vector<float> isig(w);
+  // Per-pixel sigma rows are candidate-independent: hoist out of the
+  // candidate loop (same values, ncand x fewer recomputes).
+  std::vector<float> isig_all(h * w);
+  for (int64_t y = 0; y < h; y++)
+    isig_row(isb, bw, y, w, sm, bsm, isig_all.data() + y * w);
   for (int ci = 0; ci < ncand; ci++) {
     const int sy = cands[ci][0], sx = cands[ci][1];
     for (int64_t u = 0; u < eh; u++) {
@@ -1275,7 +1279,7 @@ static void epf_plus_pass(const float* img, float* out, int64_t h,
       }
     }
     for (int64_t y = 0; y < h; y++) {
-      isig_row(isb, bw, y, w, sm, bsm, isig.data());
+      const float* isig = isig_all.data() + y * w;
       const float* e0 = E.data() + y * ew + 1;        // (y-1, x)
       const float* e1 = E.data() + (y + 1) * ew;      // (y, x-1)
       const float* e1c = e1 + 1;                      // (y, x)
@@ -1431,28 +1435,44 @@ void xyb_to_srgb_px(const float* xyb, int64_t n, const double* inv_mat,
   const float* Y = xyb + n;
   const float* B = xyb + 2 * n;
   const float mv = (float)maxval;
-  for (int64_t i = 0; i < n; i++) {
-    const float gl = Y[i] + X[i] + bc0;
-    const float gm = Y[i] - X[i] + bc1;
-    const float gs = B[i] + bc2;
-    const float L = gl * gl * gl - b0;
-    const float M = gm * gm * gm - b1;
-    const float S = gs * gs * gs - b2;
-    float rgb[3];
-    rgb[0] = m[0] * L + m[1] * M + m[2] * S;
-    rgb[1] = m[3] * L + m[4] * M + m[5] * S;
-    rgb[2] = m[6] * L + m[7] * M + m[8] * S;
-    for (int c = 0; c < 3; c++) {
-      float v = rgb[c];
-      v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
-      const float t = std::sqrt(v) * 4096.0f;
-      const int idx = (int)t;
-      const float fr = t - (float)idx;
-      const float enc = lut[idx] + (lut[idx + 1] - lut[idx]) * fr;
-      float q = nearbyintf(enc * mv);
-      q = q < 0.f ? 0.f : (q > mv ? mv : q);
-      if (out8) out8[i * 3 + c] = (uint8_t)q;
-      else out16[i * 3 + c] = (uint16_t)q;
+  // Chunked: the cube + 3x3 matmul + clamp + sqrt stage runs over
+  // planar chunk buffers (auto-vectorizes); only the LUT gather +
+  // interleaved store stays scalar. Element-wise math is unchanged,
+  // so outputs are bit-identical to the fused scalar loop.
+  constexpr int CH = 256;
+  float t3[3][CH];
+  for (int64_t i0 = 0; i0 < n; i0 += CH) {
+    const int cnt = (int)(n - i0 < CH ? n - i0 : CH);
+    for (int j = 0; j < cnt; j++) {
+      const int64_t i = i0 + j;
+      const float gl = Y[i] + X[i] + bc0;
+      const float gm = Y[i] - X[i] + bc1;
+      const float gs = B[i] + bc2;
+      const float L = gl * gl * gl - b0;
+      const float M = gm * gm * gm - b1;
+      const float S = gs * gs * gs - b2;
+      float v0 = m[0] * L + m[1] * M + m[2] * S;
+      float v1 = m[3] * L + m[4] * M + m[5] * S;
+      float v2 = m[6] * L + m[7] * M + m[8] * S;
+      v0 = v0 < 0.f ? 0.f : (v0 > 1.f ? 1.f : v0);
+      v1 = v1 < 0.f ? 0.f : (v1 > 1.f ? 1.f : v1);
+      v2 = v2 < 0.f ? 0.f : (v2 > 1.f ? 1.f : v2);
+      t3[0][j] = std::sqrt(v0) * 4096.0f;
+      t3[1][j] = std::sqrt(v1) * 4096.0f;
+      t3[2][j] = std::sqrt(v2) * 4096.0f;
+    }
+    for (int j = 0; j < cnt; j++) {
+      const int64_t i = i0 + j;
+      for (int c = 0; c < 3; c++) {
+        const float t = t3[c][j];
+        const int idx = (int)t;
+        const float fr = t - (float)idx;
+        const float enc = lut[idx] + (lut[idx + 1] - lut[idx]) * fr;
+        float q = nearbyintf(enc * mv);
+        q = q < 0.f ? 0.f : (q > mv ? mv : q);
+        if (out8) out8[i * 3 + c] = (uint8_t)q;
+        else out16[i * 3 + c] = (uint16_t)q;
+      }
     }
   }
 }

@@ -612,6 +612,69 @@ def _reconstruct_blocks_plain(out, blks, strategy, quantizer, raw_quant,
 # -- native full-frame reconstruction ---------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _rec_frame_plan(used: tuple):
+    """Stream-independent packed matrices/LUTs for the native frame
+    reconstruction, keyed on the frame's used-strategy set: family8
+    bank, slot/covered LUTs, IDCT matrix blob (IW pre-transposed for
+    the saxpy second matmul) and the float64 LLF factor blob."""
+    from libjxl_tpu.tpu.feed import family8_matrices
+    from libjxl_tpu.vardct.dct import resample_scales
+    from libjxl_tpu.vardct.group_native import family8_slot_lut
+
+    fam8 = np.ascontiguousarray(family8_matrices(), np.float32)
+    slut = np.ascontiguousarray(family8_slot_lut(), np.int8)
+    slut64 = np.full(64, -1, np.int8)
+    slut64[:len(slut)] = slut
+    covx = np.zeros(64, np.int32)
+    covy = np.zeros(64, np.int32)
+    for s in used:
+        cx_, cy_ = acs.covered_blocks(s)
+        covx[s], covy[s] = cx_, cy_
+
+    i8 = np.ascontiguousarray(idct_matrix(8), np.float32)
+    fparts = []
+    ih_off, iw_off = np.zeros(64, np.int64), np.zeros(64, np.int64)
+    dparts = []
+    mcy_off = np.zeros(64, np.int64)
+    mcx_off = np.zeros(64, np.int64)
+    sy_off = np.zeros(64, np.int64)
+    sx_off = np.zeros(64, np.int64)
+    fpos = dpos = 0
+    for s in used:
+        if slut64[s] >= 0:
+            continue
+        cx_, cy_ = int(covx[s]), int(covy[s])
+        ih = np.ascontiguousarray(idct_matrix(cy_ * 8), np.float32)
+        # IW is shipped pre-transposed: the native second matmul runs
+        # pix = t1 @ IW^T as a saxpy over rows of IW^T.
+        iw = np.ascontiguousarray(
+            idct_matrix(cx_ * 8).astype(np.float32).T)
+        ih_off[s] = fpos
+        fparts.append(ih.ravel()); fpos += ih.size
+        iw_off[s] = fpos
+        fparts.append(iw.ravel()); fpos += iw.size
+        mcy = (dct_matrix(cy_) if cy_ > 1 else np.ones((1, 1))).astype(
+            np.float64)
+        mcx = (dct_matrix(cx_) if cx_ > 1 else np.ones((1, 1))).astype(
+            np.float64)
+        sy = resample_scales(cy_, cy_ * 8).astype(np.float64)
+        sx = resample_scales(cx_, cx_ * 8).astype(np.float64)
+        mcy_off[s] = dpos; dparts.append(mcy.ravel()); dpos += mcy.size
+        mcx_off[s] = dpos; dparts.append(mcx.ravel()); dpos += mcx.size
+        sy_off[s] = dpos; dparts.append(sy.ravel()); dpos += sy.size
+        sx_off[s] = dpos; dparts.append(sx.ravel()); dpos += sx.size
+    fblob = np.concatenate(fparts) if fparts else np.zeros(1, np.float32)
+    dblob = np.concatenate(dparts) if dparts else np.zeros(1, np.float64)
+    fblob = np.ascontiguousarray(fblob, np.float32)
+    dblob = np.ascontiguousarray(dblob, np.float64)
+    return (fam8, slut64, covx, covy, i8, fblob, ih_off, iw_off, dblob,
+            mcy_off, mcx_off, sy_off, sx_off)
+
+
 def native_reconstruct_frame(coeff_frame, strategies, raw_quant, dc_full,
                              quantizer, cmap, ytox_map, ytob_map,
                              x_qm_mul, b_qm_mul, out,
@@ -683,51 +746,8 @@ def native_reconstruct_frame(coeff_frame, strategies, raw_quant, dc_full,
         tpos += t.size
     tables = np.concatenate(tparts) if tparts else np.zeros(1, np.float32)
 
-    fam8 = np.ascontiguousarray(family8_matrices(), np.float32)
-    slut = np.ascontiguousarray(family8_slot_lut(), np.int8)
-    slut64 = np.full(64, -1, np.int8)
-    slut64[:len(slut)] = slut
-    covx = np.zeros(64, np.int32)
-    covy = np.zeros(64, np.int32)
-    for s in used:
-        cx_, cy_ = acs.covered_blocks(s)
-        covx[s], covy[s] = cx_, cy_
-
-    i8 = np.ascontiguousarray(idct_matrix(8), np.float32)
-    fparts, ih_off, iw_off = [], np.zeros(64, np.int64), np.zeros(64, np.int64)
-    dparts = []
-    mcy_off = np.zeros(64, np.int64)
-    mcx_off = np.zeros(64, np.int64)
-    sy_off = np.zeros(64, np.int64)
-    sx_off = np.zeros(64, np.int64)
-    fpos = dpos = 0
-    for s in used:
-        if slut64[s] >= 0:
-            continue
-        cx_, cy_ = int(covx[s]), int(covy[s])
-        ih = np.ascontiguousarray(idct_matrix(cy_ * 8), np.float32)
-        # IW is shipped pre-transposed: the native second matmul runs
-        # pix = t1 @ IW^T as a saxpy over rows of IW^T.
-        iw = np.ascontiguousarray(
-            idct_matrix(cx_ * 8).astype(np.float32).T)
-        ih_off[s] = fpos
-        fparts.append(ih.ravel()); fpos += ih.size
-        iw_off[s] = fpos
-        fparts.append(iw.ravel()); fpos += iw.size
-        mcy = (dct_matrix(cy_) if cy_ > 1 else np.ones((1, 1))).astype(
-            np.float64)
-        mcx = (dct_matrix(cx_) if cx_ > 1 else np.ones((1, 1))).astype(
-            np.float64)
-        sy = resample_scales(cy_, cy_ * 8).astype(np.float64)
-        sx = resample_scales(cx_, cx_ * 8).astype(np.float64)
-        mcy_off[s] = dpos; dparts.append(mcy.ravel()); dpos += mcy.size
-        mcx_off[s] = dpos; dparts.append(mcx.ravel()); dpos += mcx.size
-        sy_off[s] = dpos; dparts.append(sy.ravel()); dpos += sy.size
-        sx_off[s] = dpos; dparts.append(sx.ravel()); dpos += sx.size
-    fblob = np.concatenate(fparts) if fparts else np.zeros(1, np.float32)
-    dblob = np.concatenate(dparts) if dparts else np.zeros(1, np.float64)
-    fblob = np.ascontiguousarray(fblob, np.float32)
-    dblob = np.ascontiguousarray(dblob, np.float64)
+    (fam8, slut64, covx, covy, i8, fblob, ih_off, iw_off, dblob,
+     mcy_off, mcx_off, sy_off, sx_off) = _rec_frame_plan(tuple(used))
     bs = np.ascontiguousarray(biases, np.float64)
     assert out.dtype == np.float32 and out.flags.c_contiguous
     _, out_h, out_w = out.shape
