@@ -327,19 +327,9 @@ def _select_sub8x8_native(blocks, masku, quant, strategies, cands,
     return strategies
 
 
-def masking_1x1(xyb: np.ndarray) -> np.ndarray:
-    """Per-pixel masking field for the ACS information-loss term
-    (enc_adaptive_quantization.cc ComputeTile mask1x1 + Blur1x1Masking:
-    1 / (log1p(|gammac * laplacian|) + 0.01), Symmetric5-blurred)."""
-    from libjxl_tpu.frame.adaptive_quant import ratio_of_derivatives
-    y = xyb[1].astype(np.float64)
-    p = np.pad(y, 1, mode="edge")
-    base = 0.25 * (p[2:, 1:-1] + p[:-2, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
-    gammac = ratio_of_derivatives(y + 0.019, invert=False)
-    diff = np.log1p(np.abs(gammac * (y - base)))
-    m = 1.0 / (diff + 0.01)
-    # Symmetric5 blur, same quadrant layout as the gaborish kernels
-    # (c r R / r d L / R L D), weights kFilterMask1x1.
+def _mask1x1_kernel() -> np.ndarray:
+    """Symmetric5 blur kernel, same quadrant layout as the gaborish
+    kernels (c r R / r d L / R L D), weights kFilterMask1x1."""
     k = (0.364911248, 0.05, 0.1688888021, 0.221069183, 0.306563504)
     norm = 1.0 / (1.0 + 4 * (k[0] + k[1] + k[2] + k[4] + 2 * k[3]))
     ker = np.zeros((5, 5))
@@ -351,6 +341,40 @@ def masking_1x1(xyb: np.ndarray) -> np.ndarray:
             for sx in (-1, 1):
                 ker[2 + sy * dy, 2 + sx * dx] = wv
                 ker[2 + sy * dx, 2 + sx * dy] = wv
+    return ker
+
+
+def masking_1x1(xyb: np.ndarray) -> np.ndarray:
+    """Per-pixel masking field for the ACS information-loss term
+    (enc_adaptive_quantization.cc ComputeTile mask1x1 + Blur1x1Masking:
+    1 / (log1p(|gammac * laplacian|) + 0.01), Symmetric5-blurred)."""
+    from libjxl_tpu.frame.adaptive_quant import ratio_of_derivatives
+    y = np.ascontiguousarray(xyb[1], np.float64)
+    ker = _mask1x1_kernel()
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        import ctypes as C
+        if not hasattr(lib, "_m1x1_bound"):
+            D = C.POINTER(C.c_double)
+            lib.acs_mask1x1.restype = None
+            lib.acs_mask1x1.argtypes = [D, C.c_int64, C.c_int64, D, D]
+            lib._m1x1_bound = True
+        h, w = y.shape
+        out = np.empty((h, w), np.float64)
+        k64 = np.ascontiguousarray(ker, np.float64)
+        D = C.POINTER(C.c_double)
+        lib.acs_mask1x1(y.ctypes.data_as(D), h, w,
+                        k64.ctypes.data_as(D), out.ctypes.data_as(D))
+        return out
+    p = np.pad(y, 1, mode="edge")
+    base = 0.25 * (p[2:, 1:-1] + p[:-2, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+    gammac = ratio_of_derivatives(y + 0.019, invert=False)
+    diff = np.log1p(np.abs(gammac * (y - base)))
+    m = 1.0 / (diff + 0.01)
     pm = np.pad(m, 2, mode="symmetric")
     out = np.zeros_like(m)
     for dy in range(5):

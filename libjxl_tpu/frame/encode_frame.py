@@ -96,6 +96,10 @@ def _adjust_quant_blocks(coeffs, flat_inv, raw_quant, inv_gs,
 
     Returns (adjusted raw_quant (BY,BX) int32,
              per-block Y thresholds (BY,BX, 4) float32)."""
+    nat = _adjust_quant_native(coeffs, flat_inv, raw_quant, inv_gs,
+                               x_mul, b_mul, dct8_mask, quant_max)
+    if nat is not None:
+        return nat
     pos = np.arange(64)
     row, col = pos // 8, pos % 8
     quad = ((row >= 4).astype(np.int64) * 2 + (col >= 4))
@@ -171,6 +175,46 @@ def _adjust_quant_blocks(coeffs, flat_inv, raw_quant, inv_gs,
     new_rq = np.where(dct8_mask, quant_final,
                       raw_quant).astype(np.int32)
     return new_rq, thr_y.astype(np.float32)
+
+
+def _adjust_quant_native(coeffs, flat_inv, raw_quant, inv_gs, x_mul,
+                         b_mul, dct8_mask, quant_max):
+    """One C call over all blocks (jxl_native.cpp adjust_quant_blocks);
+    None when the native module is unavailable. Matches the numpy chain
+    up to sequential-vs-pairwise sum rounding (encoder freedom)."""
+    import ctypes as C
+    try:
+        from libjxl_tpu.native.bindings import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "_adjq_bound"):
+        D = C.POINTER(C.c_double)
+        lib.adjust_quant_blocks.restype = None
+        lib.adjust_quant_blocks.argtypes = [
+            D, D, C.POINTER(C.c_int32), C.c_double, C.c_double,
+            C.c_double, C.POINTER(C.c_uint8), C.c_int32, C.c_int64,
+            C.POINTER(C.c_int32), C.POINTER(C.c_float)]
+        lib._adjq_bound = True
+    BY, BX = raw_quant.shape
+    N = BY * BX
+    cf = np.ascontiguousarray(coeffs, np.float64).reshape(3, N, 64)
+    fi = np.ascontiguousarray(flat_inv, np.float64)
+    rq = np.ascontiguousarray(raw_quant, np.int32)
+    mk = np.ascontiguousarray(dct8_mask, np.uint8)
+    out_rq = np.empty(N, np.int32)
+    thr_y = np.empty((N, 4), np.float32)
+    D = C.POINTER(C.c_double)
+    lib.adjust_quant_blocks(
+        cf.ctypes.data_as(D), fi.ctypes.data_as(D),
+        rq.ctypes.data_as(C.POINTER(C.c_int32)), float(inv_gs),
+        float(x_mul), float(b_mul),
+        mk.ctypes.data_as(C.POINTER(C.c_uint8)), int(quant_max), N,
+        out_rq.ctypes.data_as(C.POINTER(C.c_int32)),
+        thr_y.ctypes.data_as(C.POINTER(C.c_float)))
+    return out_rq.reshape(BY, BX), thr_y.reshape(BY, BX, 4)
 
 
 def _requantize_sub8x8(flips, planes, matrices, quantizer, raw_quant,
@@ -903,27 +947,35 @@ def encode_vardct_frame(xyb: np.ndarray, metadata: CodecMetadata,
     if ar_sharpness and fh.loop_filter.epf_iters > 0 \
             and distance >= 0.5 and dc_frame_level is None:
         from libjxl_tpu.frame.ar_heuristic import compute_ar_sharpness
-        from libjxl_tpu.vardct.reconstruct import reconstruct_group
+        from libjxl_tpu.vardct.reconstruct import (
+            native_reconstruct_group, reconstruct_group)
         y_dc = qdc[1] * mul_dc[1]
         dc_dec = np.stack([qdc[0] * mul_dc[0] + cfl_fac[0] * y_dc,
                            y_dc,
                            qdc[2] * mul_dc[2] + cfl_fac[2] * y_dc])
         prefilter = np.zeros((3, fd.ysize_padded, fd.xsize_padded),
                              np.float32)
+        ytox_m = ytox_map if ytox_map is not None else \
+            np.zeros(((fd.ysize_blocks + 7) // 8,
+                      (fd.xsize_blocks + 7) // 8), np.int32)
+        ytob_m = ytob_map if ytob_map is not None else \
+            np.zeros(((fd.ysize_blocks + 7) // 8,
+                      (fd.xsize_blocks + 7) // 8), np.int32)
         for g in range(fd.num_groups):
             brect = fd.block_group_rect(g)
             sl = brect.slices()
-            pix = reconstruct_group(
-                blocks_per_group[g], brect.xsize, brect.ysize, quantizer,
-                raw_quant[sl],
+            # Same fused native kernel as the decoder (numpy fallback).
+            pix = native_reconstruct_group(
+                blocks_per_group[g], brect, quantizer, raw_quant[sl],
                 dc_dec[:, brect.y0:brect.y1, brect.x0:brect.x1], cmap,
-                ytox_map if ytox_map is not None else
-                np.zeros(((fd.ysize_blocks + 7) // 8,
-                          (fd.xsize_blocks + 7) // 8), np.int32),
-                ytob_map if ytob_map is not None else
-                np.zeros(((fd.ysize_blocks + 7) // 8,
-                          (fd.xsize_blocks + 7) // 8), np.int32),
-                brect.x0, brect.y0, 1.0 / x_mul, 1.0 / b_mul)
+                ytox_m, ytob_m, 1.0 / x_mul, 1.0 / b_mul)
+            if pix is None:
+                pix = reconstruct_group(
+                    blocks_per_group[g], brect.xsize, brect.ysize,
+                    quantizer, raw_quant[sl],
+                    dc_dec[:, brect.y0:brect.y1, brect.x0:brect.x1],
+                    cmap, ytox_m, ytob_m, brect.x0, brect.y0,
+                    1.0 / x_mul, 1.0 / b_mul)
             prefilter[:, brect.y0 * 8:brect.y0 * 8 + brect.ysize * 8,
                       brect.x0 * 8:brect.x0 * 8 + brect.xsize * 8] = pix
         # Masking proxy: the adaptive quant field tracks the masking

@@ -3860,3 +3860,177 @@ int ans_encoder_tables(const int32_t* counts, int m, int alpha,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ACS per-pixel masking field (enc_adaptive_quantization.cc
+// ComputeTile mask1x1 + Blur1x1Masking): m = 1/(log1p(|gammac *
+// laplacian|) + 0.01), then a 5x5 symmetric-pad blur. Mirrors
+// frame/acs_select.py masking_1x1 (float64 end to end).
+
+extern "C" {
+
+// y: (h, w) f64 Y plane; ker: 25 f64 (zeros skipped); out: (h, w) f64.
+void acs_mask1x1(const double* y, int64_t h, int64_t w,
+                 const double* ker, double* out) {
+  std::vector<double> m((size_t)h * w);
+  for (int64_t i = 0; i < h; i++) {
+    const double* row = y + i * w;
+    const double* rup = y + (i == 0 ? 0 : i - 1) * w;
+    const double* rdn = y + (i == h - 1 ? i : i + 1) * w;
+    double* mr = m.data() + i * w;
+    for (int64_t x = 0; x < w; x++) {
+      const double l = row[x == 0 ? 0 : x - 1];
+      const double r = row[x == w - 1 ? x : x + 1];
+      const double base = 0.25 * (rup[x] + rdn[x] + l + r);
+      const double gammac = rod_cubic(row[x] + 0.019, false);
+      const double d = gammac * (row[x] - base);
+      const double diff = std::log1p(d < 0 ? -d : d);
+      mr[x] = 1.0 / (diff + 0.01);
+    }
+  }
+  // 5x5 blur with symmetric padding ([a b] -> [b a | a b]).
+  auto reflect = [](int64_t t, int64_t nn) {
+    if (t < 0) return -1 - t;
+    if (t >= nn) return 2 * nn - 1 - t;
+    return t;
+  };
+  std::vector<int32_t> xm(w + 4);
+  for (int64_t x = 0; x < w + 4; x++)
+    xm[x] = (int32_t)reflect(x - 2, w);
+  for (int64_t i = 0; i < h; i++) {
+    const double* rows[5];
+    for (int dy = 0; dy < 5; dy++)
+      rows[dy] = m.data() + (size_t)reflect(i + dy - 2, h) * w;
+    double* o = out + i * w;
+    for (int64_t x = 0; x < w; x++) o[x] = 0.0;
+    for (int dy = 0; dy < 5; dy++) {
+      const double* kr = ker + dy * 5;
+      const double* row = rows[dy];
+      for (int dx = 0; dx < 5; dx++) {
+        const double kv = kr[dx];
+        if (kv == 0.0) continue;
+        for (int64_t x = 0; x < w; x++) o[x] += kv * row[xm[x + dx]];
+      }
+    }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// AdjustQuantBlockAC (enc_group.cc:104-330) over all batched DCT8
+// blocks: trial-quantization statistics drive per-block quant tweaks
+// (dead-zone error bound, HF pattern boost, flat-block blockiness fix,
+// activity-based reduction). Mirrors encode_frame._adjust_quant_blocks
+// (float64; np.round's half-even == nearbyint under FE_TONEAREST).
+
+extern "C" {
+
+// coeffs: (3, N, 64) f64 (DCT coefficients, block-major);
+// flat_inv: (3, 64) f64; raw_quant: N int32; dct8_mask: N uint8;
+// out: new_rq N int32, thr_y (N, 4) f32.
+void adjust_quant_blocks(const double* coeffs, const double* flat_inv,
+                         const int32_t* raw_quant, double inv_gs,
+                         double x_mul, double b_mul,
+                         const uint8_t* dct8_mask, int32_t quant_max,
+                         int64_t N, int32_t* new_rq, float* thr_y) {
+  // Per-position LUTs.
+  int quad[64];
+  bool hfr[64];
+  for (int k = 0; k < 64; k++) {
+    const int row = k / 8, col = k % 8;
+    quad[k] = (row >= 4 ? 2 : 0) + (col >= 4 ? 1 : 0);
+    hfr[k] = ((row >= 7 && col >= 7) ||
+              ((row == 7 || col == 7) && row >= 4 && col >= 4));
+  }
+  static const double kTrialThr[4] = {0.58, 0.64, 0.64, 0.64};
+  static const int chan_order[3] = {1, 0, 2};
+  const double qmul[3] = {x_mul, 1.0, b_mul};
+  const double hf_mul[3] = {70.0, 30.0, 60.0};
+  for (int64_t n = 0; n < N; n++) {
+    const double quant0 = (double)raw_quant[n];
+    const double scale0 = quant0 / inv_gs;
+    double quant_final = 0.0;
+    double thr[4] = {kTrialThr[0], kTrialThr[1], kTrialThr[2],
+                     kTrialThr[3]};
+    for (int ci = 0; ci < 3; ci++) {
+      const int c = chan_order[ci];
+      const double s = scale0 * qmul[c];
+      const double* cf = coeffs + ((size_t)c * N + n) * 64;
+      const double* fi = flat_inv + (size_t)c * 64;
+      double hfnz[4] = {0, 0, 0, 0};
+      double hfme[4] = {0, 0, 0, 0};
+      double sum_vals = 0.0, sum_hf = 0.0;
+      double val_b[64], v_b[64];
+      for (int k = 0; k < 64; k++) {
+        const double val = (cf[k] * fi[k]) * s;
+        const double av0 = val < 0 ? -val : val;
+        const double v = av0 >= kTrialThr[quad[k]] ? nearbyint(val) : 0.0;
+        val_b[k] = val;
+        v_b[k] = v;
+        if (k == 0) continue;
+        const double av = v < 0 ? -v : v;
+        hfnz[quad[k]] += av;
+        sum_vals += av;
+        if (v != 0.0 && hfr[k]) sum_hf += av0;
+        if (c == 1 && v == 0.0) {
+          const double e = val - v < 0 ? -(val - v) : val - v;
+          if (e > hfme[quad[k]]) hfme[quad[k]] = e;
+        }
+      }
+      double quant = quant0;
+      if (c == 1) {
+        const bool allzero = sum_vals * 8 < 1.0;
+        const bool bump =
+            allzero && (((hfnz[1] == 0) && (hfme[1] > 0.46)) ||
+                        ((hfnz[2] == 0) && (hfme[2] > 0.46)) ||
+                        ((hfnz[3] == 0) && (hfme[3] > 0.46)));
+        const double new_quant = quant + (bump ? 1.0 : 0.0);
+        const double ratio = new_quant / quant;
+        const bool cond3 = allzero && hfnz[3] == 0 && hfme[3] > 0.46;
+        const bool cond12 =
+            allzero && !cond3 && (((hfnz[1] == 0) && (hfme[1] > 0.46)) ||
+                                  ((hfnz[2] == 0) && (hfme[2] > 0.46)));
+        const bool cond0 = allzero && !cond3 && !cond12 &&
+                           hfnz[0] == 0 && hfme[0] > 0.46;
+        if (cond3) thr[3] = 0.9999 * hfme[3] * ratio;
+        if (cond12) {
+          const double t12 =
+              0.9999 * (hfme[1] > hfme[2] ? hfme[1] : hfme[2]) * ratio;
+          thr[1] = t12;
+          thr[2] = t12;
+        }
+        if (cond0) thr[0] = 0.9999 * hfme[0] * ratio;
+        quant = new_quant;
+      }
+      const double allnz = hfnz[0] + hfnz[1] + hfnz[2] + hfnz[3] + 1.0;
+      const double boost = hf_mul[c] * sum_hf;
+      if (boost >= allnz) {
+        double q2 = quant + trunc(boost / allnz);
+        const double cap = (double)(quant_max - 1);
+        quant = q2 < cap ? q2 : cap;
+      }
+      if (hfnz[0] + hfnz[1] + hfnz[2] + hfnz[3] < 11.0) {
+        const double cap = (double)(quant_max - 1);
+        quant = quant + 1 < cap ? quant + 1 : cap;
+      }
+      double min_hf = hfnz[0];
+      for (int q = 1; q < 4; q++)
+        if (hfnz[q] < min_hf) min_hf = hfnz[q];
+      const double activity = min_hf < 15.0 ? trunc(min_hf) : 15.0;
+      if (c == 1)
+        for (int q = 1; q < 4; q++) thr[q] += 0.01 * activity;
+      double qp = quant - activity;
+      double limit = trunc(quant / 2);
+      if (limit < 4) limit = 4;
+      if (qp < limit) qp = limit;
+      if (qp > quant_final) quant_final = qp;
+      (void)val_b;
+      (void)v_b;
+    }
+    new_rq[n] = dct8_mask[n] ? (int32_t)quant_final : raw_quant[n];
+    for (int q = 0; q < 4; q++) thr_y[n * 4 + q] = (float)thr[q];
+  }
+}
+
+}  // extern "C"
